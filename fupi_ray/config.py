@@ -1,0 +1,61 @@
+"""Engine configuration.
+
+The reference switches dev/prod behavior through env vars
+(``searcher.py:378-396``, ``embedder.py:21-25``, ``example.env``); our
+equivalent is one explicit config object threaded through every op
+(SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    """Tunables for table-maintenance ops.
+
+    Sized for a multi-node cluster streaming ~100 TB; tests shrink
+    ``target_fragment_bytes`` so small fixtures still exercise
+    multi-fragment plans.
+    """
+
+    # Compaction / fragment sizing. Fragments are the unit of
+    # parallelism AND of zone-map pruning: big enough to amortize file
+    # open cost, small enough that one task's working set fits in a
+    # worker heap. 256 MiB is the lakehouse-standard sweet spot.
+    target_fragment_bytes: int = 256 * 1024 * 1024
+    # A fragment at least this fraction of target size is "large
+    # enough" and is not rewritten by compaction.
+    compact_min_fill: float = 0.5
+    # Byte budget is authoritative (token lists skew bytes/row —
+    # SURVEY.md §4 "Skew"); row budget is a secondary clamp so
+    # pathological tiny-row tables don't build million-row fragments.
+    max_rows_per_fragment: int = 4_000_000
+
+    # Clustering: bits per dimension for Z-order / Hilbert interleave.
+    cluster_bits: int = 21
+    # Default cluster key, per BASELINE.json north_star.
+    cluster_columns: tuple[str, ...] = ("source", "n_tok", "doc_id")
+
+    # MERGE: if the deduped source has at most this many keys, the key
+    # set is broadcast (ray.put once, np.isin per batch) instead of
+    # hash-shuffling the target side.
+    merge_broadcast_max_keys: int = 4_000_000
+    # Hash-shuffle bucket count when the source is too big to
+    # broadcast. Sized so each bucket is roughly one block.
+    merge_num_buckets: int = 256
+
+    # Snapshot expiry: keep at least this many trailing versions.
+    expire_keep_last: int = 2
+
+    # Read path
+    scan_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
+
+    # Parallelism hints (None = let Ray Data decide).
+    read_override_num_blocks: int | None = None
+
+    extra: dict = field(default_factory=dict)
+
+
+DEFAULT_CONFIG = EngineConfig()

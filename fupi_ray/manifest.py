@@ -1,0 +1,352 @@
+"""Manifest + fragment metadata: the explicit version of what the
+reference delegates to LanceDB.
+
+Every LanceDB commit in the reference (`create_table(mode='overwrite')`
+fupi/utils.py:39-49, `table.add` fupi/embedders.py:124-125,
+`compact_files()` fupi/embedders.py:127-128) produces a new table
+version over immutable fragments; readers scan a pinned snapshot
+(searcher.py:404-405, 207-208). Here that contract is explicit:
+
+    table_dir/
+      data/<fragment>.parquet          immutable fragments
+      manifest/v{N:08d}.json           one manifest per version
+      manifest/_latest                 current version number (atomic rename)
+      manifest/pins/<name>.json        named snapshot pins (ref counts)
+      lineage/<job_id>/<partition>.json  per-partition resume checkpoints
+
+A manifest lists fragments with zone maps (per-fragment min/max per
+column) — the engine's stand-in for Lance's fragment stats — which
+drive scan pruning, MERGE fragment selection and compaction planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import asdict, dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+ZONE_MAP_COLUMNS = ("doc_id", "n_tok", "source")
+
+
+@dataclass
+class FragmentMeta:
+    path: str  # relative to table_dir
+    rows: int
+    bytes: int
+    sum_n_tok: int
+    zone_map: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "FragmentMeta":
+        return FragmentMeta(
+            path=d["path"],
+            rows=int(d["rows"]),
+            bytes=int(d["bytes"]),
+            sum_n_tok=int(d.get("sum_n_tok", 0)),
+            zone_map=d.get("zone_map", {}),
+        )
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent_version: int | None
+    operation: str
+    schema_names: list[str]
+    schema_types: list[str]
+    fragments: list[FragmentMeta]
+    properties: dict[str, Any] = field(default_factory=dict)
+    created_unix: float = 0.0
+
+    @property
+    def total_rows(self) -> int:
+        return sum(f.rows for f in self.fragments)
+
+    @property
+    def total_bytes(self) -> int:
+        return sum(f.bytes for f in self.fragments)
+
+    @property
+    def total_tokens(self) -> int:
+        return sum(f.sum_n_tok for f in self.fragments)
+
+    def to_json(self) -> str:
+        d = {
+            "version": self.version,
+            "parent_version": self.parent_version,
+            "operation": self.operation,
+            "schema_names": self.schema_names,
+            "schema_types": self.schema_types,
+            "fragments": [f.to_dict() for f in self.fragments],
+            "properties": self.properties,
+            "created_unix": self.created_unix,
+        }
+        return json.dumps(d, indent=1, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=d["version"],
+            parent_version=d.get("parent_version"),
+            operation=d.get("operation", "?"),
+            schema_names=d.get("schema_names", []),
+            schema_types=d.get("schema_types", []),
+            fragments=[FragmentMeta.from_dict(f) for f in d["fragments"]],
+            properties=d.get("properties", {}),
+            created_unix=d.get("created_unix", 0.0),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Filesystem layout helpers (local FS or any fsspec-mountable path; on a
+# real cluster this directory lives on shared storage, e.g. s3/NFS).
+# ---------------------------------------------------------------------------
+
+
+def manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "manifest")
+
+
+def data_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "data")
+
+
+def lineage_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "lineage")
+
+
+def manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(manifest_dir(table_dir), f"v{version:08d}.json")
+
+
+def _atomic_write(path: str, content: str) -> None:
+    """Write via temp file + rename so readers never see partial JSON."""
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_latest_version(table_dir: str) -> int | None:
+    p = os.path.join(manifest_dir(table_dir), "_latest")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(f.read().strip())
+
+
+def write_latest_version(table_dir: str, version: int) -> None:
+    _atomic_write(os.path.join(manifest_dir(table_dir), "_latest"), str(version))
+
+
+def read_manifest(table_dir: str, version: int) -> Manifest:
+    with open(manifest_path(table_dir, version)) as f:
+        return Manifest.from_json(f.read())
+
+
+def write_manifest(table_dir: str, m: Manifest) -> None:
+    _atomic_write(manifest_path(table_dir, m.version), m.to_json())
+
+
+def list_versions(table_dir: str) -> list[int]:
+    md = manifest_dir(table_dir)
+    if not os.path.isdir(md):
+        return []
+    out = []
+    for name in os.listdir(md):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+# --- pins ------------------------------------------------------------------
+
+
+def pins_dir(table_dir: str) -> str:
+    return os.path.join(manifest_dir(table_dir), "pins")
+
+
+def read_pins(table_dir: str) -> dict[str, int]:
+    pd_ = pins_dir(table_dir)
+    pins: dict[str, int] = {}
+    if os.path.isdir(pd_):
+        for name in os.listdir(pd_):
+            if name.endswith(".json"):
+                with open(os.path.join(pd_, name)) as f:
+                    d = json.load(f)
+                pins[d["name"]] = int(d["version"])
+    return pins
+
+
+def write_pin(table_dir: str, name: str, version: int) -> None:
+    _atomic_write(
+        os.path.join(pins_dir(table_dir), f"{name}.json"),
+        json.dumps({"name": name, "version": version, "created_unix": time.time()}),
+    )
+
+
+def remove_pin(table_dir: str, name: str) -> None:
+    p = os.path.join(pins_dir(table_dir), f"{name}.json")
+    if os.path.exists(p):
+        os.unlink(p)
+
+
+# ---------------------------------------------------------------------------
+# Fragment metadata computation
+# ---------------------------------------------------------------------------
+
+
+def _scalar(v):
+    if isinstance(v, (pa.Scalar,)):
+        v = v.as_py()
+    return v
+
+
+def fragment_meta_from_table(
+    tbl: pa.Table, path_abs: str, rel_path: str
+) -> FragmentMeta:
+    """Compute fragment metadata from the in-memory table just written.
+
+    Zone map = min/max of the pruning columns; ``sum_n_tok`` feeds
+    bytes/token accounting for bin-packing and throughput metrics.
+    """
+    zone: dict[str, dict[str, Any]] = {}
+    for col in ZONE_MAP_COLUMNS:
+        if col in tbl.column_names and tbl.num_rows:
+            mm = pc.min_max(tbl.column(col))
+            zone[col] = {"min": _scalar(mm["min"]), "max": _scalar(mm["max"])}
+    sum_n_tok = 0
+    if "n_tok" in tbl.column_names and tbl.num_rows:
+        sum_n_tok = int(pc.sum(tbl.column("n_tok")).as_py() or 0)
+    return FragmentMeta(
+        path=rel_path,
+        rows=tbl.num_rows,
+        bytes=os.path.getsize(path_abs),
+        sum_n_tok=sum_n_tok,
+        zone_map=zone,
+    )
+
+
+def fragment_meta_from_footer(path_abs: str, rel_path: str) -> FragmentMeta:
+    """Compute fragment metadata from the Parquet footer alone.
+
+    Used for externally written files: min/max come from row-group
+    statistics (no data read); only ``n_tok`` is read (one small int32
+    column) for the token sum.
+    """
+    pf = pq.ParquetFile(path_abs)
+    md = pf.metadata
+    names = [md.schema.column(i).name for i in range(md.num_columns)]
+    zone: dict[str, dict[str, Any]] = {}
+    for col in ZONE_MAP_COLUMNS:
+        if col not in names:
+            continue
+        ci = names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                mins = []
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            zone[col] = {"min": min(mins), "max": max(maxs)}
+    sum_n_tok = 0
+    if "n_tok" in names and md.num_rows:
+        sum_n_tok = int(pc.sum(pf.read(columns=["n_tok"])["n_tok"]).as_py() or 0)
+    return FragmentMeta(
+        path=rel_path,
+        rows=md.num_rows,
+        bytes=os.path.getsize(path_abs),
+        sum_n_tok=sum_n_tok,
+        zone_map=zone,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map pruning
+# ---------------------------------------------------------------------------
+
+_OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in")
+
+
+def fragment_may_match(frag: FragmentMeta, predicate: list[tuple]) -> bool:
+    """Conservative zone-map check: False only if the fragment provably
+    contains no matching row. ``predicate`` is a conjunction of
+    ``(col, op, value)`` triples (value = (lo, hi) for 'between',
+    list for 'in')."""
+    for col, op, val in predicate:
+        zm = frag.zone_map.get(col)
+        if zm is None:
+            continue  # no stats → cannot prune
+        lo, hi = zm["min"], zm["max"]
+        if lo is None or hi is None:
+            continue
+        if op == "==" and not (lo <= val <= hi):
+            return False
+        if op == "<" and not (lo < val):
+            return False
+        if op == "<=" and not (lo <= val):
+            return False
+        if op == ">" and not (hi > val):
+            return False
+        if op == ">=" and not (hi >= val):
+            return False
+        if op == "between":
+            vlo, vhi = val
+            if hi < vlo or lo > vhi:
+                return False
+        if op == "in" and not any(lo <= v <= hi for v in val):
+            return False
+        # "!=" can never prune via min/max unless lo == hi == val
+        if op == "!=" and lo == hi == val:
+            return False
+    return True
+
+
+def predicate_to_arrow(predicate: list[tuple]):
+    """Translate the same conjunction into a pyarrow dataset expression
+    for row-level pushdown inside ``read_parquet``."""
+    import pyarrow.dataset as pads
+
+    expr = None
+    for col, op, val in predicate:
+        f = pads.field(col)
+        if op == "==":
+            e = f == val
+        elif op == "!=":
+            e = f != val
+        elif op == "<":
+            e = f < val
+        elif op == "<=":
+            e = f <= val
+        elif op == ">":
+            e = f > val
+        elif op == ">=":
+            e = f >= val
+        elif op == "between":
+            e = (f >= val[0]) & (f <= val[1])
+        elif op == "in":
+            e = f.isin(list(val))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+        expr = e if expr is None else (expr & e)
+    return expr

@@ -1,0 +1,56 @@
+"""Authoritative table schema and validation helpers.
+
+The reference declares fixed Arrow schemas for its two tables
+(``fupi/utils.py:18-36``); ours is the tokenized-sequence analogue from
+``BASELINE.json.input_hint``: ``doc_id`` + one large list column +
+scalar metadata.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# The primary table every maintenance op runs over.
+SEQUENCES_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("source", pa.string()),
+    ]
+)
+
+SEQUENCE_COLUMNS = tuple(SEQUENCES_SCHEMA.names)
+
+
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Project a batch to the canonical column order / types.
+
+    Mirrors the reference's declared-schema writes (``fupi/utils.py:39-49``
+    always writes with an explicit schema, never inferred).
+    """
+    cols = []
+    for f in SEQUENCES_SCHEMA:
+        col = batch.column(f.name)
+        if col.type != f.type:
+            col = pc.cast(col, f.type)
+        cols.append(col)
+    return pa.Table.from_arrays(cols, schema=SEQUENCES_SCHEMA)
+
+
+def validate_batch(batch: pa.Table) -> pa.Table:
+    """Assert the per-row invariant ``n_tok == len(tokens)``.
+
+    This is the engine's standing invariant from
+    ``BASELINE.json.input_hint`` (analogue of the reference length
+    filter ``fupi/utils.py:177``); raises on violation rather than
+    silently dropping, because a violation means corrupt input.
+    """
+    lengths = pc.list_value_length(batch["tokens"])
+    ok = pc.equal(pc.cast(lengths, pa.int32()), batch["n_tok"])
+    if not pc.all(ok).as_py():
+        bad = batch.filter(pc.invert(pc.fill_null(ok, False)))
+        ids = bad["doc_id"].slice(0, 5).to_pylist()
+        raise ValueError(f"n_tok != len(tokens) for {bad.num_rows} rows, e.g. {ids}")
+    return batch

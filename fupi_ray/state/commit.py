@@ -1,0 +1,59 @@
+"""Single-writer manifest commit actor.
+
+The reference gets commit serialization for free from LanceDB's
+versioning plus docker-compose ordering (fupi/embedders.py:124-128,
+docker-compose.yml:38-72). Here a single named Ray actor per table
+serializes commits; an optimistic parent-version check rejects commits
+built against a stale snapshot (SURVEY.md §4 "Concurrency control").
+
+The actor holds NO table data — only the tiny commit critical section —
+so `num_cpus=0`: it never competes with dataflow stages for CPU slots.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+
+import ray
+
+from fupi_ray import manifest as mf
+
+
+class CommitError(RuntimeError):
+    pass
+
+
+class _Committer:
+    """The commit critical section (also usable un-actored in tests)."""
+
+    def commit(self, table_dir: str, m_json: str, expected_parent: int | None) -> int:
+        m = mf.Manifest.from_json(m_json)
+        latest = mf.read_latest_version(table_dir)
+        if expected_parent is not None and latest != expected_parent:
+            raise CommitError(
+                f"optimistic commit failed: expected parent v{expected_parent}, "
+                f"latest is v{latest} — rebase the job on the new snapshot"
+            )
+        new_version = (latest if latest is not None else -1) + 1
+        m.version = new_version
+        m.parent_version = latest
+        m.created_unix = time.time()
+        mf.write_manifest(table_dir, m)
+        mf.write_latest_version(table_dir, new_version)
+        return new_version
+
+
+CommitActor = ray.remote(num_cpus=0)(_Committer)
+
+
+def get_commit_actor(table_dir: str):
+    """One named commit actor per table directory (idempotent)."""
+    name = "fupi-commit-" + hashlib.md5(table_dir.encode()).hexdigest()[:12]
+    return CommitActor.options(name=name, get_if_exists=True).remote()
+
+
+def commit(table_dir: str, m: mf.Manifest, expected_parent: int | None) -> int:
+    """Serialize a commit through the table's commit actor."""
+    actor = get_commit_actor(table_dir)
+    return ray.get(actor.commit.remote(table_dir, m.to_json(), expected_parent))

@@ -1,0 +1,84 @@
+"""Per-partition lineage checkpoints → resumable maintenance jobs.
+
+The reference has no checkpointing (a crash reruns the whole job,
+SURVEY.md §4 "Checkpoint / resume"); the north rule requires jobs
+resumable from per-partition lineage recording input fragments, output
+fragments and row counts. A partition here is the unit of independent
+work: a compaction pack, a MERGE bucket, a cluster range.
+
+Protocol (idempotent, rename-committed):
+  1. worker writes output fragment(s) to their final data/ paths
+     (uuid/job-scoped names → retried tasks can't clobber good output),
+  2. worker atomically writes ``lineage/<job_id>/<partition>.json``,
+  3. the job commits the manifest only from lineage records.
+A resumed job skips every partition whose lineage record exists —
+its outputs are already durable — and recomputes the rest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from fupi_ray import manifest as mf
+from fupi_ray.manifest import FragmentMeta, _atomic_write
+
+
+def _job_dir(table_dir: str, job_id: str) -> str:
+    return os.path.join(mf.lineage_dir(table_dir), job_id)
+
+
+def record_path(table_dir: str, job_id: str, partition: str) -> str:
+    return os.path.join(_job_dir(table_dir, job_id), f"{partition}.json")
+
+
+def write_record(
+    table_dir: str,
+    job_id: str,
+    partition: str,
+    input_fragments: list[str],
+    output_fragments: list[FragmentMeta],
+    metrics: dict[str, Any] | None = None,
+) -> None:
+    rec = {
+        "job_id": job_id,
+        "partition": partition,
+        "input_fragments": input_fragments,
+        "output_fragments": [f.to_dict() for f in output_fragments],
+        "row_count": sum(f.rows for f in output_fragments),
+        "metrics": metrics or {},
+    }
+    _atomic_write(record_path(table_dir, job_id, partition), json.dumps(rec, indent=1, default=str))
+
+
+def read_record(table_dir: str, job_id: str, partition: str) -> dict | None:
+    p = record_path(table_dir, job_id, partition)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def completed_partitions(table_dir: str, job_id: str) -> dict[str, dict]:
+    d = _job_dir(table_dir, job_id)
+    out: dict[str, dict] = {}
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as f:
+                    rec = json.load(f)
+                out[rec["partition"]] = rec
+    return out
+
+
+def output_fragments(rec: dict) -> list[FragmentMeta]:
+    return [FragmentMeta.from_dict(d) for d in rec["output_fragments"]]
+
+
+def clear_job(table_dir: str, job_id: str) -> None:
+    d = _job_dir(table_dir, job_id)
+    if os.path.isdir(d):
+        for name in os.listdir(d):
+            os.unlink(os.path.join(d, name))
+        os.rmdir(d)

@@ -1,0 +1,248 @@
+"""Table: versioned Parquet fragments + manifest, scanned as Ray Datasets.
+
+Re-implements the observable contract of the reference's LanceDB table
+lifecycle (SURVEY.md §1.2): ``create`` / ``commit_overwrite``
+(fupi/utils.py:39-49), ``commit_append`` (fupi/embedders.py:124-125),
+snapshot-pinned ``scan`` (searcher.py:404-405, 207-208). Compaction,
+clustering, expiry and MERGE live in :mod:`fupi_ray.ops`.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from typing import Any, Sequence
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from fupi_ray import manifest as mf
+from fupi_ray.config import DEFAULT_CONFIG, EngineConfig
+from fupi_ray.manifest import FragmentMeta, Manifest
+from fupi_ray.schema import SEQUENCES_SCHEMA
+from fupi_ray.state import commit as commit_mod
+
+
+class SnapshotPinnedError(RuntimeError):
+    pass
+
+
+def _schema_lists(schema: pa.Schema) -> tuple[list[str], list[str]]:
+    return list(schema.names), [str(t) for t in schema.types]
+
+
+class _FragmentWriter:
+    """map_batches callable: writes one fragment per input block and
+    emits a one-row metadata record. Runs as stateless tasks — each
+    block becomes one immutable Parquet fragment with a fresh unique
+    name, so retried tasks can never corrupt committed state (commit
+    happens only via the manifest)."""
+
+    def __init__(self, table_dir: str, prefix: str, row_group_rows: int = 128 * 1024):
+        self.table_dir = table_dir
+        self.prefix = prefix
+        self.row_group_rows = row_group_rows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"meta_json": pa.array([], type=pa.string())})
+        name = f"{self.prefix}-{uuid.uuid4().hex}.parquet"
+        rel = os.path.join("data", name)
+        abs_path = os.path.join(self.table_dir, rel)
+        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+        pq.write_table(batch, abs_path, row_group_size=self.row_group_rows)
+        meta = mf.fragment_meta_from_table(batch, abs_path, rel)
+        import json
+
+        return pa.table({"meta_json": pa.array([json.dumps(meta.to_dict(), default=str)])})
+
+
+def write_dataset_fragments(
+    ds: ray.data.Dataset,
+    table_dir: str,
+    prefix: str,
+    *,
+    target_fragment_rows: int | None = None,
+) -> list[FragmentMeta]:
+    """Write a Dataset out as fragments; return their metadata.
+
+    One fragment per block (blocks are bounded by
+    ``DataContext.target_max_block_size``, so fragments are too). The
+    metadata stream is tiny (1 row per fragment) → safe to take_all.
+    """
+    import json
+
+    writer = _FragmentWriter(table_dir, prefix)
+    meta_ds = ds.map_batches(
+        writer,
+        batch_format="pyarrow",
+        batch_size=target_fragment_rows,  # None → one batch per block
+        zero_copy_batch=True,
+    )
+    rows = meta_ds.take_all()
+    return [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in rows]
+
+
+class Table:
+    """A versioned Parquet table with explicit manifests."""
+
+    def __init__(self, table_dir: str, config: EngineConfig | None = None):
+        self.table_dir = table_dir
+        self.config = config or DEFAULT_CONFIG
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @staticmethod
+    def create(
+        table_dir: str,
+        schema: pa.Schema = SEQUENCES_SCHEMA,
+        config: EngineConfig | None = None,
+    ) -> "Table":
+        """Create an empty table (manifest v0, no fragments)."""
+        os.makedirs(mf.data_dir(table_dir), exist_ok=True)
+        names, types = _schema_lists(schema)
+        if mf.read_latest_version(table_dir) is None:
+            m = Manifest(
+                version=0,
+                parent_version=None,
+                operation="create",
+                schema_names=names,
+                schema_types=types,
+                fragments=[],
+            )
+            commit_mod.commit(table_dir, m, expected_parent=None)
+        return Table(table_dir, config)
+
+    @staticmethod
+    def open(table_dir: str, config: EngineConfig | None = None) -> "Table":
+        if mf.read_latest_version(table_dir) is None:
+            raise FileNotFoundError(f"no table at {table_dir}")
+        return Table(table_dir, config)
+
+    # -- metadata -----------------------------------------------------------
+
+    def latest_version(self) -> int:
+        v = mf.read_latest_version(self.table_dir)
+        if v is None:
+            raise FileNotFoundError(f"no table at {self.table_dir}")
+        return v
+
+    def manifest(self, version: int | None = None) -> Manifest:
+        return mf.read_manifest(self.table_dir, self.latest_version() if version is None else version)
+
+    def versions(self) -> list[int]:
+        return mf.list_versions(self.table_dir)
+
+    def schema(self, version: int | None = None) -> pa.Schema:
+        m = self.manifest(version)
+        if m.fragments:
+            return pq.read_schema(os.path.join(self.table_dir, m.fragments[0].path))
+        return SEQUENCES_SCHEMA
+
+    # -- snapshot pins ------------------------------------------------------
+
+    def pin(self, name: str, version: int | None = None) -> int:
+        v = self.latest_version() if version is None else version
+        if v not in self.versions():
+            raise ValueError(f"cannot pin missing version v{v}")
+        mf.write_pin(self.table_dir, name, v)
+        return v
+
+    def unpin(self, name: str) -> None:
+        mf.remove_pin(self.table_dir, name)
+
+    def pins(self) -> dict[str, int]:
+        return mf.read_pins(self.table_dir)
+
+    # -- scan ---------------------------------------------------------------
+
+    def fragment_paths(
+        self, version: int | None = None, predicate: list[tuple] | None = None
+    ) -> list[str]:
+        m = self.manifest(version)
+        frags = m.fragments
+        if predicate:
+            frags = [f for f in frags if mf.fragment_may_match(f, predicate)]
+        return [os.path.join(self.table_dir, f.path) for f in frags]
+
+    def scan(
+        self,
+        version: int | None = None,
+        columns: Sequence[str] | None = None,
+        predicate: list[tuple] | None = None,
+        **read_kwargs: Any,
+    ) -> ray.data.Dataset:
+        """Snapshot-consistent scan → lazy ``ray.data.Dataset``.
+
+        Fragments are pruned by zone map before the read (metadata
+        only, driver-side, cheap) and the same predicate is pushed
+        down to Parquet row groups (``filter=``) — the two-level prune
+        Lance does implicitly for the reference (searcher.py:207-208).
+        """
+        paths = self.fragment_paths(version, predicate)
+        if not paths:
+            schema = self.schema(version)
+            if columns:
+                schema = pa.schema([schema.field(c) for c in columns])
+            return ray.data.from_arrow(schema.empty_table())
+        kwargs: dict[str, Any] = dict(read_kwargs)
+        if columns is not None:
+            kwargs["columns"] = list(columns)
+        if predicate:
+            kwargs["filter"] = mf.predicate_to_arrow(predicate)
+        if self.config.read_override_num_blocks:
+            kwargs["override_num_blocks"] = self.config.read_override_num_blocks
+        return ray.data.read_parquet(paths, **kwargs)
+
+    # -- commits ------------------------------------------------------------
+
+    def _commit(
+        self,
+        operation: str,
+        fragments: list[FragmentMeta],
+        expected_parent: int | None,
+        properties: dict | None = None,
+    ) -> int:
+        names, types = _schema_lists(self.schema() if self.versions() else SEQUENCES_SCHEMA)
+        m = Manifest(
+            version=-1,
+            parent_version=None,
+            operation=operation,
+            schema_names=names,
+            schema_types=types,
+            fragments=fragments,
+            properties=properties or {},
+        )
+        return commit_mod.commit(self.table_dir, m, expected_parent)
+
+    def commit_overwrite(self, ds: ray.data.Dataset, properties: dict | None = None) -> int:
+        """Replace the table contents (reference: create_table
+        mode='overwrite', fupi/utils.py:39-49). Old fragments stay on
+        disk for pinned readers until expiry GCs them."""
+        parent = self.latest_version()
+        frags = write_dataset_fragments(ds, self.table_dir, "ow")
+        return self._commit("overwrite", frags, parent, properties)
+
+    def commit_append(self, ds: ray.data.Dataset, properties: dict | None = None) -> int:
+        """Append new fragments (reference: table.add,
+        fupi/embedders.py:124-125); manifest v+1 = parent ∪ new."""
+        parent = self.latest_version()
+        new = write_dataset_fragments(ds, self.table_dir, "ap")
+        frags = self.manifest(parent).fragments + new
+        return self._commit("append", frags, parent, properties)
+
+    def commit_fragment_swap(
+        self,
+        remove_paths: set[str],
+        add: list[FragmentMeta],
+        operation: str,
+        expected_parent: int | None = None,
+        properties: dict | None = None,
+    ) -> int:
+        """Manifest rewrite: swap a subset of fragments for new ones
+        (compaction / clustering / MERGE commit primitive)."""
+        parent = self.latest_version() if expected_parent is None else expected_parent
+        kept = [f for f in self.manifest(parent).fragments if f.path not in remove_paths]
+        return self._commit(operation, kept + add, parent, properties)
