@@ -1,0 +1,207 @@
+"""Small-file compaction: size-budgeted bin-packing + manifest swap.
+
+The reference calls LanceDB's ``table.compact_files()`` after every
+ingest (fupi/embedders.py:127-128) — an opaque library op. Here it is
+explicit (SURVEY.md §2.1 S6): a metadata-only planner (greedy byte
+bin-packing over fragment stats — bytes, not rows, because token-list
+skew makes bytes/row wildly uneven, SURVEY.md §4) and an executor of
+independent per-pack Ray tasks that stream-merge Parquet row groups.
+
+Per-pack = per-partition: each pack writes its output fragment under a
+job-scoped deterministic name, then a lineage record; a resumed job
+skips completed packs (north rule: resumable with per-partition
+lineage). The manifest swap commits once, at the end, through the
+commit actor.
+
+Content-preserving: the post-compaction canonical scan (sorted by
+doc_id) is row-for-row token-array-equal to the pre-compaction scan.
+
+Raw ``ray.remote`` tasks are used deliberately here instead of a
+Dataset pipeline: the Dataset API cannot express "coalesce exactly
+these files into exactly one file per pack with deterministic names" —
+this is file-layout surgery, not a row transform (SURVEY.md guidance:
+drop to tasks only where Dataset semantics don't fit).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+import ray
+
+from fupi_ray import manifest as mf
+from fupi_ray.manifest import FragmentMeta
+from fupi_ray.state import lineage
+from fupi_ray.table import Table
+
+
+@dataclass
+class CompactionPlan:
+    packs: list[list[FragmentMeta]]  # each pack → one output fragment
+    untouched: list[FragmentMeta]
+
+    @property
+    def num_input_fragments(self) -> int:
+        return sum(len(p) for p in self.packs)
+
+
+def plan_compaction(
+    fragments: list[FragmentMeta],
+    target_bytes: int,
+    min_fill: float = 0.5,
+    max_rows: int = 4_000_000,
+) -> CompactionPlan:
+    """Greedy bin-packing over fragment metadata (driver-side, tiny).
+
+    Fragments already ≥ ``min_fill × target_bytes`` are left alone.
+    Small fragments are ordered by zone-map min(doc_id) so packed
+    output keeps key locality (tight zone maps survive compaction),
+    then greedily packed under the byte budget with a row clamp.
+    """
+    big = [f for f in fragments if f.bytes >= min_fill * target_bytes]
+    small = [f for f in fragments if f.bytes < min_fill * target_bytes]
+    small.sort(key=lambda f: (f.zone_map.get("doc_id", {}).get("min") or "", f.path))
+
+    packs: list[list[FragmentMeta]] = []
+    cur: list[FragmentMeta] = []
+    cur_bytes = cur_rows = 0
+    for f in small:
+        if cur and (cur_bytes + f.bytes > target_bytes or cur_rows + f.rows > max_rows):
+            packs.append(cur)
+            cur, cur_bytes, cur_rows = [], 0, 0
+        cur.append(f)
+        cur_bytes += f.bytes
+        cur_rows += f.rows
+    if cur:
+        packs.append(cur)
+    # a pack of one gains nothing — leave the lone fragment in place
+    untouched = big + [p[0] for p in packs if len(p) == 1]
+    packs = [p for p in packs if len(p) > 1]
+    return CompactionPlan(packs=packs, untouched=untouched)
+
+
+@ray.remote(num_cpus=1)
+def _repack_task(
+    table_dir: str,
+    job_id: str,
+    pack_idx: int,
+    input_rel_paths: list[str],
+    row_group_rows: int,
+) -> dict:
+    """Stream-merge one pack of small fragments into one fragment.
+
+    Streams row groups through a ParquetWriter — peak memory is one
+    row group, not the whole pack, so 256 MiB packs are safe in a
+    1-CPU worker. Idempotent: writes to a temp file then renames to a
+    job-deterministic name; lineage record written only after rename.
+    """
+    partition = f"pack-{pack_idx:05d}"
+    existing = lineage.read_record(table_dir, job_id, partition)
+    if existing is not None:
+        return existing
+
+    rel_out = os.path.join("data", f"cp-{job_id}-{pack_idx:05d}.parquet")
+    abs_out = os.path.join(table_dir, rel_out)
+    t0 = time.perf_counter()
+    rows = 0
+    writer = None
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(abs_out), suffix=".parquet.tmp")
+    os.close(fd)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    sum_n_tok = 0
+    try:
+        buf: list[pa.Table] = []
+        buf_rows = 0
+
+        def flush():
+            nonlocal writer, buf, buf_rows
+            if not buf:
+                return
+            tbl = pa.concat_tables(buf)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, tbl.schema)
+            writer.write_table(tbl, row_group_size=row_group_rows)
+            buf, buf_rows = [], 0
+
+        for rel in input_rel_paths:
+            pf = pq.ParquetFile(os.path.join(table_dir, rel))
+            for rg in range(pf.metadata.num_row_groups):
+                tbl = pf.read_row_group(rg)
+                rows += tbl.num_rows
+                for col in mf.ZONE_MAP_COLUMNS:
+                    if col in tbl.column_names and tbl.num_rows:
+                        mm = pc.min_max(tbl.column(col))
+                        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                        mins[col] = lo if col not in mins else min(mins[col], lo)
+                        maxs[col] = hi if col not in maxs else max(maxs[col], hi)
+                if "n_tok" in tbl.column_names and tbl.num_rows:
+                    sum_n_tok += int(pc.sum(tbl.column("n_tok")).as_py() or 0)
+                buf.append(tbl)
+                buf_rows += tbl.num_rows
+                if buf_rows >= row_group_rows:
+                    flush()
+        flush()
+        if writer is not None:
+            writer.close()
+        os.replace(tmp, abs_out)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+    meta = FragmentMeta(
+        path=rel_out,
+        rows=rows,
+        bytes=os.path.getsize(abs_out),
+        sum_n_tok=sum_n_tok,
+        zone_map={c: {"min": mins[c], "max": maxs[c]} for c in mins},
+    )
+    lineage.write_record(
+        table_dir,
+        job_id,
+        partition,
+        input_fragments=input_rel_paths,
+        output_fragments=[meta],
+        metrics={"seconds": time.perf_counter() - t0, "rows": rows},
+    )
+    return lineage.read_record(table_dir, job_id, partition)
+
+
+def compact(table: Table, job_id: str | None = None) -> int | None:
+    """Compact small fragments; returns the new version (None = no-op).
+
+    ``job_id`` names the lineage namespace: re-running with the same
+    job_id after a crash skips finished packs and commits the rest.
+    """
+    cfg = table.config
+    parent = table.latest_version()
+    m = table.manifest(parent)
+    plan = plan_compaction(
+        m.fragments, cfg.target_fragment_bytes, cfg.compact_min_fill, cfg.max_rows_per_fragment
+    )
+    if not plan.packs:
+        return None
+    job_id = job_id or f"compact-v{parent}"
+
+    refs = [
+        _repack_task.remote(table.table_dir, job_id, i, [f.path for f in p], 128 * 1024)
+        for i, p in enumerate(plan.packs)
+    ]
+    records = ray.get(refs)
+    new_frags = [fm for rec in records for fm in lineage.output_fragments(rec)]
+    removed = {f.path for p in plan.packs for f in p}
+    stats = {
+        "packs": len(plan.packs),
+        "fragments_in": plan.num_input_fragments,
+        "fragments_out": len(new_frags),
+    }
+    return table.commit_fragment_swap(
+        removed, new_frags, operation="compact", expected_parent=parent, properties=stats
+    )

@@ -1,0 +1,94 @@
+"""Snapshot expiry + fragment garbage collection.
+
+The reference keeps every Lance version forever (nothing in fupi ever
+expires old table versions; disk is bounded only by the 10 GB fly.io
+volume, fly.toml:18-26). The north star requires explicit ref-counted
+expiry: versions referenced by a pin (manifest/pins/*.json — the
+engine's ref counts) or within the retention window stay; everything
+else is dropped, then fragments unreachable from any surviving
+manifest are deleted.
+
+Expiring a still-pinned version is refused (SURVEY.md §5.3) — readers
+pinned to v must keep scanning v unchanged forever.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from fupi_ray import manifest as mf
+from fupi_ray.table import Table
+
+
+class PinnedVersionError(RuntimeError):
+    pass
+
+
+def expire_snapshots(
+    table: Table,
+    keep_last: int | None = None,
+    gc_grace_seconds: float = 0.0,
+    versions: list[int] | None = None,
+) -> dict:
+    """Drop old versions and GC unreferenced fragments.
+
+    ``versions`` names explicit versions to expire (refused if pinned);
+    otherwise all versions except the trailing ``keep_last`` and any
+    pinned ones are expired. Returns a summary dict.
+    """
+    keep_last = table.config.expire_keep_last if keep_last is None else keep_last
+    all_versions = table.versions()
+    latest = table.latest_version()
+    pins = set(table.pins().values())
+
+    if versions is not None:
+        for v in versions:
+            if v in pins:
+                raise PinnedVersionError(
+                    f"version v{v} is pinned by {[k for k, p in table.pins().items() if p == v]}; "
+                    "refusing to expire a live snapshot"
+                )
+            if v == latest:
+                raise PinnedVersionError("refusing to expire the latest version")
+        dead = set(versions)
+    else:
+        keep = set(all_versions[-keep_last:]) if keep_last > 0 else set()
+        keep.add(latest)
+        keep |= pins
+        dead = set(all_versions) - keep
+
+    # drop dead manifests
+    for v in sorted(dead):
+        p = mf.manifest_path(table.table_dir, v)
+        if os.path.exists(p):
+            os.unlink(p)
+
+    # GC fragments unreachable from any surviving manifest
+    live_paths: set[str] = set()
+    for v in table.versions():
+        for f in table.manifest(v).fragments:
+            live_paths.add(f.path)
+    removed_files = 0
+    freed = 0
+    ddir = mf.data_dir(table.table_dir)
+    now = time.time()
+    if os.path.isdir(ddir):
+        for name in os.listdir(ddir):
+            rel = os.path.join("data", name)
+            if rel in live_paths or not name.endswith(".parquet"):
+                continue
+            ap = os.path.join(ddir, name)
+            # grace period protects fragments of in-flight (uncommitted) jobs
+            if now - os.path.getmtime(ap) < gc_grace_seconds:
+                continue
+            freed += os.path.getsize(ap)
+            os.unlink(ap)
+            removed_files += 1
+
+    return {
+        "expired_versions": sorted(dead),
+        "surviving_versions": table.versions(),
+        "gc_files": removed_files,
+        "gc_bytes": freed,
+    }

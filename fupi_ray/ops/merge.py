@@ -1,0 +1,280 @@
+"""MERGE INTO: hash-aware upsert with copy-on-write fragment rewrite.
+
+The reference upserts only by full rebuild — ``create_table(mode=
+'overwrite')`` then ``add`` (fupi/utils.py:39-49, fupi/embedders.py:
+124-125). Per the north rule our engine does real MERGE (SURVEY.md
+§2.4 J3):
+
+1. **Source dedup** — duplicate ``doc_id`` in the source keeps the
+   first occurrence by ``_src_order`` (the distributed analogue of the
+   reference's ``drop_duplicates(subset=['text_id'])`` keep='first',
+   fupi/embedders.py:92, whose "first" is driver row order; an
+   explicit order column makes that well-defined under parallelism).
+2. **Zone-map prune** — only target fragments whose [min,max] doc_id
+   range contains at least one source key are rewritten; every other
+   fragment is carried into the new manifest untouched (copy-on-write).
+3. **Anti-join** — matched target rows are dropped; two strategies:
+   * broadcast (default): the deduped key set is ``ray.put`` once and
+     each fragment-rewrite task drops matches via sorted-array
+     ``searchsorted`` — no shuffle of the (huge) target side at all;
+   * hash-shuffle: when the source exceeds
+     ``config.merge_broadcast_max_keys``, target-hit rows and source
+     rows are tagged, bucketed by ``stable_hash(doc_id) % B`` and
+     resolved per bucket (one exchange, vectorized pandas per bucket).
+4. **Commit** — new fragments (rewritten survivors + all source rows)
+   swap in atomically via the manifest commit actor.
+
+Last-write-wins: a source row always replaces the target row with the
+same key. Per-fragment rewrites are independent partitions with
+lineage records → resumable.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from fupi_ray.functions.hashing import stable_hash
+from fupi_ray.manifest import FragmentMeta, fragment_meta_from_table
+from fupi_ray.schema import SEQUENCE_COLUMNS, normalize_batch
+from fupi_ray.state import lineage
+from fupi_ray.table import Table, write_dataset_fragments
+
+
+def _content_order(batch: pa.Table) -> np.ndarray:
+    """Deterministic fallback source order when ``_src_order`` is
+    absent: a content hash (so duplicate resolution does not depend on
+    nondeterministic block arrival order)."""
+    h = stable_hash(batch["doc_id"])
+    h ^= stable_hash(batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64))
+    return h.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
+
+
+def _ensure_src_order(batch: pa.Table) -> pa.Table:
+    if "_src_order" in batch.column_names:
+        return batch
+    return batch.append_column("_src_order", pa.array(_content_order(batch)))
+
+
+def _dedup_source(source: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
+    """Keep-first dedup of the source by doc_id (min ``_src_order``).
+
+    One hash-shuffle of the (small-side) source only: bucket by
+    ``stable_hash(doc_id) % B`` → vectorized per-bucket drop_duplicates.
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = _ensure_src_order(batch)
+        b = (stable_hash(batch["doc_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "_src_order"], kind="mergesort")
+        return g.drop_duplicates(subset=["doc_id"], keep="first")
+
+    return (
+        source.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(dedup_bucket, batch_format="pandas")
+        .drop_columns(["_bucket", "_src_order"])
+    )
+
+
+@ray.remote(num_cpus=1)
+def _rewrite_fragment_task(
+    table_dir: str,
+    job_id: str,
+    frag_idx: int,
+    rel_path: str,
+    keys_ref,
+) -> dict:
+    """Copy-on-write rewrite of one hit fragment: drop rows whose
+    doc_id is in the (broadcast, sorted) source key array. Idempotent +
+    lineage-recorded → a resumed job skips it."""
+    partition = f"frag-{frag_idx:05d}"
+    existing = lineage.read_record(table_dir, job_id, partition)
+    if existing is not None:
+        return existing
+
+    keys: np.ndarray = keys_ref if isinstance(keys_ref, np.ndarray) else ray.get(keys_ref)
+    t0 = time.perf_counter()
+    tbl = pq.read_table(os.path.join(table_dir, rel_path))
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(keys, ids)
+    pos = np.clip(pos, 0, len(keys) - 1)
+    matched = keys[pos] == ids
+    out = tbl.filter(pa.array(~matched))
+
+    outputs: list[FragmentMeta] = []
+    if out.num_rows:
+        rel_out = os.path.join("data", f"mg-{job_id}-{frag_idx:05d}.parquet")
+        abs_out = os.path.join(table_dir, rel_out)
+        tmp = abs_out + ".tmp"
+        pq.write_table(out, tmp, row_group_size=128 * 1024)
+        os.replace(tmp, abs_out)
+        outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
+    lineage.write_record(
+        table_dir,
+        job_id,
+        partition,
+        input_fragments=[rel_path],
+        output_fragments=outputs,
+        metrics={
+            "seconds": time.perf_counter() - t0,
+            "rows_in": tbl.num_rows,
+            "rows_dropped": int(matched.sum()),
+        },
+    )
+    return lineage.read_record(table_dir, job_id, partition)
+
+
+def _merge_shuffle(
+    table: Table,
+    hit_frag_paths: list[str],
+    deduped: ray.data.Dataset,
+    parent: int,
+    job_id: str,
+    num_buckets: int,
+) -> list[FragmentMeta]:
+    """Scale path: both sides tagged + bucketed by hash(doc_id); a
+    source row wins over the target row of the same key inside each
+    bucket. One all-to-all exchange, vectorized resolution per bucket."""
+    target = ray.data.read_parquet(
+        [os.path.join(table.table_dir, p) for p in hit_frag_paths]
+    )
+
+    def tag(is_src: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(list(SEQUENCE_COLUMNS))
+            b = (stable_hash(batch["doc_id"]) % np.uint64(num_buckets)).astype(np.int32)
+            batch = batch.append_column("_bucket", pa.array(b))
+            return batch.append_column(
+                "_prio", pa.array(np.full(batch.num_rows, is_src, dtype=np.int8))
+            )
+
+        return fn
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # source rows (_prio=0) sort before target rows (_prio=1) → keep first
+        g = g.sort_values(["doc_id", "_prio"], kind="mergesort")
+        g = g.drop_duplicates(subset=["doc_id"], keep="first")
+        return g.drop(columns=["_bucket", "_prio"])
+
+    # the dedup shuffle returns list columns as Ray tensor-extension
+    # arrays; normalize so union blocks share one schema
+    merged = (
+        deduped.map_batches(normalize_batch, batch_format="pyarrow")
+        .map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        .union(target.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("_bucket")
+        .map_groups(resolve, batch_format="pandas")
+        .map_batches(normalize_batch, batch_format="pyarrow")
+    )
+    return write_dataset_fragments(merged, table.table_dir, f"mg-{job_id}")
+
+
+def merge_into(
+    table: Table,
+    source: ray.data.Dataset,
+    job_id: str | None = None,
+    strategy: str = "auto",
+) -> int:
+    """Upsert ``source`` into ``table`` on ``doc_id``; returns the new
+    version. ``strategy``: "broadcast", "shuffle" or "auto"."""
+    cfg = table.config
+    parent = table.latest_version()
+    job_id = job_id or f"merge-v{parent}"
+
+    deduped = _dedup_source(source, cfg.merge_num_buckets)
+
+    if strategy == "auto":
+        n_src = source.count()
+        strategy = "broadcast" if n_src <= cfg.merge_broadcast_max_keys else "shuffle"
+
+    m = table.manifest(parent)
+
+    if strategy == "broadcast":
+        # Materialize the deduped source once (it is the small side) so
+        # keys can be collected without recomputing the dedup shuffle.
+        deduped = deduped.materialize()
+        key_rows = deduped.select_columns(["doc_id"]).take_all()
+        keys = np.sort(np.array([r["doc_id"] for r in key_rows], dtype=object))
+        if len(keys) == 0:
+            return parent
+        keys_ref = ray.put(keys)
+
+        # zone-map prune: fragment is "hit" iff some key falls in its range
+        hit, kept = [], []
+        for f in m.fragments:
+            zm = f.zone_map.get("doc_id")
+            if zm is None or f.rows == 0:
+                hit.append(f)
+                continue
+            lo_i = np.searchsorted(keys, zm["min"], side="left")
+            if lo_i < len(keys) and keys[lo_i] <= zm["max"]:
+                hit.append(f)
+            else:
+                kept.append(f)
+
+        refs = [
+            _rewrite_fragment_task.remote(table.table_dir, job_id, i, f.path, keys_ref)
+            for i, f in enumerate(hit)
+        ]
+        records = ray.get(refs)
+        survivors = [fm for rec in records for fm in lineage.output_fragments(rec)]
+
+        src_frags = write_dataset_fragments(
+            deduped.map_batches(normalize_batch, batch_format="pyarrow"),
+            table.table_dir,
+            f"mg-{job_id}-src",
+        )
+        removed = {f.path for f in hit}
+        new_frags = survivors + src_frags
+        stats = {
+            "strategy": "broadcast",
+            "source_keys": int(len(keys)),
+            "fragments_hit": len(hit),
+            "fragments_untouched": len(kept),
+        }
+    else:
+        # shuffle path: prune by key min/max range only (cheap, coarse —
+        # per-batch partial min/max, no full-column aggregate kernel needed)
+        mm = deduped.map_batches(
+            lambda t: pa.table(
+                {"lo": [pc.min(t["doc_id"]).as_py()], "hi": [pc.max(t["doc_id"]).as_py()]}
+            )
+            if t.num_rows
+            else pa.table({"lo": pa.array([], pa.string()), "hi": pa.array([], pa.string())}),
+            batch_format="pyarrow",
+        ).take_all()
+        if not mm:
+            return parent
+        lo = min(r["lo"] for r in mm)
+        hi = max(r["hi"] for r in mm)
+        hit = [
+            f
+            for f in m.fragments
+            if f.zone_map.get("doc_id") is None
+            or not (f.zone_map["doc_id"]["max"] < lo or f.zone_map["doc_id"]["min"] > hi)
+        ]
+        new_frags = _merge_shuffle(
+            table, [f.path for f in hit], deduped, parent, job_id, cfg.merge_num_buckets
+        )
+        removed = {f.path for f in hit}
+        stats = {
+            "strategy": "shuffle",
+            "fragments_hit": len(hit),
+            "fragments_untouched": len(m.fragments) - len(hit),
+        }
+
+    return table.commit_fragment_swap(
+        removed, new_frags, operation="merge", expected_parent=parent, properties=stats
+    )

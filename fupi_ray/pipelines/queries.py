@@ -1,0 +1,704 @@
+"""Query catalog: every operator of SURVEY.md §2 (plus the
+training-data ops) as a named Ray Data pipeline over the driver's
+testdata tables, each with a duckdb-equivalent oracle SQL string.
+
+Float determinism contract with the oracle: aggregates are computed on
+integer-scaled values (cents / 1e6-scaled) so sums are exact int64 on
+both sides and derived doubles (avg = sum/n) are bit-identical —
+no dependence on floating summation order across Ray blocks vs duckdb.
+Columns are named identically in both (the driver hashes values after
+sorting columns by name).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from fupi_ray.stages import dedup as dd
+from fupi_ray.stages import multimodal as mm
+from fupi_ray.stages import similarity as sim
+from fupi_ray.stages import text as tx
+
+
+def read(sf_dir: str, name: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"), columns=columns)
+
+
+def _cents(col) -> pa.Array:
+    """double → exact int64 cents (both sides use round-half-away)."""
+    v = col.to_numpy(zero_copy_only=False)
+    return pa.array(np.floor(v * 100 + 0.5).astype(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Relational / reference-conformance queries
+# ---------------------------------------------------------------------------
+
+
+def q_filter_project(sf_dir: str):
+    """M1 newline-remover + M2 quality predicate + M3 projection
+    (fupi/data.py:54-69)."""
+    ds = read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = tx.quality_filter(batch, "text", min_chars=1)
+        batch = batch.filter(pc.greater(batch["n_chars"], 100))
+        batch = tx.remove_newlines(batch, ("text",))
+        out = batch.select(["doc_id", "text", "lang", "source"])
+        return out.rename_columns(["doc_id", "clean_text", "lang", "source"])
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT doc_id, replace(text, chr(10), ' ') AS clean_text, lang, source
+FROM documents WHERE text IS NOT NULL AND n_chars > 100
+"""
+
+
+def q_sort_limit(sf_dir: str):
+    """O2 multi-key sort + O3 limit (fupi/utils.py:178-180,197-198)."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity"],
+    )
+    return ds.sort(
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], descending=[True, False, False]
+    ).limit(20)
+
+
+SQL_SORT_LIMIT = """
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+"""
+
+
+def q_agg_pricing(sf_dir: str):
+    """A1-style grouped aggregation (TPC-H Q1 shape) with partial
+    per-batch pre-aggregation before the groupby shuffle — the
+    combiner pattern SURVEY.md §4 prescribes for 100 TB."""
+    ds = read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False),
+                "qty": batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64),
+                "price_c": _cents(batch["l_extendedprice"]).to_numpy(),
+                "disc_c": _cents(batch["l_discount"]).to_numpy(),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(qty=("qty", "sum"), price_c=("price_c", "sum"), disc_c=("disc_c", "sum"), n=("qty", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_c", alias_name="disc_c"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        price = batch["price_c"].to_numpy(zero_copy_only=False) / 100.0
+        disc = batch["disc_c"].to_numpy(zero_copy_only=False) / 100.0
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pc.cast(batch["sum_qty"], pa.int64()),
+                "sum_price": pa.array(price),
+                "avg_disc": pa.array(disc / n),
+                "n": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_price,
+       (SUM(CAST(floor(l_discount*100 + 0.5) AS BIGINT))/100.0)/COUNT(*) AS avg_disc,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_enrich(sf_dir: str):
+    """J1 enrichment join: the small side (customer) is broadcast via
+    ray.put and mapped per batch — never shuffled (SURVEY.md §2.4)."""
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class Enrich:
+        def __init__(self):
+            self.seg = ray.get(seg_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            seg = np.array([self.seg.get(k, None) for k in keys], dtype=object)
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg.astype(str)),
+                    "price_c": _cents(batch["o_totalprice"]),
+                }
+            )
+
+    agg = (
+        orders.map_batches(Enrich, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "total_price": pa.array(batch["price_c"].to_numpy(zero_copy_only=False) / 100.0),
+                "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_JOIN_ENRICH = """
+SELECT c.c_mktsegment,
+       SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS total_price,
+       COUNT(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_topk_join(sf_dir: str):
+    """J2: top-k side (≤10 rows) collected at the driver then joined
+    broadcast-style (fupi/utils.py:174-176 joins a 10-row ANN result)."""
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
+    out = out[["o_orderkey", "o_totalprice", "c_name"]].sort_values("o_orderkey")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+SQL_TOPK_JOIN = """
+SELECT o_orderkey, o_totalprice, c_name
+FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10) o
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+def q_string_agg_events(sf_dir: str):
+    """A3 ordered string aggregation (fupi/utils.py:184-196): per-group
+    order re-established INSIDE the group (Ray groupby does not
+    preserve input order — SURVEY.md §2.5 A3)."""
+    ev = read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    ev = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["user_id"], 7), 0)),
+        batch_format="pyarrow",
+    )
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "seq": [",".join(g["event_type"])]}
+        )
+
+    return ev.groupby("user_id").map_groups(concat, batch_format="pandas")
+
+
+SQL_STRING_AGG_EVENTS = """
+SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq
+FROM events WHERE user_id % 8 = 0 AND user_id >= 0 GROUP BY user_id
+"""
+
+
+def q_explode_sentences(sf_dir: str):
+    """M6 sentence-segmentation flat-map (fupi/data.py:86-100) with the
+    per-doc ordinal id scheme SURVEY.md §2.2 M6 prescribes (no global
+    sentence counter), + M8 length filter."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, sids, sents = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for j, s in enumerate((t or "").split(". ")):
+                if len(s) > 3:
+                    ids.append(i)
+                    sids.append(j + 1)
+                    sents.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sentence_id": pa.array(sids, pa.int64()),
+                "sentence": pa.array(sents, pa.string()),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+SQL_EXPLODE_SENTENCES = """
+WITH s AS (SELECT doc_id, string_split(text, '. ') parts FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS sentence_id, parts[i] AS sentence
+FROM s, (SELECT unnest(generate_series(1, 10000)) i) idx
+WHERE i <= len(parts) AND length(parts[i]) > 3
+"""
+
+
+def q_distinct_pairs(sf_dir: str):
+    """A4 distinct projection (fupi/embedders.py:92-96)."""
+    docs = read(sf_dir, "documents", columns=["source", "lang"])
+    return docs.groupby(["source", "lang"]).aggregate(Count(alias_name="n")).select_columns(
+        ["source", "lang"]
+    )
+
+
+SQL_DISTINCT_PAIRS = "SELECT source, lang FROM documents GROUP BY source, lang"
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling-window aggregate over the event stream (streaming-shaped
+    workload expressed as partition-by-key + time-bucket groupby)."""
+    ev = read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        hours = (ts.astype("datetime64[us]").astype(np.int64) // 3_600_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array(hours),
+                "value_c": _cents(batch["value"]),
+            }
+        )
+
+    agg = (
+        ev.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("value_c", alias_name="value_c"), Count(alias_name="n"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": batch["hour"],
+                "sum_value": pa.array(batch["value_c"].to_numpy(zero_copy_only=False) / 100.0),
+                "n": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_WINDOW_EVENTS = """
+SELECT event_type,
+       CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour,
+       SUM(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_centroid_label(sf_dir: str):
+    """A1 grouped vector centroid (fupi/embedders.py:98-109,130-135) in
+    its scalable form: per-batch partial (sum, count) per group —
+    a custom combiner, not per-key map_groups. Values are 1e6-scaled
+    ints so the final avg is bit-identical to the oracle."""
+    emb = read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = sim._matrix(batch["embedding"])
+        Mi = np.floor(M * 1e6 + 0.5).astype(np.int64)
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(Mi)
+        df["label"] = labels
+        g = df.groupby("label")
+        sums = g.sum()
+        counts = g.size()
+        dim = Mi.shape[1]
+        out_label, out_idx, out_sum, out_n = [], [], [], []
+        for lbl in sums.index:
+            out_label.extend([int(lbl)] * dim)
+            out_idx.extend(range(1, dim + 1))
+            out_sum.extend(int(x) for x in sums.loc[lbl].to_numpy())
+            out_n.extend([int(counts.loc[lbl])] * dim)
+        return pa.table(
+            {
+                "label": pa.array(out_label, pa.int64()),
+                "idx": pa.array(out_idx, pa.int64()),
+                "s": pa.array(out_sum, pa.int64()),
+                "n_part": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "idx"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n_part", alias_name="n"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": batch["label"],
+                "idx": batch["idx"],
+                "centroid_val": pa.array(s / n / 1e6),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_CENTROID_LABEL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS idx,
+       SUM(CAST(floor(CAST(embedding[i] AS DOUBLE)*1e6 + 0.5) AS BIGINT))
+         / COUNT(*) / 1e6 AS centroid_val
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) i) idx
+GROUP BY label, i
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    """A2 exact dedup, min-id winner per content fingerprint
+    (fupi/embedders.py:92, distributed form)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_fp = docs.map_batches(lambda t: tx.fingerprint(t).select(["doc_id", "fp"]), batch_format="pyarrow")
+    return dd.dedup_exact(with_fp, key_col="fp", id_col="doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, fp FROM (
+  SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+         row_number() OVER (PARTITION BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                            ORDER BY doc_id) rn
+  FROM documents) WHERE rn = 1
+"""
+
+
+def q_token_stats(sf_dir: str):
+    """Token counting per doc + per-lang aggregate (whitespace
+    tokenizer; SQL twin uses string_split_regex)."""
+    docs = read(sf_dir, "documents", columns=["lang", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        b = tx.token_count(batch)
+        return b.select(["lang", "n_words"])
+
+    agg = (
+        docs.map_batches(count, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_words", alias_name="total_words"), Count(alias_name="n_docs"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        tw = batch["total_words"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "total_words": pc.cast(batch["total_words"], pa.int64()),
+                "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                "avg_words": pa.array(tw / nd),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = """
+SELECT lang,
+       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_words,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)/COUNT(*) AS avg_words
+FROM documents GROUP BY lang
+"""
+
+
+def q_langid(sf_dir: str):
+    """Language-ID heuristic (stopword argmax, actor-pool stage) →
+    confusion counts against the labeled lang column."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    pred = docs.map_batches(tx.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    return (
+        pred.groupby(["lang", "pred_lang"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.set_column(t.column_names.index("n"), "n", pc.cast(t["n"], pa.int64())),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_LANG_HITS = {
+    k: "len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains({}, w)))".format(
+        "[" + ",".join(f"'{w}'" for w in v) + "]"
+    )
+    for k, v in tx.LANG_STOPWORDS.items()
+}
+
+SQL_LANGID = f"""
+WITH h AS (
+  SELECT lang,
+         {_LANG_HITS['en']} AS h_en,
+         {_LANG_HITS['de']} AS h_de,
+         {_LANG_HITS['fr']} AS h_fr,
+         {_LANG_HITS['es']} AS h_es
+  FROM documents
+), p AS (
+  SELECT lang, CASE
+    WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
+    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+    WHEN h_fr >= h_es THEN 'fr'
+    ELSE 'es' END AS pred_lang
+  FROM h)
+SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang
+"""
+
+
+def q_quality(sf_dir: str):
+    """Per-doc quality scores (ratios as exact int-division doubles)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+        trimmed = pc.utf8_trim_whitespace(text)
+        n_words = pc.cast(pc.count_substring_regex(trimmed, r"\S+"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        chars = np.maximum(n_chars, 1).astype(np.float64)
+        words = np.maximum(n_words, 1).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars),
+                "n_words": pa.array(n_words),
+                "punct_ratio": pa.array(n_punct / chars),
+                "avg_word_len": pa.array(n_chars / words),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\\s+')) AS n_words,
+       CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS punct_ratio,
+       CAST(length(text) AS DOUBLE)
+         / greatest(len(string_split_regex(trim(text), '\\s+')), 1) AS avg_word_len
+FROM documents
+"""
+
+
+def q_fingerprint(sf_dir: str):
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: tx.fingerprint(t).select(["doc_id", "fp"]), batch_format="pyarrow"
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents
+"""
+
+
+def q_multimodal(sf_dir: str):
+    """Binary-payload plumbing: attach opaque bytes + actor-pool
+    decode/featurize stub (real Ray plumbing, fake kernel)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payload = docs.map_batches(mm.attach_payload, batch_format="pyarrow")
+    feats = mm.featurize_payloads(with_payload, batch_size=64)
+    return feats.select_columns(["doc_id", "mime", "feat_sha256", "feat_bytes"])
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, 'application/octet-stream' AS mime, sha256(text) AS feat_sha256,
+       CAST(octet_length(encode(text)) AS BIGINT) AS feat_bytes
+FROM documents
+"""
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    idx = pc.index(pc.equal(t["vec_id"], 0), True).as_py()
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def q_topk_cosine(sf_dir: str):
+    """O1 top-k retrieval (fupi/utils.py:149-161): brute-force exact
+    cosine, per-block partial top-k then tiny global sort+limit. The
+    result drops the float score so the oracle compare is exact."""
+    q = _query_vec(sf_dir)
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb = emb.map_batches(
+        lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow"
+    )
+    top = sim.topk_cosine(emb, q, k=10, vec_col="embedding", id_col="vec_id")
+    return top.select_columns(["vec_id"])
+
+
+SQL_TOPK_COSINE = """
+SELECT vec_id FROM embeddings
+WHERE vec_id <> 0
+ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+        (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs within label blocks."""
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    pairs = dd.embedding_neardup_pairs(emb, threshold=0.35)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+"""
+
+
+def q_char_jaccard(sf_dir: str):
+    """Distinct-character Jaccard near-dup pairs within (source, lang)
+    blocks — semantics identical to duckdb's jaccard()."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "source", "lang"])
+    pairs = dd.char_jaccard_pairs(docs, threshold=0.9, id_col="doc_id")
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+SQL_CHAR_JACCARD = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE jaccard(lower(a.text), lower(b.text)) >= 0.9
+"""
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates, Jaccard-verified ≥0.5.
+    No SQL twin (permutation hashing) — driver rows-only check."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dd.minhash_lsh_candidates(docs)
+    verified = dd.verify_jaccard_pairs(docs, cand, threshold=0.5)
+    return pa.Table.from_pandas(verified[["id_a", "id_b", "jaccard"]], preserve_index=False)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup candidates (hamming ≤ 3 via 16-bit bands).
+    No SQL twin — rows-only check."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.simhash_candidates(docs)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-bucketed approximate top-k (scale path of O1). Approximate ⇒
+    no SQL oracle; deterministic for fixed seed."""
+    q = _query_vec(sf_dir)
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = emb.map_batches(lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow")
+    index = sim.IvfIndex.train(emb, n_centroids=8, sample_rows=512)
+    return sim.topk_ivf(emb, index, q, k=10, nprobe=3).select_columns(["vec_id"])
+
+
+def q_rolling_fp(sf_dir: str):
+    """Rolling-hash (winnowing-min) fingerprints. No SQL twin."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(tx.RollingHashStage, batch_format="pyarrow", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "rolling_fp"])
+
+
+def q_doc_sentence_stats(sf_dir: str):
+    """The reference's full ingest dataflow shape (fupi/embedders.py:
+    91-117): explode to sentence level (M6) → per-doc aggregate (A1) →
+    join back to doc level (J1), with exact int-division doubles."""
+    sent = q_explode_sentences(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+                "chars": pc.utf8_length(batch["sentence"]).to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("doc_id", as_index=False).agg(chars=("chars", "sum"), n=("chars", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        sent.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("chars", alias_name="chars"), Sum("n", alias_name="n_sentences"))
+    )
+    lang = read(sf_dir, "documents", columns=["doc_id", "lang"]).to_pandas()
+    lang_ref = ray.put(dict(zip(lang["doc_id"], lang["lang"])))
+
+    class Join:
+        def __init__(self):
+            self.lang = ray.get(lang_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            chars = batch["chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+            n = batch["n_sentences"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lang": pa.array([self.lang.get(i) for i in ids], pa.string()),
+                    "n_sentences": pa.array(n.astype(np.int64)),
+                    "avg_sentence_chars": pa.array(chars / np.maximum(n, 1)),
+                }
+            )
+
+    return agg.map_batches(Join, batch_format="pyarrow", concurrency=(1, 4))
+
+
+SQL_DOC_SENTENCE_STATS = """
+WITH s AS (
+  SELECT doc_id, parts[i] AS sentence
+  FROM (SELECT doc_id, string_split(text, '. ') parts FROM documents),
+       (SELECT unnest(generate_series(1, 10000)) i) idx
+  WHERE i <= len(parts) AND length(parts[i]) > 3)
+SELECT s.doc_id, any_value(d.lang) AS lang, COUNT(*) AS n_sentences,
+       CAST(SUM(length(s.sentence)) AS DOUBLE)/COUNT(*) AS avg_sentence_chars
+FROM s JOIN documents d ON s.doc_id = d.doc_id
+GROUP BY s.doc_id
+"""

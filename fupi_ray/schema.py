@@ -24,15 +24,32 @@ SEQUENCES_SCHEMA = pa.schema(
 SEQUENCE_COLUMNS = tuple(SEQUENCES_SCHEMA.names)
 
 
+def _unwrap_tensor(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Ray converts ndarray-of-ndarray pandas columns into its
+    variable-shaped tensor extension type; unwrap back to a plain list
+    array (storage field 0 is the flat large_list of values)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        storage = col.storage
+        if pa.types.is_struct(storage.type):
+            col = storage.field(0)
+        else:
+            col = storage
+    return col
+
+
 def normalize_batch(batch: pa.Table) -> pa.Table:
     """Project a batch to the canonical column order / types.
 
     Mirrors the reference's declared-schema writes (``fupi/utils.py:39-49``
-    always writes with an explicit schema, never inferred).
+    always writes with an explicit schema, never inferred). Handles
+    batches that round-tripped through pandas (list columns come back
+    as Ray tensor extension arrays).
     """
     cols = []
     for f in SEQUENCES_SCHEMA:
-        col = batch.column(f.name)
+        col = _unwrap_tensor(batch.column(f.name))
         if col.type != f.type:
             col = pc.cast(col, f.type)
         cols.append(col)

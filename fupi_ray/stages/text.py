@@ -1,0 +1,167 @@
+"""Text-analysis stages over a documents table.
+
+Re-expressions of the reference's scalar text UDFs (SURVEY.md §2.2:
+newline remover M1, quality predicate M2, length filter M8) plus the
+training-data-pipeline analysis ops a 100 TB corpus needs: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms over Arrow;
+semantics are chosen to be exactly reproducible in ANSI SQL (see
+``__ray_entry__.oracle_sql``) so the duckdb oracle can hash-match
+outputs: e.g. fingerprints use md5 (identical in duckdb and hashlib),
+not Python ``hash``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Reference M1: newlines_remover registered into DuckDB (fupi/data.py:54-55)
+def remove_newlines(batch: pa.Table, columns: tuple[str, ...]) -> pa.Table:
+    for col in columns:
+        batch = batch.set_column(
+            batch.column_names.index(col),
+            col,
+            pc.replace_substring(batch[col], "\n", " "),
+        )
+    return batch
+
+
+# Reference M2: null/quality predicate (fupi/data.py:65-69)
+def quality_filter(batch: pa.Table, text_col: str = "text", min_chars: int = 4) -> pa.Table:
+    keep = pc.and_(
+        pc.is_valid(batch[text_col]),
+        pc.greater(pc.utf8_length(batch[text_col]), min_chars - 1),
+    )
+    return batch.filter(keep)
+
+
+_WS_RE = r"\s+"
+_PUNCT_CHARS = ".,!?;:"
+
+
+def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count (SQL twin:
+    ``length(string_split_regex(trim(text), '\\s+'))``)."""
+    trimmed = pc.utf8_trim_whitespace(batch[text_col])
+    n = pc.count_substring_regex(trimmed, r"\S+")
+    return batch.append_column("n_words", pc.cast(n, pa.int64()))
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / word-shape quality signals, rounded so the
+    duckdb oracle hash-matches float columns."""
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_words = pc.cast(pc.count_substring_regex(trimmed, r"\S+"), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[.,!?;:]"), pa.int64())
+    chars = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1)
+    words = np.maximum(n_words.to_numpy(zero_copy_only=False), 1)
+    punct_ratio = np.round(n_punct.to_numpy(zero_copy_only=False) / chars, 4)
+    avg_word_len = np.round(chars / words, 4)
+    out = batch.append_column("n_chars_q", n_chars)
+    out = out.append_column("n_words", n_words)
+    out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+    out = out.append_column("avg_word_len", pa.array(avg_word_len, pa.float64()))
+    return out
+
+
+# Language-ID: tiny stopword lexicons; prediction = argmax of stopword
+# hits with a fixed precedence order on ties. Twin SQL builds the same
+# counts with list_filter + list_contains.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "was", "for", "with", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "no", "una", "para", "en", "que"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+class LangIdStage:
+    """Stateful stage (actor pool): compiles the word regex and builds
+    the lexicon sets once per actor (the reference's load-once pattern,
+    fupi/embedders.py:35-37 / SURVEY.md §2.3).
+
+    Tokenization is ascii ``[a-z]+`` runs of the lowercased text —
+    chosen because duckdb reproduces it exactly with
+    ``string_split_regex(lower(text), '[^a-z]+')``."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-z]+")
+        self.sets = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        hits = {k: np.zeros(len(texts), dtype=np.int64) for k in LANG_ORDER}
+        for i, t in enumerate(texts):
+            words = self.word_re.findall((t or "").lower())
+            for k, s in self.sets.items():
+                hits[k][i] = sum(1 for w in words if w in s)
+        # argmax with fixed precedence: first language in LANG_ORDER wins ties
+        stacked = np.stack([hits[k] for k in LANG_ORDER])
+        best = np.argmax(stacked, axis=0)
+        pred = np.array(LANG_ORDER, dtype=object)[best]
+        pred[stacked.max(axis=0) == 0] = "unknown"
+        out = batch
+        for k in LANG_ORDER:
+            out = out.append_column(f"hits_{k}", pa.array(hits[k]))
+        return out.append_column("pred_lang", pa.array(pred.astype(str)))
+
+
+_FP_RE = re.compile(r"[^a-z0-9]")
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Document fingerprint: md5 of lowercased alphanumeric-only text.
+
+    md5 so duckdb's ``md5()`` reproduces it byte-for-byte; this is the
+    content identity used by exact dedup (SURVEY.md §2.5 A2).
+    """
+    texts = batch[text_col].to_pylist()
+    fps = [
+        hashlib.md5(_FP_RE.sub("", (t or "").lower()).encode("utf-8")).hexdigest()
+        for t in texts
+    ]
+    return batch.append_column("fp", pa.array(fps, pa.string()))
+
+
+class RollingHashStage:
+    """Winnowing-style rolling-hash fingerprint (stateful: precomputed
+    base powers). Emits the minimum k-gram polynomial hash per document
+    — an order-robust near-identity for shingled content. No SQL twin
+    (driver records rows-only)."""
+
+    def __init__(self, k: int = 8, base: int = 257, mod: int = (1 << 61) - 1):
+        self.k, self.base, self.mod = k, base, mod
+        self.pow_k = pow(base, k - 1, mod)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        mins = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            b = (t or "").lower().encode("utf-8")
+            if len(b) < self.k:
+                mins[i] = 0
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            # vectorized polynomial rolling hash over all k-grams
+            h = np.zeros(len(arr) - self.k + 1, dtype=object)
+            cur = 0
+            for j in range(self.k):
+                cur = (cur * self.base + int(arr[j])) % self.mod
+            vals = [cur]
+            for j in range(self.k, len(arr)):
+                cur = (
+                    (cur - int(arr[j - self.k]) * self.pow_k) * self.base + int(arr[j])
+                ) % self.mod
+                vals.append(cur)
+            mins[i] = np.uint64(min(vals))
+        return batch.append_column("rolling_fp", pa.array(mins.astype(np.int64)))

@@ -1,0 +1,250 @@
+"""Maintenance-op tests (SURVEY.md §5.2–§5.5): golden content
+preservation, MERGE vs duckdb oracle, snapshot isolation, resume."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from fupi_ray.config import EngineConfig
+from fupi_ray.fixtures import generate_rows, sequences_dataset, write_fragmented_table
+from fupi_ray.ops import cluster, compact, expire_snapshots, merge_into
+from fupi_ray.ops.compact import plan_compaction
+from fupi_ray.ops.expire import PinnedVersionError
+from fupi_ray.manifest import FragmentMeta
+from fupi_ray.state import lineage
+
+
+SMALL_CFG = EngineConfig(target_fragment_bytes=512 * 1024, compact_min_fill=0.5)
+
+
+def canonical(table, version=None):
+    """Canonical scan: sorted by doc_id, as pandas with token tuples."""
+    rows = table.scan(version).sort("doc_id").take_all()
+    return [(r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"]) for r in rows]
+
+
+# -- compaction -------------------------------------------------------------
+
+
+def test_plan_compaction_bytes_budget():
+    frags = [
+        FragmentMeta(f"data/f{i}.parquet", 100, 100_000, 5000, {"doc_id": {"min": f"doc-{i:03d}", "max": f"doc-{i:03d}"}})
+        for i in range(10)
+    ]
+    plan = plan_compaction(frags, target_bytes=350_000, min_fill=0.5)
+    for p in plan.packs:
+        assert sum(f.bytes for f in p) <= 350_000
+        assert len(p) > 1
+    packed = sum(len(p) for p in plan.packs)
+    assert packed + len(plan.untouched) == 10
+
+
+def test_plan_leaves_big_fragments():
+    frags = [FragmentMeta("data/big.parquet", 100, 10**9, 1, {})] + [
+        FragmentMeta(f"data/s{i}.parquet", 10, 1000, 1, {}) for i in range(3)
+    ]
+    plan = plan_compaction(frags, target_bytes=10**6)
+    assert len(plan.packs) == 1 and len(plan.packs[0]) == 3
+    assert any(f.path == "data/big.parquet" for f in plan.untouched)
+
+
+def test_compact_content_preserving(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 2000, rows_per_fragment=200, config=SMALL_CFG)
+    before = canonical(t)
+    n_frags_before = len(t.manifest().fragments)
+    v = compact(t)
+    assert v is not None
+    assert len(t.manifest().fragments) < n_frags_before
+    assert canonical(t) == before  # byte-identical token arrays
+    # old snapshot still scannable (fragments not GC'd yet)
+    assert len(canonical(t, version=v - 1)) == 2000
+
+
+def test_compact_noop_when_packed(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 500, rows_per_fragment=500, config=SMALL_CFG)
+    compact(t)
+    assert compact(t, job_id="again") is None  # second run: nothing to do
+
+
+def test_compact_resume_skips_done_packs(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 2000, rows_per_fragment=100, config=SMALL_CFG)
+    before = canonical(t)
+    parent = t.latest_version()
+    job = "resume-test"
+    # simulate a partial run: execute pack 0 only, by hand
+    from fupi_ray.ops.compact import _repack_task, plan_compaction as plan_fn
+    import ray
+
+    plan = plan_fn(t.manifest().fragments, SMALL_CFG.target_fragment_bytes, 0.5, 10**7)
+    assert len(plan.packs) >= 2
+    ray.get(_repack_task.remote(t.table_dir, job, 0, [f.path for f in plan.packs[0]], 1000))
+    rec0 = lineage.read_record(t.table_dir, job, "pack-00000")
+    assert rec0 is not None
+    mtime = os.path.getmtime(os.path.join(t.table_dir, rec0["output_fragments"][0]["path"]))
+    # full (resumed) run with same job id
+    v = compact(t, job_id=job)
+    assert v == parent + 1
+    # pack 0's output was reused, not recomputed (mtime unchanged)
+    assert os.path.getmtime(os.path.join(t.table_dir, rec0["output_fragments"][0]["path"])) == mtime
+    assert canonical(t) == before
+
+
+# -- clustering -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("curve", ["zorder", "hilbert"])
+def test_cluster_content_preserving_and_prunes(tmp_table_dir, curve):
+    t = write_fragmented_table(tmp_table_dir + curve, 3000, rows_per_fragment=300, config=SMALL_CFG)
+    before = canonical(t)
+    cluster(t, curve=curve)
+    assert canonical(t) == before
+    m = t.manifest()
+    assert m.operation == f"cluster-{curve}"
+    # pruning: a (source, n_tok) box should skip a decent share of fragments
+    pred = [("source", "==", "wiki"), ("n_tok", "between", (8, 64))]
+    pruned = t.fragment_paths(predicate=pred)
+    assert len(pruned) < len(m.fragments)
+    # pruned scan returns exactly the right rows
+    got = t.scan(predicate=pred).count()
+    exp = sum(1 for r in before if r[3] == "wiki" and 8 <= r[2] <= 64)
+    assert got == exp
+
+
+# -- expiry + snapshot isolation -------------------------------------------
+
+
+def test_expire_gc_and_pin_protection(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 1000, rows_per_fragment=100, config=SMALL_CFG)
+    v1 = t.latest_version()
+    t.pin("reader", v1)
+    pinned_scan_before = canonical(t, v1)
+    compact(t)
+    t.commit_append(sequences_dataset(100, start=1000, rows_per_partition=100))
+    v3 = t.latest_version()
+    # explicit expiry of a pinned version is refused
+    with pytest.raises(PinnedVersionError):
+        expire_snapshots(t, versions=[v1])
+    with pytest.raises(PinnedVersionError):
+        expire_snapshots(t, versions=[v3])
+    # retention-based expiry keeps pinned + trailing window
+    res = expire_snapshots(t, keep_last=1)
+    assert v1 in res["surviving_versions"]  # pinned survives
+    assert v3 in res["surviving_versions"]
+    # pinned reader still sees identical content after GC
+    assert canonical(t, v1) == pinned_scan_before
+    # unpin → expire → fragments GC'd
+    t.unpin("reader")
+    res = expire_snapshots(t, keep_last=1)
+    assert v1 not in res["surviving_versions"]
+    assert res["gc_files"] > 0
+    assert canonical(t, v3)  # latest still intact
+
+
+# -- MERGE INTO -------------------------------------------------------------
+
+
+def _merge_oracle(base: pa.Table, src: pa.Table) -> list[tuple]:
+    """duckdb oracle: keep-first dedup of source by _src_order, then
+    last-write-wins upsert over base, canonical order by doc_id."""
+    con = duckdb.connect()
+    con.register("base", base)
+    con.register("src", src)
+    out = con.sql(
+        """
+        WITH dedup AS (
+          SELECT doc_id, tokens, n_tok, source
+          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY _src_order) rn FROM src)
+          WHERE rn = 1
+        )
+        SELECT doc_id, tokens, n_tok, source FROM dedup
+        UNION ALL
+        SELECT b.doc_id, b.tokens, b.n_tok, b.source FROM base b
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM dedup)
+        ORDER BY doc_id
+        """
+    ).arrow()
+    return [
+        (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"])
+        for r in out.to_pylist()
+    ]
+
+
+def _mk_source(n_upd=60, n_ins=40, n_dup=20) -> pa.Table:
+    upd = generate_rows(0, n_upd * 2, token_salt=1).filter(
+        pa.array([i % 2 == 0 for i in range(n_upd * 2)])
+    )
+    upd = upd.append_column("_src_order", pa.array(np.arange(n_upd, dtype=np.int64)))
+    ins = generate_rows(10_000_000, n_ins)
+    ins = ins.append_column("_src_order", pa.array(np.arange(1000, 1000 + n_ins, dtype=np.int64)))
+    dup = generate_rows(0, n_dup * 2, token_salt=2).filter(
+        pa.array([i % 2 == 0 for i in range(n_dup * 2)])
+    )
+    dup = dup.append_column("_src_order", pa.array(np.arange(5000, 5000 + n_dup, dtype=np.int64)))
+    return pa.concat_tables([upd, ins, dup])
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_merge_matches_duckdb_oracle(tmp_table_dir, strategy):
+    t = write_fragmented_table(tmp_table_dir + strategy, 500, rows_per_fragment=50, config=SMALL_CFG)
+    base = generate_rows(0, 500)
+    src = _mk_source()
+    v = merge_into(t, ray.data.from_arrow(src), strategy=strategy)
+    got = canonical(t, v)
+    exp = _merge_oracle(base, src)
+    assert len(got) == len(exp)
+    assert got == exp
+    props = t.manifest(v).properties
+    assert props["strategy"] == strategy
+    if strategy == "broadcast":
+        assert props["fragments_untouched"] > 0  # zone-map prune did work
+
+
+def test_merge_preserves_untouched_fragments_cow(tmp_table_dir):
+    """Copy-on-write: fragments outside the key range keep their files."""
+    t = write_fragmented_table(tmp_table_dir, 400, rows_per_fragment=50, config=SMALL_CFG)
+    before_paths = {f.path for f in t.manifest().fragments}
+    # update only keys in the first fragment's range
+    src = generate_rows(0, 10, token_salt=3)
+    src = src.append_column("_src_order", pa.array(np.arange(10, dtype=np.int64)))
+    v = merge_into(t, ray.data.from_arrow(src), strategy="broadcast")
+    after_paths = {f.path for f in t.manifest(v).fragments}
+    assert len(before_paths & after_paths) == len(before_paths) - 1  # one fragment rewritten
+    # token equality for an untouched doc
+    row = t.scan(predicate=[("doc_id", "==", "doc-000000000333")]).take_all()
+    assert list(row[0]["tokens"]) == generate_rows(333, 1)["tokens"][0].as_py()
+    # updated doc carries salted tokens
+    row = t.scan(predicate=[("doc_id", "==", "doc-000000000003")]).take_all()
+    assert list(row[0]["tokens"]) == generate_rows(3, 1, token_salt=3)["tokens"][0].as_py()
+
+
+def test_merge_resume_skips_done_fragments(tmp_table_dir):
+    import ray as _ray
+    from fupi_ray.ops.merge import _rewrite_fragment_task
+
+    t = write_fragmented_table(tmp_table_dir, 300, rows_per_fragment=50, config=SMALL_CFG)
+    src = _mk_source(n_upd=50, n_ins=10, n_dup=5)
+    job = "merge-resume"
+    # pre-run fragment 0 rewrite by hand with the job's key set
+    keys = np.sort(np.unique(src["doc_id"].to_numpy(zero_copy_only=False)))
+    frag0 = t.manifest().fragments[0]
+    _ray.get(
+        _rewrite_fragment_task.remote(t.table_dir, job, 0, frag0.path, _ray.put(keys))
+    )
+    rec = lineage.read_record(t.table_dir, job, "frag-00000")
+    assert rec is not None
+    v = merge_into(t, ray.data.from_arrow(src), job_id=job, strategy="broadcast")
+    exp = _merge_oracle(generate_rows(0, 300), src)
+    assert canonical(t, v) == exp
+
+
+def test_merge_empty_source_noop(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 100, rows_per_fragment=50, config=SMALL_CFG)
+    empty = ray.data.from_arrow(generate_rows(0, 0))
+    v = merge_into(t, empty, strategy="broadcast")
+    assert v == t.latest_version()
+    assert len(canonical(t)) == 100
