@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship lakehouse maintenance cycle (ingest →
+compact → Z-order cluster → MERGE INTO → snapshot expiry → canonical
+scan) on sf0.001. ``queries()`` exposes every implemented operator
+from SURVEY.md §2 plus the training-data ops; ``oracle_sql()`` gives
+the duckdb-equivalent SQL for every SQL-expressible one (approximate /
+permutation-hash ops are rows-only by design).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` anywhere down this import graph.
 """
 
 from __future__ import annotations
@@ -18,27 +16,77 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from fupi_ray.pipelines import lake
+from fupi_ray.pipelines import queries as q
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return lake.flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / reference-conformance operators (SURVEY.md §2)
+        "filter_project": q.q_filter_project,
+        "sort_limit": q.q_sort_limit,
+        "agg_pricing": q.q_agg_pricing,
+        "join_enrich": q.q_join_enrich,
+        "topk_join": q.q_topk_join,
+        "string_agg_events": q.q_string_agg_events,
+        "explode_sentences": q.q_explode_sentences,
+        "distinct_pairs": q.q_distinct_pairs,
+        "window_events": q.q_window_events,
+        "centroid_label": q.q_centroid_label,
+        "doc_sentence_stats": q.q_doc_sentence_stats,
+        # training-data ops
+        "dedup_exact": q.q_dedup_exact,
+        "token_stats": q.q_token_stats,
+        "langid": q.q_langid,
+        "quality": q.q_quality,
+        "fingerprint": q.q_fingerprint,
+        "multimodal": q.q_multimodal,
+        "topk_cosine": q.q_topk_cosine,
+        "embedding_neardup": q.q_embedding_neardup,
+        "char_jaccard": q.q_char_jaccard,
+        "minhash_pairs": q.q_minhash_pairs,
+        "simhash_pairs": q.q_simhash_pairs,
+        "ivf_topk": q.q_ivf_topk,
+        "rolling_fp": q.q_rolling_fp,
+        # lakehouse maintenance ops (north star)
+        "lake_compact": lake.q_lake_compact,
+        "lake_cluster": lake.q_lake_cluster,
+        "lake_merge": lake.q_lake_merge,
+        "lake_expire": lake.q_lake_expire,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "filter_project": q.SQL_FILTER_PROJECT,
+        "sort_limit": q.SQL_SORT_LIMIT,
+        "agg_pricing": q.SQL_AGG_PRICING,
+        "join_enrich": q.SQL_JOIN_ENRICH,
+        "topk_join": q.SQL_TOPK_JOIN,
+        "string_agg_events": q.SQL_STRING_AGG_EVENTS,
+        "explode_sentences": q.SQL_EXPLODE_SENTENCES,
+        "distinct_pairs": q.SQL_DISTINCT_PAIRS,
+        "window_events": q.SQL_WINDOW_EVENTS,
+        "centroid_label": q.SQL_CENTROID_LABEL,
+        "doc_sentence_stats": q.SQL_DOC_SENTENCE_STATS,
+        "dedup_exact": q.SQL_DEDUP_EXACT,
+        "token_stats": q.SQL_TOKEN_STATS,
+        "langid": q.SQL_LANGID,
+        "quality": q.SQL_QUALITY,
+        "fingerprint": q.SQL_FINGERPRINT,
+        "multimodal": q.SQL_MULTIMODAL,
+        "topk_cosine": q.SQL_TOPK_COSINE,
+        "embedding_neardup": q.SQL_EMBEDDING_NEARDUP,
+        "char_jaccard": q.SQL_CHAR_JACCARD,
+        "lake_compact": lake.SQL_LAKE_COMPACT,
+        "lake_cluster": lake.SQL_LAKE_CLUSTER,
+        "lake_merge": lake.SQL_LAKE_MERGE,
+        "lake_expire": lake.SQL_LAKE_EXPIRE,
+        # minhash_pairs / simhash_pairs / ivf_topk / rolling_fp:
+        # permutation-hash / approximate ops — rows-only by design
+    }

@@ -1,0 +1,90 @@
+"""Job entry points for ``ray job submit`` (north rule: maintenance
+jobs launched as Ray jobs on a fixed-size cluster).
+
+    ray job submit -- python -m fupi_ray.cli compact --table /data/seq
+    ray job submit -- python -m fupi_ray.cli cluster --table /data/seq --curve hilbert
+    ray job submit -- python -m fupi_ray.cli merge --table /data/seq --source /data/updates
+    ray job submit -- python -m fupi_ray.cli expire --table /data/seq --keep-last 3
+    ray job submit -- python -m fupi_ray.cli ingest --table /data/seq --rows 1000000
+
+This module owns its Ray session (it IS the job script); the library
+never does. ``--job-id`` names the lineage namespace, so re-submitting
+a failed job with the same id resumes from completed partitions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fupi_ray")
+    p.add_argument("op", choices=["ingest", "compact", "cluster", "merge", "expire", "scan"])
+    p.add_argument("--table", required=True)
+    p.add_argument("--source", help="parquet path/dir of the MERGE source")
+    p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
+    p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
+    p.add_argument("--job-id", default=None, help="lineage namespace for resume")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--version", type=int, default=None, help="scan: pin this version")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from fupi_ray import Table
+    from fupi_ray.ops import cluster, compact, expire_snapshots, merge_into
+
+    t0 = time.perf_counter()
+    out: dict = {"op": args.op, "table": args.table}
+    if args.op == "ingest":
+        from fupi_ray.fixtures import sequences_dataset
+
+        try:
+            t = Table.open(args.table)
+        except FileNotFoundError:
+            t = Table.create(args.table)
+        v = t.commit_append(sequences_dataset(args.rows))
+        out["version"] = v
+    elif args.op == "compact":
+        t = Table.open(args.table)
+        out["version"] = compact(t, job_id=args.job_id)
+    elif args.op == "cluster":
+        t = Table.open(args.table)
+        out["version"] = cluster(t, curve=args.curve, job_id=args.job_id)
+    elif args.op == "merge":
+        if not args.source:
+            p.error("merge requires --source")
+        import ray.data
+
+        t = Table.open(args.table)
+        src = ray.data.read_parquet(args.source)
+        out["version"] = merge_into(t, src, job_id=args.job_id)
+    elif args.op == "expire":
+        t = Table.open(args.table)
+        out.update(expire_snapshots(t, keep_last=args.keep_last))
+    elif args.op == "scan":
+        t = Table.open(args.table)
+        ds = t.scan(version=args.version)
+        out["rows"] = ds.count()
+        out["version"] = args.version if args.version is not None else t.latest_version()
+    out["seconds"] = round(time.perf_counter() - t0, 3)
+    print(json.dumps(out, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

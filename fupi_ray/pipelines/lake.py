@@ -1,0 +1,219 @@
+"""Lakehouse maintenance ops exposed as driver-checkable queries.
+
+The engine's primary input is the synthetic sequences table
+(fixtures.py), but the driver's oracle runs SQL over the shared
+testdata views — so these queries derive a sequences table from
+``documents`` deterministically (doc_id → zero-padded string key,
+n_tok := n_chars, tokens := splitmix64 PRNG of length n_tok), run a
+real maintenance op on a throwaway Table under /tmp, and return the
+canonical scan projected to the SQL-expressible columns
+``(doc_id, source, n_tok)``. Token-array equality itself (not
+SQL-expressible) is asserted by the pytest goldens instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from fupi_ray.config import EngineConfig
+from fupi_ray.fixtures import gen_tokens_flat
+from fupi_ray.ops import cluster, compact, expire_snapshots, merge_into
+from fupi_ray.table import Table
+
+LAKE_CFG = EngineConfig(target_fragment_bytes=4 * 1024 * 1024)
+
+_DOC_SQL = "'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
+
+
+def _doc_id_str(ids: np.ndarray) -> pa.Array:
+    return pa.array([f"doc-{int(i):012d}" for i in ids], pa.string())
+
+
+def sequences_batch(
+    ids: np.ndarray, n_tok: np.ndarray, source: list[str], salt: int
+) -> pa.Table:
+    vals, offsets = gen_tokens_flat(ids, n_tok.astype(np.int32), seed=42, salt=salt)
+    tokens = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(vals, pa.int32()))
+    return pa.table(
+        {
+            "doc_id": _doc_id_str(ids),
+            "tokens": tokens.cast(pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok.astype(np.int32), pa.int32()),
+            "source": pa.array(source, pa.string()),
+        }
+    )
+
+
+def sequences_from_documents(sf_dir: str, salt: int = 100) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def to_seq(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        return sequences_batch(ids, n, batch["source"].to_pylist(), salt)
+
+    return docs.map_batches(to_seq, batch_format="pyarrow")
+
+
+def _tmp_table(sf_dir: str, tag: str) -> str:
+    h = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:10]
+    d = f"/tmp/fupi_ray_lake/{tag}-{h}"
+    shutil.rmtree(d, ignore_errors=True)
+    return d
+
+
+def _build(sf_dir: str, tag: str, rows_per_fragment: int = 100) -> Table:
+    """Build the documents-derived table in the small-file state
+    (one fragment per ~rows_per_fragment rows) so compaction has work."""
+    t = Table.create(_tmp_table(sf_dir, tag), config=LAKE_CFG)
+    ds = sequences_from_documents(sf_dir)
+    t.commit_append(ds, target_fragment_rows=rows_per_fragment)
+    return t
+
+
+def canonical_scan(t: Table, version: int | None = None) -> ray.data.Dataset:
+    """SQL-comparable projection of the canonical scan."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+            }
+        )
+
+    return t.scan(version, columns=["doc_id", "source", "n_tok"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
+def q_lake_compact(sf_dir: str):
+    """S6 compaction as a query: build small-file table → compact →
+    canonical scan (content-preserving ⇒ oracle = identity)."""
+    t = _build(sf_dir, "compact")
+    compact(t)
+    return canonical_scan(t)
+
+
+SQL_LAKE_COMPACT = f"SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok FROM documents"
+
+
+def q_lake_cluster(sf_dir: str):
+    """North-star clustering as a query: Z-order rewrite, then a
+    pruned box scan (source equality + n_tok range) — the oracle is
+    the WHERE clause; zone-map pruning must not change results."""
+    t = _build(sf_dir, "cluster")
+    cluster(t, curve="zorder")
+    lo, hi = 100, 400
+    pred = [("n_tok", "between", (lo, hi))]
+    ds = t.scan(predicate=pred, columns=["doc_id", "source", "n_tok"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": pc.cast(b["n_tok"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LAKE_CLUSTER = (
+    f"SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok "
+    "FROM documents WHERE n_chars BETWEEN 100 AND 400"
+)
+
+
+def q_lake_merge(sf_dir: str):
+    """J3 MERGE INTO as a query: updates (doc_id % 3 = 0 → new source
+    tag + n_tok + regenerated tokens) and inserts (doc_id % 5 = 0 under
+    shifted keys); oracle expresses the upsert in SQL."""
+    t = _build(sf_dir, "merge")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def mk_source(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        upd_m = ids % 3 == 0
+        ins_m = ids % 5 == 0
+        upd = sequences_batch(
+            ids[upd_m], n[upd_m] + 7, ["merged"] * int(upd_m.sum()), salt=101
+        )
+        ins = sequences_batch(
+            ids[ins_m] + 1_000_000, n[ins_m] + 3, ["inserted"] * int(ins_m.sum()), salt=102
+        )
+        both = pa.concat_tables([upd, ins])
+        order = pc.cast(pc.utf8_slice_codeunits(both["doc_id"], 4, 99), pa.int64())
+        return both.append_column("_src_order", order)
+
+    src = docs.map_batches(mk_source, batch_format="pyarrow")
+    merge_into(t, src, strategy="broadcast")
+    return canonical_scan(t)
+
+
+SQL_LAKE_MERGE = f"""
+WITH upd AS (
+  SELECT {_DOC_SQL} AS doc_id, 'merged' AS source, CAST(n_chars + 7 AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 3 = 0),
+ins AS (
+  SELECT 'doc-' || lpad(CAST(doc_id + 1000000 AS VARCHAR), 12, '0') AS doc_id,
+         'inserted' AS source, CAST(n_chars + 3 AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 5 = 0),
+base AS (
+  SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok FROM documents)
+SELECT * FROM upd
+UNION ALL SELECT * FROM ins
+UNION ALL SELECT b.* FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM upd)
+"""
+
+
+def q_lake_expire(sf_dir: str):
+    """Snapshot expiry as a query: build → compact → cluster → expire
+    all but the latest; scan must be unchanged (oracle = identity) and
+    earlier fragments are GC'd."""
+    t = _build(sf_dir, "expire")
+    compact(t)
+    cluster(t, curve="hilbert")
+    expire_snapshots(t, keep_last=1)
+    return canonical_scan(t)
+
+
+SQL_LAKE_EXPIRE = SQL_LAKE_COMPACT
+
+
+def flagship(sf_dir: str) -> ray.data.Dataset:
+    """The full maintenance cycle on one table: ingest (small files) →
+    compact → Z-order cluster → MERGE → expire → final canonical scan.
+    This is ``__ray_entry__.entry()``."""
+    t = _build(sf_dir, "flagship")
+    compact(t)
+    cluster(t, curve="zorder")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def mk_upd(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        m = ids % 7 == 0
+        upd = sequences_batch(ids[m], n[m] + 1, ["refresh"] * int(m.sum()), salt=103)
+        order = pc.cast(pc.utf8_slice_codeunits(upd["doc_id"], 4, 99), pa.int64())
+        return upd.append_column("_src_order", order)
+
+    merge_into(t, docs.map_batches(mk_upd, batch_format="pyarrow"))
+    expire_snapshots(t, keep_last=2)
+    return canonical_scan(t)

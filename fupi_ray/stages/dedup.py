@@ -173,7 +173,9 @@ def minhash_lsh_candidates(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(g["id"].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=g["id"].dtype), "id_b": pd.Series([], dtype=g["id"].dtype)}
+            )
         if len(ids) > 64:  # degenerate bucket: star around the minimum
             a = [ids[0]] * (len(ids) - 1)
             b = ids[1:]
@@ -273,7 +275,7 @@ class SimHashStage:
                 out_id.append(i)
                 out_band.append(band)
                 out_key.append(int((s >> np.uint64(band * 16)) & np.uint64(0xFFFF)))
-                out_sim.append(int(s))
+                out_sim.append(int(s) - (1 << 64) if s >= (1 << 63) else int(s))
         return pa.table(
             {
                 "id": pa.array(out_id),
@@ -299,7 +301,12 @@ def simhash_candidates(
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dtype = g["id"].dtype
         g = g.drop_duplicates(subset=["id"]).sort_values("id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=dtype), "id_b": pd.Series([], dtype=dtype)}
+            )
         ids = g["id"].tolist()
         sims = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
         rows_a, rows_b = [], []
@@ -309,7 +316,9 @@ def simhash_candidates(
             for j in np.nonzero(ham <= max_hamming)[0]:
                 rows_a.append(ids[i])
                 rows_b.append(ids[i + 1 + j])
-        return pd.DataFrame({"id_a": rows_a, "id_b": rows_b})
+        return pd.DataFrame(
+            {"id_a": pd.Series(rows_a, dtype=dtype), "id_b": pd.Series(rows_b, dtype=dtype)}
+        )
 
     pairs = sig.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
     return dedup_pairs(pairs)

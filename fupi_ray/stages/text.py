@@ -116,6 +116,28 @@ class LangIdStage:
         return out.append_column("pred_lang", pa.array(pred.astype(str)))
 
 
+class TranslateStub:
+    """Stateful translation stage analogue (reference: CTranslate2
+    M2M100 batch translate with lazy model init, searcher.py:112-135 +
+    42-58 — SURVEY.md §2.3 T2). The real model is not in this
+    container, so the kernel is a deterministic stand-in (word-reversal
+    "translation"); the Ray shape — lazy heavy init in ``__init__``,
+    batched ``generate`` in ``__call__`` — is the real pattern."""
+
+    def __init__(self, src_lang: str = "xx", tgt_lang: str = "en", real: bool = False):
+        self.src, self.tgt = src_lang, tgt_lang
+        if real:
+            raise NotImplementedError(
+                "real translation requires ctranslate2; not in this environment"
+            )
+        self.word_re = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        out = [" ".join(reversed(self.word_re.findall(t or ""))) for t in texts]
+        return batch.append_column("translated", pa.array(out, pa.string()))
+
+
 _FP_RE = re.compile(r"[^a-z0-9]")
 
 

@@ -225,11 +225,20 @@ class Table:
         frags = write_dataset_fragments(ds, self.table_dir, "ow")
         return self._commit("overwrite", frags, parent, properties)
 
-    def commit_append(self, ds: ray.data.Dataset, properties: dict | None = None) -> int:
+    def commit_append(
+        self,
+        ds: ray.data.Dataset,
+        properties: dict | None = None,
+        target_fragment_rows: int | None = None,
+    ) -> int:
         """Append new fragments (reference: table.add,
-        fupi/embedders.py:124-125); manifest v+1 = parent ∪ new."""
+        fupi/embedders.py:124-125); manifest v+1 = parent ∪ new.
+        ``target_fragment_rows`` forces small fragments (test fixtures
+        mimicking post-ingest small-file state)."""
         parent = self.latest_version()
-        new = write_dataset_fragments(ds, self.table_dir, "ap")
+        new = write_dataset_fragments(
+            ds, self.table_dir, "ap", target_fragment_rows=target_fragment_rows
+        )
         frags = self.manifest(parent).fragments + new
         return self._commit("append", frags, parent, properties)
 
