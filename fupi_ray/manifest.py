@@ -293,7 +293,12 @@ def fragment_may_match(frag: FragmentMeta, predicate: list[tuple]) -> bool:
     contains no matching row. ``predicate`` is a conjunction of
     ``(col, op, value)`` triples (value = (lo, hi) for 'between',
     list for 'in')."""
+    known = {"=", "==", "!=", "<", "<=", ">", ">=", "between", "in"}
     for col, op, val in predicate:
+        if op not in known:
+            raise ValueError(f"unknown predicate op {op!r}")
+        if op == "=":
+            op = "=="
         zm = frag.zone_map.get(col)
         if zm is None:
             continue  # no stats → cannot prune
@@ -330,7 +335,7 @@ def predicate_to_arrow(predicate: list[tuple]):
     expr = None
     for col, op, val in predicate:
         f = pads.field(col)
-        if op == "==":
+        if op in ("=", "=="):
             e = f == val
         elif op == "!=":
             e = f != val

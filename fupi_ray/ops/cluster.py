@@ -10,47 +10,114 @@ fragments so each covers a small hyper-rectangle of the key space —
 then zone-map pruning answers ``source = x AND n_tok BETWEEN a AND b``
 scans by skipping most fragments.
 
+Each dimension is **rank-encoded** before interleaving (source → dense
+dictionary code, n_tok → quantile bucket, doc_id → uniform hash) so
+the curve key space is uniformly occupied regardless of value skew —
+linear quantization of a long-tailed ``n_tok`` would waste its bit
+planes on empty range and every fragment would span the whole observed
+range. The encodings come from ONE column-pruned statistics pass
+(source + n_tok only — tokens payload untouched).
+
 The key-interleave stage is the engine's analogue of the reference's
 stateful embedding stage (fupi/embedders.py:35-63 — load once, apply
-per batch, SURVEY.md §2.3 T1): an actor pool holding the source→code
-dictionary, vectorized numpy bit-spreading per Arrow batch.
+per batch, SURVEY.md §2.3 T1): an actor pool holding the broadcast
+encodings, vectorized numpy bit-spreading per Arrow batch.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
-from fupi_ray.functions.hashing import hilbert_key, quantize_to_bits, stable_hash, zorder_key
+from fupi_ray.functions.hashing import hilbert_key, stable_hash, zorder_key
 from fupi_ray.table import Table, write_dataset_fragments
 
-N_TOK_LO, N_TOK_HI = 0.0, 8192.0
+# Quantile resolution for the n_tok dimension: 2^12 buckets is far
+# finer than any realistic fragment count; remaining low bits are
+# filled from the value itself so ties inside a bucket still order.
+_QUANTILE_BITS = 12
 
 
 class KeyInterleaver:
     """Actor-pool map_batches stage: adds the space-filling-curve key.
 
-    State built once per actor in ``__init__`` (the source→code dict
-    arrives by broadcast handle — ``ray.put`` once on the driver, read
-    once per actor, never re-shipped per batch)."""
+    State built once per actor in ``__init__`` (the encodings arrive by
+    broadcast handle — ``ray.put`` once on the driver, read once per
+    actor, never re-shipped per batch)."""
 
-    def __init__(self, source_codes_ref, curve: str = "zorder", bits: int = 21):
-        codes = ray.get(source_codes_ref) if not isinstance(source_codes_ref, dict) else source_codes_ref
-        self.codes = codes
+    def __init__(self, enc_ref, curve: str = "zorder", bits: int = 21):
+        enc = ray.get(enc_ref) if isinstance(enc_ref, ray.ObjectRef) else enc_ref
+        self.codes: dict[str, int] = enc["codes"]
+        self.boundaries: np.ndarray = np.asarray(enc["boundaries"], dtype=np.float64)
         self.curve = curve
         self.bits = bits
-        n = max(len(codes), 2)
+        n = max(len(self.codes), 2)
         self.code_scale = (1 << bits) // n
 
+    def _encode_n_tok(self, n_tok: np.ndarray) -> np.ndarray:
+        """Quantile bucket in the high bits, raw value in the low bits."""
+        bucket = np.searchsorted(self.boundaries, n_tok, side="right").astype(np.uint64)
+        hi = bucket << np.uint64(max(self.bits - _QUANTILE_BITS, 0))
+        lo = np.asarray(n_tok, dtype=np.uint64) & np.uint64(
+            (1 << max(self.bits - _QUANTILE_BITS, 0)) - 1
+        )
+        mask = np.uint64((1 << self.bits) - 1)
+        return (hi | lo) & mask
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         src = batch["source"].to_numpy(zero_copy_only=False)
-        d0 = np.array([self.codes.get(s, 0) for s in src], dtype=np.uint64) * np.uint64(self.code_scale)
-        d1 = quantize_to_bits(batch["n_tok"].to_numpy(), N_TOK_LO, N_TOK_HI, self.bits)
+        d0 = (
+            pd.Series(src).map(self.codes).fillna(0).to_numpy(dtype=np.uint64)
+            * np.uint64(self.code_scale)
+        )
+        d1 = self._encode_n_tok(batch["n_tok"].to_numpy(zero_copy_only=False))
         d2 = stable_hash(batch["doc_id"]) >> np.uint64(64 - self.bits)
         fn = hilbert_key if self.curve == "hilbert" else zorder_key
         key = fn(d0, d1, d2, bits=self.bits)
         return batch.append_column("_ckey", pa.array(key.astype(np.int64)))
+
+
+def _column_stats(table: Table, version: int) -> dict:
+    """One column-pruned pass → source dictionary + n_tok quantiles.
+
+    Per-block partial stats (distinct sources + a bounded n_tok
+    sample) combine on the driver — the reduced stream is one tiny row
+    per block, never the column itself.
+    """
+    import json
+
+    def stats_fn(t: pa.Table) -> pa.Table:
+        srcs = pc.unique(t["source"]).to_pylist()
+        n = t["n_tok"].to_numpy(zero_copy_only=False)
+        step = max(1, len(n) // 256)
+        return pa.table(
+            {
+                "srcs": pa.array([json.dumps(sorted(srcs))]),
+                "sample": pa.array([n[::step].tolist()], type=pa.list_(pa.int64())),
+            }
+        )
+
+    rows = (
+        table.scan(version, columns=["source", "n_tok"])
+        .map_batches(stats_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )
+    sources: set[str] = set()
+    samples: list[np.ndarray] = []
+    for r in rows:
+        sources.update(json.loads(r["srcs"]))
+        samples.append(np.asarray(r["sample"], dtype=np.float64))
+    sample = np.concatenate(samples) if samples else np.zeros(1)
+    nq = 1 << _QUANTILE_BITS
+    boundaries = np.unique(np.quantile(sample, np.linspace(0.0, 1.0, nq + 1)[1:-1]))
+    return {
+        "codes": {s: i for i, s in enumerate(sorted(sources))},
+        "boundaries": boundaries,
+    }
 
 
 def cluster(
@@ -63,23 +130,32 @@ def cluster(
 
     Content-preserving: only physical order and fragment boundaries
     change. One global sort (unavoidable for clustering); everything
-    else streams.
+    else streams. The sort's map parallelism and its output partition
+    count both equal the input block count, and each sorted output
+    block is a contiguous curve-key range → one fragment per block
+    with a tight zone map. Block count is sized so fragments approach
+    the target size but parallelism never drops below the cluster's
+    CPU count (post-compaction a table can be a handful of huge
+    fragments — without the override the shuffle map side serializes).
     """
     cfg = table.config
     parent = table.latest_version() if version is None else version
+    m = table.manifest(parent)
 
-    # source dictionary: tiny cardinality → collect distinct values once
-    uniq = table.scan(parent, columns=["source"]).unique("source")
-    vals = sorted(v["source"] if isinstance(v, dict) else v for v in uniq)
-    codes = {s: i for i, s in enumerate(vals)}
-    codes_ref = ray.put(codes)
+    enc_ref = ray.put(_column_stats(table, parent))
 
-    ds = table.scan(parent)
+    total_bytes = sum(f.bytes for f in m.fragments)
+    total_rows = sum(f.rows for f in m.fragments)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = max(-(-total_bytes // max(cfg.target_fragment_bytes, 1)), 2 * cpus)
+    nb = max(1, min(int(nb), max(total_rows, 1)))
+
+    ds = table.scan(parent, override_num_blocks=nb)
     keyed = ds.map_batches(
         KeyInterleaver,
-        fn_constructor_args=(codes_ref, curve, cfg.cluster_bits),
+        fn_constructor_args=(enc_ref, curve, cfg.cluster_bits),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=(1, max(8, cpus)),
         zero_copy_batch=True,
     )
     clustered = keyed.sort("_ckey").map_batches(
@@ -93,5 +169,5 @@ def cluster(
         frags,
         operation=f"cluster-{curve}",
         expected_parent=parent,
-        properties={"curve": curve, "bits": cfg.cluster_bits, "sources": len(codes)},
+        properties={"curve": curve, "bits": cfg.cluster_bits, "sources": len(ray.get(enc_ref)["codes"])},
     )

@@ -192,7 +192,7 @@ class Table:
             kwargs["columns"] = list(columns)
         if predicate:
             kwargs["filter"] = mf.predicate_to_arrow(predicate)
-        if self.config.read_override_num_blocks:
+        if self.config.read_override_num_blocks and "override_num_blocks" not in kwargs:
             kwargs["override_num_blocks"] = self.config.read_override_num_blocks
         return ray.data.read_parquet(paths, **kwargs)
 

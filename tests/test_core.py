@@ -143,3 +143,22 @@ def test_optimistic_commit_conflict(tmp_table_dir):
     with pytest.raises(Exception) as ei:
         cm.commit(tmp_table_dir, m, expected_parent=stale_parent)
     assert "optimistic" in str(ei.value)
+
+
+def test_zone_map_predicate_ops():
+    """'=' and '==' are synonyms; unknown ops are an error, not a
+    silent full-scan (regression: '=' used to pass every fragment)."""
+    import pytest
+
+    from fupi_ray.manifest import FragmentMeta, fragment_may_match
+
+    frag = FragmentMeta(
+        path="x", rows=1, bytes=1, sum_n_tok=1,
+        zone_map={"source": {"min": "books", "max": "cc"}},
+    )
+    assert fragment_may_match(frag, [("source", "=", "cc")])
+    assert fragment_may_match(frag, [("source", "==", "cc")])
+    assert not fragment_may_match(frag, [("source", "=", "wiki")])
+    assert not fragment_may_match(frag, [("source", "==", "wiki")])
+    with pytest.raises(ValueError):
+        fragment_may_match(frag, [("source", "equals", "cc")])
