@@ -32,10 +32,14 @@ _C3 = np.uint64(0x94D049BB133111EB)
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = (x + _C1).astype(np.uint64)
-    x = ((x ^ (x >> np.uint64(30))) * _C2).astype(np.uint64)
-    x = ((x ^ (x >> np.uint64(27))) * _C3).astype(np.uint64)
-    return x ^ (x >> np.uint64(31))
+    # uint64 wrap-around is intentional; without errstate numpy 1.26
+    # routes every overflowing element through the warning machinery
+    # (~200x slower than the raw SIMD multiply)
+    with np.errstate(over="ignore"):
+        x = (x + _C1).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * _C2).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * _C3).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
 
 
 def _u01(x: np.ndarray) -> np.ndarray:
@@ -44,8 +48,11 @@ def _u01(x: np.ndarray) -> np.ndarray:
 
 
 def _row_stream(seed: int, ids: np.ndarray, stream: int) -> np.ndarray:
-    base = np.uint64(seed) * np.uint64(0x100000001B3) + np.uint64(stream) * np.uint64(0xDEADBEEF97)
-    return _splitmix64(ids.astype(np.uint64) ^ base)
+    with np.errstate(over="ignore"):
+        base = np.uint64(seed) * np.uint64(0x100000001B3) + np.uint64(stream) * np.uint64(
+            0xDEADBEEF97
+        )
+        return _splitmix64(ids.astype(np.uint64) ^ base)
 
 
 def gen_n_tok(ids: np.ndarray, seed: int = 42) -> np.ndarray:
@@ -76,11 +83,12 @@ def gen_tokens_flat(ids: np.ndarray, n_tok: np.ndarray, seed: int = 42, salt: in
     flat_row = np.repeat(ids.astype(np.uint64), n)
     # intra-row position j = global position - row start
     j = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n)
-    mixed = _splitmix64(
-        (flat_row * np.uint64(0x9E3779B1))
-        ^ (j.astype(np.uint64) * np.uint64(0x85EBCA77))
-        ^ np.uint64(seed * 2654435761 + salt * 0x9747B28C)
-    )
+    with np.errstate(over="ignore"):
+        mixed = _splitmix64(
+            (flat_row * np.uint64(0x9E3779B1))
+            ^ (j.astype(np.uint64) * np.uint64(0x85EBCA77))
+            ^ np.uint64((seed * 2654435761 + salt * 0x9747B28C) & 0xFFFFFFFFFFFFFFFF)
+        )
     vals = (mixed % np.uint64(VOCAB)).astype(np.int32)
     return vals, offsets
 

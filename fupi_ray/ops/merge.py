@@ -143,6 +143,7 @@ def _merge_shuffle(
     parent: int,
     job_id: str,
     num_buckets: int,
+    rows_per_frag: int | None = None,
 ) -> list[FragmentMeta]:
     """Scale path: both sides tagged + bucketed by hash(doc_id); a
     source row wins over the target row of the same key inside each
@@ -178,7 +179,9 @@ def _merge_shuffle(
         .map_groups(resolve, batch_format="pandas")
         .map_batches(normalize_batch, batch_format="pyarrow")
     )
-    return write_dataset_fragments(merged, table.table_dir, f"mg-{job_id}")
+    return write_dataset_fragments(
+        merged, table.table_dir, f"mg-{job_id}", target_fragment_rows=rows_per_frag
+    )
 
 
 def merge_into(
@@ -193,18 +196,30 @@ def merge_into(
     parent = table.latest_version()
     job_id = job_id or f"merge-v{parent}"
 
-    deduped = _dedup_source(source, cfg.merge_num_buckets)
+    # Materialize the deduped source once: both strategies consume it
+    # twice (keys + fragment write, or min/max + union), so a second
+    # lazy execution would re-run the dedup shuffle; count() on the
+    # materialized set is then metadata-free. The object store holds
+    # (and spills) it — never the driver heap.
+    deduped = _dedup_source(source, cfg.merge_num_buckets).materialize()
+    n_src = deduped.count()
+    if n_src == 0:
+        return parent
 
     if strategy == "auto":
-        n_src = source.count()
         strategy = "broadcast" if n_src <= cfg.merge_broadcast_max_keys else "shuffle"
+
+    # Pack the source-side fragments to target size instead of one tiny
+    # fragment per dedup bucket (the groupby emits ~num_buckets blocks
+    # regardless of how small the source is).
+    src_bytes = max(deduped.size_bytes() or 1, 1)
+    rows_per_frag = max(
+        1, int(n_src * min(cfg.target_fragment_bytes / src_bytes, 1.0))
+    )
 
     m = table.manifest(parent)
 
     if strategy == "broadcast":
-        # Materialize the deduped source once (it is the small side) so
-        # keys can be collected without recomputing the dedup shuffle.
-        deduped = deduped.materialize()
         key_rows = deduped.select_columns(["doc_id"]).take_all()
         keys = np.sort(np.array([r["doc_id"] for r in key_rows], dtype=object))
         if len(keys) == 0:
@@ -235,6 +250,7 @@ def merge_into(
             deduped.map_batches(normalize_batch, batch_format="pyarrow"),
             table.table_dir,
             f"mg-{job_id}-src",
+            target_fragment_rows=rows_per_frag,
         )
         removed = {f.path for f in hit}
         new_frags = survivors + src_frags
@@ -265,8 +281,19 @@ def merge_into(
             if f.zone_map.get("doc_id") is None
             or not (f.zone_map["doc_id"]["max"] < lo or f.zone_map["doc_id"]["min"] > hi)
         ]
+        hit_bytes = sum(f.bytes for f in hit) + src_bytes
+        hit_rows = sum(f.rows for f in hit) + n_src
+        merged_rows_per_frag = max(
+            1, int(hit_rows * min(cfg.target_fragment_bytes / max(hit_bytes, 1), 1.0))
+        )
         new_frags = _merge_shuffle(
-            table, [f.path for f in hit], deduped, parent, job_id, cfg.merge_num_buckets
+            table,
+            [f.path for f in hit],
+            deduped,
+            parent,
+            job_id,
+            cfg.merge_num_buckets,
+            rows_per_frag=merged_rows_per_frag,
         )
         removed = {f.path for f in hit}
         stats = {
