@@ -144,7 +144,9 @@ def sequences_dataset(
         ]
         return pa.concat_tables(parts)
 
-    return ray.data.from_items(specs).repartition(len(specs)).map_batches(
+    # one block per spec (override_num_blocks, not a repartition() —
+    # that would be a needless all-to-all barrier in every caller's DAG)
+    return ray.data.from_items(specs, override_num_blocks=len(specs)).map_batches(
         gen, batch_format="pyarrow", batch_size=1
     )
 
@@ -190,7 +192,7 @@ def merge_source_dataset(
             done += c
         if not specs:
             return None
-        return ray.data.from_items(specs).repartition(len(specs)).map_batches(
+        return ray.data.from_items(specs, override_num_blocks=len(specs)).map_batches(
             gen, batch_format="pyarrow", batch_size=1
         )
 

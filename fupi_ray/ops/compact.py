@@ -191,7 +191,7 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
     job_id = job_id or f"compact-v{parent}"
 
     refs = [
-        _repack_task.remote(table.table_dir, job_id, i, [f.path for f in p], 128 * 1024)
+        _repack_task.remote(table.table_dir, job_id, i, [f.path for f in p], 32 * 1024)
         for i, p in enumerate(plan.packs)
     ]
     records = ray.get(refs)

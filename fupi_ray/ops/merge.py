@@ -35,7 +35,6 @@ import os
 import time
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -76,14 +75,23 @@ def _dedup_source(source: ray.data.Dataset, num_buckets: int) -> ray.data.Datase
         b = (stable_hash(batch["doc_id"]) % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column("_bucket", pa.array(b))
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["doc_id", "_src_order"], kind="mergesort")
-        return g.drop_duplicates(subset=["doc_id"], keep="first")
+    def dedup_bucket(g: pa.Table) -> pa.Table:
+        # pure-Arrow keep-first (a pandas group fn would convert the
+        # token-list payload object-by-object both ways)
+        order = pc.sort_indices(
+            g, sort_keys=[("doc_id", "ascending"), ("_src_order", "ascending")]
+        )
+        g = g.take(order)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            keep[1:] = ids[1:] != ids[:-1]
+        return g.filter(pa.array(keep))
 
     return (
         source.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
-        .map_groups(dedup_bucket, batch_format="pandas")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
         .drop_columns(["_bucket", "_src_order"])
     )
 
@@ -104,13 +112,24 @@ def _rewrite_fragment_task(
     if existing is not None:
         return existing
 
-    keys: np.ndarray = keys_ref if isinstance(keys_ref, np.ndarray) else ray.get(keys_ref)
+    # keys arrive as (sorted uint64 hashes, exact strings in the same
+    # order): the hash array keeps the broadcast compact and the
+    # searchsorted vectorized (an object-dtype string searchsorted
+    # falls back to per-element python compares); exact doc_id
+    # confirmation runs only on hash hits, so collisions cannot drop a
+    # wrong row.
+    key_hashes, key_strs = keys_ref  # ObjectRef args resolve before entry
     t0 = time.perf_counter()
     tbl = pq.read_table(os.path.join(table_dir, rel_path))
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-    pos = np.searchsorted(keys, ids)
-    pos = np.clip(pos, 0, len(keys) - 1)
-    matched = keys[pos] == ids
+    id_hashes = stable_hash(ids)
+    pos = np.searchsorted(key_hashes, id_hashes)
+    pos = np.clip(pos, 0, max(len(key_hashes) - 1, 0))
+    cand = key_hashes[pos] == id_hashes
+    matched = np.zeros(len(ids), dtype=bool)
+    ci = np.nonzero(cand)[0]
+    if len(ci):
+        matched[ci] = key_strs[pos[ci]] == ids[ci]
     out = tbl.filter(pa.array(~matched))
 
     outputs: list[FragmentMeta] = []
@@ -118,7 +137,7 @@ def _rewrite_fragment_task(
         rel_out = os.path.join("data", f"mg-{job_id}-{frag_idx:05d}.parquet")
         abs_out = os.path.join(table_dir, rel_out)
         tmp = abs_out + ".tmp"
-        pq.write_table(out, tmp, row_group_size=128 * 1024)
+        pq.write_table(out, tmp, row_group_size=32 * 1024)
         os.replace(tmp, abs_out)
         outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
     lineage.write_record(
@@ -163,11 +182,18 @@ def _merge_shuffle(
 
         return fn
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # source rows (_prio=0) sort before target rows (_prio=1) → keep first
-        g = g.sort_values(["doc_id", "_prio"], kind="mergesort")
-        g = g.drop_duplicates(subset=["doc_id"], keep="first")
-        return g.drop(columns=["_bucket", "_prio"])
+    def resolve(g: pa.Table) -> pa.Table:
+        # source rows (_prio=0) sort before target rows (_prio=1) →
+        # keep first; pure Arrow, same rationale as dedup_bucket
+        order = pc.sort_indices(
+            g, sort_keys=[("doc_id", "ascending"), ("_prio", "ascending")]
+        )
+        g = g.take(order)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            keep[1:] = ids[1:] != ids[:-1]
+        return g.filter(pa.array(keep)).drop_columns(["_bucket", "_prio"])
 
     # the dedup shuffle returns list columns as Ray tensor-extension
     # arrays; normalize so union blocks share one schema
@@ -176,7 +202,7 @@ def _merge_shuffle(
         .map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
         .union(target.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
         .groupby("_bucket")
-        .map_groups(resolve, batch_format="pandas")
+        .map_groups(resolve, batch_format="pyarrow")
         .map_batches(normalize_batch, batch_format="pyarrow")
     )
     return write_dataset_fragments(
@@ -195,6 +221,14 @@ def merge_into(
     cfg = table.config
     parent = table.latest_version()
     job_id = job_id or f"merge-v{parent}"
+    phase_t: dict[str, float] = {}
+    t_last = time.perf_counter()
+
+    def mark(phase: str) -> None:
+        nonlocal t_last
+        now = time.perf_counter()
+        phase_t[phase] = round(now - t_last, 3)
+        t_last = now
 
     # Materialize the deduped source once: both strategies consume it
     # twice (keys + fragment write, or min/max + union), so a second
@@ -203,6 +237,7 @@ def merge_into(
     # (and spills) it — never the driver heap.
     deduped = _dedup_source(source, cfg.merge_num_buckets).materialize()
     n_src = deduped.count()
+    mark("dedup")
     if n_src == 0:
         return parent
 
@@ -220,11 +255,18 @@ def merge_into(
     m = table.manifest(parent)
 
     if strategy == "broadcast":
-        key_rows = deduped.select_columns(["doc_id"]).take_all()
-        keys = np.sort(np.array([r["doc_id"] for r in key_rows], dtype=object))
+        key_df = deduped.select_columns(["doc_id"]).to_pandas()
+        keys = np.sort(key_df["doc_id"].to_numpy(dtype=object))
         if len(keys) == 0:
             return parent
-        keys_ref = ray.put(keys)
+        # broadcast as (sorted uint64 hashes, exact strings aligned):
+        # compact on the wire and vectorized to probe (see
+        # _rewrite_fragment_task); the string-sorted array stays on the
+        # driver for zone-map pruning
+        h = stable_hash(keys)
+        order = np.argsort(h, kind="stable")
+        keys_ref = ray.put((h[order], keys[order]))
+        mark("collect_keys")
 
         # zone-map prune: fragment is "hit" iff some key falls in its range
         hit, kept = [], []
@@ -244,6 +286,7 @@ def merge_into(
             for i, f in enumerate(hit)
         ]
         records = ray.get(refs)
+        mark("rewrite_fragments")
         survivors = [fm for rec in records for fm in lineage.output_fragments(rec)]
 
         src_frags = write_dataset_fragments(
@@ -252,10 +295,12 @@ def merge_into(
             f"mg-{job_id}-src",
             target_fragment_rows=rows_per_frag,
         )
+        mark("write_source")
         removed = {f.path for f in hit}
         new_frags = survivors + src_frags
         stats = {
             "strategy": "broadcast",
+            "phase_seconds": phase_t,
             "source_keys": int(len(keys)),
             "fragments_hit": len(hit),
             "fragments_untouched": len(kept),
@@ -295,9 +340,11 @@ def merge_into(
             cfg.merge_num_buckets,
             rows_per_frag=merged_rows_per_frag,
         )
+        mark("shuffle_resolve")
         removed = {f.path for f in hit}
         stats = {
             "strategy": "shuffle",
+            "phase_seconds": phase_t,
             "fragments_hit": len(hit),
             "fragments_untouched": len(m.fragments) - len(hit),
         }

@@ -40,7 +40,7 @@ class _FragmentWriter:
     name, so retried tasks can never corrupt committed state (commit
     happens only via the manifest)."""
 
-    def __init__(self, table_dir: str, prefix: str, row_group_rows: int = 128 * 1024):
+    def __init__(self, table_dir: str, prefix: str, row_group_rows: int = 32 * 1024):
         self.table_dir = table_dir
         self.prefix = prefix
         self.row_group_rows = row_group_rows

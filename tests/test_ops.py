@@ -230,10 +230,16 @@ def test_merge_resume_skips_done_fragments(tmp_table_dir):
     src = _mk_source(n_upd=50, n_ins=10, n_dup=5)
     job = "merge-resume"
     # pre-run fragment 0 rewrite by hand with the job's key set
+    from fupi_ray.functions.hashing import stable_hash
+
     keys = np.sort(np.unique(src["doc_id"].to_numpy(zero_copy_only=False)))
+    h = stable_hash(keys)
+    order = np.argsort(h, kind="stable")
     frag0 = t.manifest().fragments[0]
     _ray.get(
-        _rewrite_fragment_task.remote(t.table_dir, job, 0, frag0.path, _ray.put(keys))
+        _rewrite_fragment_task.remote(
+            t.table_dir, job, 0, frag0.path, _ray.put((h[order], keys[order]))
+        )
     )
     rec = lineage.read_record(t.table_dir, job, "frag-00000")
     assert rec is not None
