@@ -110,7 +110,7 @@ def run_bench() -> dict:
         reduced — the bytes genuinely flow disk → Arrow → kernel (a
         column-pruned or count()-style scan would be metadata-bound and
         measure latency, not throughput)."""
-        ds = table.scan(override_num_blocks=num_cpus * 2)
+        ds = table.scan()  # one fused task per fragment
 
         def reduce_batch(t: pa.Table) -> pa.Table:
             flat = t["tokens"].combine_chunks().flatten()
@@ -175,14 +175,57 @@ def run_bench() -> dict:
     return result
 
 
+def _spin_alu(args):
+    n_iter, elems = args
+    import numpy as np
+
+    x = np.arange(elems, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for _ in range(n_iter):
+            x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    return int(x[0])
+
+
+def calibrate_hardware(lo: int, hi: int) -> dict:
+    """Measure this box's OWN strong-scaling ceiling at lo vs hi
+    parallel workers, for (a) cache-resident ALU work and (b)
+    memory-bandwidth-bound work (64 MB working set).
+
+    On this sandbox the two levels share one socket: running few
+    workers boosts clocks (turbo) and monopolizes the memory bus, so
+    even embarrassingly parallel code cannot reach efficiency 1.0 at
+    hi/lo — whereas a real N→4N cluster step adds whole machines
+    (own sockets, own memory buses, own disks). The ceilings let the
+    engine's measured efficiency be read against what the hardware
+    permits at all.
+    """
+    import multiprocessing as mp
+    import time as _t
+
+    def rate(nproc: int, elems: int, n_iter: int) -> float:
+        with mp.Pool(nproc) as pool:
+            pool.map(_spin_alu, [(2, elems)] * nproc)  # warm
+            t0 = _t.perf_counter()
+            pool.map(_spin_alu, [(n_iter, elems)] * nproc)
+            return nproc / (_t.perf_counter() - t0)
+
+    out = {}
+    for name, elems, n_iter in (("alu", 200_000, 1200), ("membw", 8_000_000, 30)):
+        r_lo = rate(lo, elems, n_iter)
+        r_hi = rate(hi, elems, n_iter)
+        out[f"ceiling_{name}"] = round((r_hi / r_lo) / (hi / lo), 3)
+    return out
+
+
 def run_scaling() -> dict:
     """Same job, same input, two parallelism levels in fresh processes
     (the sandbox stand-in for N vs 4N nodes). Efficiency is reported on
     the headline metric — post-compaction full-scan tokens/sec — and,
-    informationally, on the end-to-end maintenance pipeline. A larger
-    input than the per-round bench is used so fixed per-session costs
-    (worker spawn, actor pools) amortize the way they would on a real
-    long-lived cluster."""
+    informationally, on the end-to-end maintenance pipeline, both raw
+    and normalized by the measured single-box hardware ceiling
+    (see calibrate_hardware). A larger input than the per-round bench
+    is used so fixed per-session costs (worker spawn, actor pools)
+    amortize the way they would on a long-lived cluster."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -199,24 +242,35 @@ def run_scaling() -> dict:
     lo_cpus, hi_cpus = 8, 32
     lo = run(lo_cpus)
     hi = run(hi_cpus)
+    cal = calibrate_hardware(lo_cpus, hi_cpus)
     factor = hi_cpus / lo_cpus
     eff_scan = (hi["scan_tokens_per_sec"] / lo["scan_tokens_per_sec"]) / factor
     core = ["ingest", "compact", "scan", "scan_count", "cluster", "merge"]
     t_lo = sum(lo["queries"][k] for k in core)
     t_hi = sum(hi["queries"][k] for k in core)
     eff_e2e = (t_lo / t_hi) / factor
+    # scan/merge move every byte → read against the membw ceiling; the
+    # mixed end-to-end pipeline sits between the two ceilings
+    ceiling_scan = max(cal["ceiling_membw"], 1e-6)
+    ceiling_e2e = max((cal["ceiling_membw"] + cal["ceiling_alu"]) / 2, 1e-6)
     return {
         "metric": "scaling efficiency (N=8 vs 4N=32 cpus, same input)",
         "value": round(eff_scan, 3),
         "unit": "efficiency",
         "scaling_efficiency_scan": round(eff_scan, 3),
         "scaling_efficiency_e2e": round(eff_e2e, 3),
+        "hardware_ceiling_alu": cal["ceiling_alu"],
+        "hardware_ceiling_membw": cal["ceiling_membw"],
+        "normalized_efficiency_scan": round(min(eff_scan / ceiling_scan, 1.5), 3),
+        "normalized_efficiency_e2e": round(min(eff_e2e / ceiling_e2e, 1.5), 3),
         "sec_8": round(t_lo, 3),
         "sec_32": round(t_hi, 3),
         "tokens_per_sec_8": lo["scan_tokens_per_sec"],
         "tokens_per_sec_32": hi["scan_tokens_per_sec"],
         "merge_sec_8": lo["merge_sec"],
         "merge_sec_32": hi["merge_sec"],
+        "queries_8": lo["queries"],
+        "queries_32": hi["queries"],
         "bench_rows": lo["bench_rows"],
         "num_cpus": hi_cpus,
         "sf": lo["sf"],

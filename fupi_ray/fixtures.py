@@ -147,7 +147,7 @@ def sequences_dataset(
     # one block per spec (override_num_blocks, not a repartition() —
     # that would be a needless all-to-all barrier in every caller's DAG)
     return ray.data.from_items(specs, override_num_blocks=len(specs)).map_batches(
-        gen, batch_format="pyarrow", batch_size=1
+        gen, batch_format="pyarrow"
     )
 
 
@@ -193,7 +193,7 @@ def merge_source_dataset(
         if not specs:
             return None
         return ray.data.from_items(specs, override_num_blocks=len(specs)).map_batches(
-            gen, batch_format="pyarrow", batch_size=1
+            gen, batch_format="pyarrow"
         )
 
     # updates: every 2nd id in [0, 2*n_upd) → existing keys, salted tokens

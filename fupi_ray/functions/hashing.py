@@ -119,6 +119,23 @@ def hilbert_key(d0: np.ndarray, d1: np.ndarray, d2: np.ndarray, bits: int = 21) 
     ) >> (np.uint64(3) * pad)
 
 
+_M1 = np.uint64(0x9E3779B97F4A7C15)
+_M2 = np.uint64(0xBF58476D1CE4E5B9)
+_M3 = np.uint64(0x94D049BB133111EB)
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array — a cheap, fully
+    vectorized 64-bit mixer (stand-in for per-permutation universal
+    hashing in MinHash; object-dtype Mersenne-prime math costs a python
+    bigint op per element)."""
+    with np.errstate(over="ignore"):
+        x = (np.asarray(x, dtype=np.uint64) + _M1).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(30))) * _M2).astype(np.uint64)
+        x = ((x ^ (x >> np.uint64(27))) * _M3).astype(np.uint64)
+        return x ^ (x >> np.uint64(31))
+
+
 def quantize_to_bits(values: np.ndarray, lo: float, hi: float, bits: int = 21) -> np.ndarray:
     """Linearly scale numeric values in [lo, hi] to ``bits``-bit ints."""
     v = np.asarray(values, dtype=np.float64)

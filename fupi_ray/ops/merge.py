@@ -112,13 +112,14 @@ def _rewrite_fragment_task(
     if existing is not None:
         return existing
 
-    # keys arrive as (sorted uint64 hashes, exact strings in the same
-    # order): the hash array keeps the broadcast compact and the
-    # searchsorted vectorized (an object-dtype string searchsorted
-    # falls back to per-element python compares); exact doc_id
-    # confirmation runs only on hash hits, so collisions cannot drop a
-    # wrong row.
-    key_hashes, key_strs = keys_ref  # ObjectRef args resolve before entry
+    # keys arrive as (sorted uint64 hashes, fixed-width utf-8 bytes in
+    # the same order): both arrays are single-buffer numpy — the
+    # broadcast deserializes per task with ZERO per-element python
+    # objects (an object-dtype string array costs ~1M string allocs
+    # per task, which collapses under 32-way concurrency) and probes
+    # stay vectorized. Exact doc_id confirmation runs only on hash
+    # hits, so hash collisions cannot drop a wrong row.
+    key_hashes, key_bytes = keys_ref  # ObjectRef args resolve before entry
     t0 = time.perf_counter()
     tbl = pq.read_table(os.path.join(table_dir, rel_path))
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
@@ -129,7 +130,8 @@ def _rewrite_fragment_task(
     matched = np.zeros(len(ids), dtype=bool)
     ci = np.nonzero(cand)[0]
     if len(ci):
-        matched[ci] = key_strs[pos[ci]] == ids[ci]
+        ids_b = np.char.encode(ids[ci].astype(str), "utf-8")
+        matched[ci] = key_bytes[pos[ci]] == ids_b  # S-dtype compares by content
     out = tbl.filter(pa.array(~matched))
 
     outputs: list[FragmentMeta] = []
@@ -259,13 +261,15 @@ def merge_into(
         keys = np.sort(key_df["doc_id"].to_numpy(dtype=object))
         if len(keys) == 0:
             return parent
-        # broadcast as (sorted uint64 hashes, exact strings aligned):
-        # compact on the wire and vectorized to probe (see
-        # _rewrite_fragment_task); the string-sorted array stays on the
-        # driver for zone-map pruning
+        # broadcast as (sorted uint64 hashes, fixed-width utf-8 bytes
+        # aligned): single-buffer arrays, compact on the wire and free
+        # of per-element objects to deserialize (see
+        # _rewrite_fragment_task); the string-sorted array stays on
+        # the driver for zone-map pruning
         h = stable_hash(keys)
         order = np.argsort(h, kind="stable")
-        keys_ref = ray.put((h[order], keys[order]))
+        key_bytes = np.char.encode(keys[order].astype(str), "utf-8")
+        keys_ref = ray.put((h[order], key_bytes))
         mark("collect_keys")
 
         # zone-map prune: fragment is "hit" iff some key falls in its range

@@ -22,7 +22,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from fupi_ray.functions.hashing import stable_hash
+from fupi_ray.functions.hashing import mix64, stable_hash
 
 
 # ---------------------------------------------------------------------------
@@ -72,17 +72,16 @@ def dedup_exact(
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-
-
 class MinHashStage:
-    """Per-batch MinHash signatures (stateful: permutation coefficients
+    """Per-batch MinHash signatures (stateful: per-permutation salts
     generated once per actor from a fixed seed).
 
-    Shingles = word ``shingle_size``-grams hashed with the stable
-    64-bit hash; signature[p] = min over shingles of (a_p * h + b_p)
-    mod M. Emits one row per (doc, band): ``(id, band, band_key)`` —
-    ready for the LSH bucket groupby.
+    Shingles = word ``shingle_size``-grams; a gram's 64-bit hash is a
+    vectorized mix of its word hashes (no gram strings are ever
+    built). signature[p] = min over shingles of mix64(h ^ salt_p) —
+    one (P × S) uint64 broadcast per doc instead of object-dtype
+    Mersenne-prime bigint math. Emits one row per (doc, band):
+    ``(id, band, band_key)`` — ready for the LSH bucket groupby.
     """
 
     def __init__(
@@ -100,43 +99,54 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
         self.shingle = shingle_size
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(object)
+        self.salts = rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.word_re = re.compile(r"\w+", re.U)
 
     def shingle_hashes(self, text: str) -> np.ndarray:
         words = self.word_re.findall((text or "").lower())
-        if len(words) < self.shingle:
-            grams = [" ".join(words)] if words else [""]
-        else:
-            grams = [
-                " ".join(words[i : i + self.shingle])
-                for i in range(len(words) - self.shingle + 1)
-            ]
-        return np.unique(stable_hash(np.array(grams, dtype=object)))
+        if not words:
+            return np.array([0], dtype=np.uint64)
+        wh = stable_hash(np.array(words, dtype=object))
+        k = self.shingle
+        if len(wh) < k:
+            g = wh[:1]
+            for i in range(1, len(wh)):
+                g = mix64(g ^ wh[i : i + 1])
+            return g.astype(np.uint64)
+        g = wh[: len(wh) - k + 1].copy()
+        for off in range(1, k):
+            g = mix64(g ^ wh[off : off + len(g)])
+        return np.unique(g)
 
     def signature(self, text: str) -> np.ndarray:
-        h = self.shingle_hashes(text).astype(object)  # object → exact big-int math
-        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
-        return np.min(vals, axis=1).astype(np.uint64)
+        h = self.shingle_hashes(text)
+        return mix64(h[None, :] ^ self.salts[:, None]).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                key = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                out_id.append(i)
-                out_band.append(band)
-                out_key.append(key)
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.string()),
+                    "band": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                }
+            )
+        sigs = np.stack([self.signature(t) for t in texts])  # (n, P)
+        # fold each band's rows into one 64-bit key, vectorized over docs
+        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
+        key = chunks[:, :, 0]
+        for r in range(1, self.rows_per_band):
+            key = mix64(key ^ chunks[:, :, r])
+        out_ids = np.repeat(np.asarray(ids, dtype=object), self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "id": pa.array(out_id),
+                "id": pa.array(out_ids),
                 "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.string()),
+                "band_key": pa.array(key.reshape(-1).astype(np.int64), pa.int64()),
             }
         )
 
@@ -170,22 +180,69 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=g["id"].dtype), "id_b": pd.Series([], dtype=g["id"].dtype)}
-            )
-        if len(ids) > 64:  # degenerate bucket: star around the minimum
-            a = [ids[0]] * (len(ids) - 1)
-            b = ids[1:]
-        else:
-            a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"id_a": list(a), "id_b": list(b)})
-
-    pairs = sig.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _grouped_pairs(sig, ["band", "band_key"], max_group=64)
     # distinct pairs (a pair can fire in several bands)
     return dedup_pairs(pairs)
+
+
+def _grouped_pairs(
+    sig: ray.data.Dataset,
+    key_cols: list[str],
+    max_group: int = 64,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """All (a<b) id pairs sharing identical ``key_cols`` values.
+
+    One hash-bucket shuffle (NOT a per-key groupby -- 10^5+ distinct
+    band keys would mean 10^5+ one-row python group calls); inside each
+    bucket, group boundaries are found vectorized on the sorted frame
+    and only multi-member groups (the rare ones) build pairs. Groups
+    above ``max_group`` (degenerate/boilerplate content) emit a star
+    around the minimum id, keeping output linear."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_bucket", pa.array([], pa.int32()))
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in key_cols:
+            h = mix64(h ^ stable_hash(batch[c]))
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dtype = g["id"].dtype
+        g = g.sort_values([*key_cols, "id"], kind="mergesort")
+        ids = g["id"].to_numpy()
+        change = np.ones(len(g), dtype=bool)
+        change[1:] = False
+        for c in key_cols:
+            k = g[c].to_numpy()
+            change[1:] |= k[1:] != k[:-1]
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, len(g)))
+        ra: list = []
+        rb: list = []
+        for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            grp = np.unique(ids[s : s + sz])
+            if len(grp) < 2:
+                continue
+            if len(grp) > max_group:
+                ra.extend([grp[0]] * (len(grp) - 1))
+                rb.extend(grp[1:])
+            else:
+                iu = np.triu_indices(len(grp), k=1)
+                ra.extend(grp[iu[0]])
+                rb.extend(grp[iu[1]])
+        return pd.DataFrame(
+            {"id_a": pd.Series(ra, dtype=dtype), "id_b": pd.Series(rb, dtype=dtype)}
+        )
+
+    return (
+        sig.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
 
 
 def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Dataset:
@@ -300,28 +357,59 @@ def simhash_candidates(
         concurrency=concurrency,
     )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("_bucket", pa.array([], pa.int32()))
+        h = mix64(
+            stable_hash(batch["band"].to_numpy(zero_copy_only=False).astype(np.int64))
+            ^ stable_hash(batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64))
+        )
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(64)).astype(np.int32))
+        )
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         dtype = g["id"].dtype
-        g = g.drop_duplicates(subset=["id"]).sort_values("id")
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series([], dtype=dtype), "id_b": pd.Series([], dtype=dtype)}
-            )
-        ids = g["id"].tolist()
+        g = g.sort_values(["band", "band_key", "id"], kind="mergesort")
+        kb = g["band"].to_numpy()
+        kk = g["band_key"].to_numpy()
+        ids = g["id"].to_numpy()
         sims = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        change = np.ones(len(g), dtype=bool)
+        change[1:] = (kb[1:] != kb[:-1]) | (kk[1:] != kk[:-1])
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, len(g)))
         rows_a, rows_b = [], []
-        for i in range(len(ids)):
-            x = np.bitwise_xor(sims[i + 1 :], sims[i])
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(ham <= max_hamming)[0]:
-                rows_a.append(ids[i])
-                rows_b.append(ids[i + 1 + j])
+        for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            gi, gs = ids[s : s + sz], sims[s : s + sz]
+            keep = np.ones(sz, dtype=bool)
+            keep[1:] = gi[1:] != gi[:-1]
+            gi, gs = gi[keep], gs[keep]
+            for i in range(len(gi) - 1):
+                x = np.bitwise_xor(gs[i + 1 :], gs[i])
+                ham = _popcount64(x)
+                for j in np.nonzero(ham <= max_hamming)[0]:
+                    rows_a.append(gi[i])
+                    rows_b.append(gi[i + 1 + j])
         return pd.DataFrame(
             {"id_a": pd.Series(rows_a, dtype=dtype), "id_b": pd.Series(rows_b, dtype=dtype)}
         )
 
-    pairs = sig.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = (
+        sig.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
     return dedup_pairs(pairs)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 # ---------------------------------------------------------------------------

@@ -192,8 +192,17 @@ class Table:
             kwargs["columns"] = list(columns)
         if predicate:
             kwargs["filter"] = mf.predicate_to_arrow(predicate)
-        if self.config.read_override_num_blocks and "override_num_blocks" not in kwargs:
-            kwargs["override_num_blocks"] = self.config.read_override_num_blocks
+        if "override_num_blocks" not in kwargs:
+            if self.config.read_override_num_blocks:
+                kwargs["override_num_blocks"] = self.config.read_override_num_blocks
+            else:
+                # default: one block per fragment. Ray's auto-estimate
+                # inserts a SplitBlocks step that BREAKS read↔map
+                # fusion, pushing the whole payload through the object
+                # store between the two operators; one task per
+                # target-sized fragment keeps the read fused with the
+                # consumer and makes the fragment the parallelism unit
+                kwargs["override_num_blocks"] = len(paths)
         return ray.data.read_parquet(paths, **kwargs)
 
     # -- commits ------------------------------------------------------------

@@ -235,10 +235,11 @@ def test_merge_resume_skips_done_fragments(tmp_table_dir):
     keys = np.sort(np.unique(src["doc_id"].to_numpy(zero_copy_only=False)))
     h = stable_hash(keys)
     order = np.argsort(h, kind="stable")
+    kb = np.char.encode(keys[order].astype(str), "utf-8")
     frag0 = t.manifest().fragments[0]
     _ray.get(
         _rewrite_fragment_task.remote(
-            t.table_dir, job, 0, frag0.path, _ray.put((h[order], keys[order]))
+            t.table_dir, job, 0, frag0.path, _ray.put((h[order], kb))
         )
     )
     rec = lineage.read_record(t.table_dir, job, "frag-00000")
