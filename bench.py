@@ -135,6 +135,17 @@ def run_bench() -> dict:
         merge_into(table, upd.union(ins), strategy="auto")
 
     timed("merge", do_merge)
+    phase_detail = {
+        "cluster_phases": None,
+        "merge_phases": None,
+    }
+    for v in reversed(table.versions()):
+        props = table.manifest(v).properties
+        ph = props.get("phase_seconds")
+        if ph and props.get("strategy") and phase_detail["merge_phases"] is None:
+            phase_detail["merge_phases"] = ph
+        if ph and props.get("curve") and phase_detail["cluster_phases"] is None:
+            phase_detail["cluster_phases"] = ph
 
     # ---- operator pipelines over testdata ---------------------------------
     def consume(ds):
@@ -169,6 +180,7 @@ def run_bench() -> dict:
         "total_tokens": total_tokens,
         "scan_tokens_per_sec": scan_tps,
         "merge_sec": timings["merge"],
+        "phases": phase_detail,
     }
     ray.shutdown()
     shutil.rmtree(tdir, ignore_errors=True)
@@ -240,9 +252,11 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo_cpus, hi_cpus = 8, 32
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    # calibrate on the quiescent box, BEFORE the legs heat it up
     cal = calibrate_hardware(lo_cpus, hi_cpus)
+    lo = run(lo_cpus)
+    time.sleep(10)  # let writeback/allocator settle between legs
+    hi = run(hi_cpus)
     factor = hi_cpus / lo_cpus
     eff_scan = (hi["scan_tokens_per_sec"] / lo["scan_tokens_per_sec"]) / factor
     core = ["ingest", "compact", "scan", "scan_count", "cluster", "merge"]
@@ -271,6 +285,8 @@ def run_scaling() -> dict:
         "merge_sec_32": hi["merge_sec"],
         "queries_8": lo["queries"],
         "queries_32": hi["queries"],
+        "phases_8": lo.get("phases"),
+        "phases_32": hi.get("phases"),
         "bench_rows": lo["bench_rows"],
         "num_cpus": hi_cpus,
         "sf": lo["sf"],
