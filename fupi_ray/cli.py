@@ -28,6 +28,12 @@ def main(argv=None) -> int:
     p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
+    p.add_argument(
+        "--rows-per-fragment",
+        type=int,
+        default=None,
+        help="ingest: force small fragments (post-ingest small-file state)",
+    )
     p.add_argument("--job-id", default=None, help="lineage namespace for resume")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--version", type=int, default=None, help="scan: pin this version")
@@ -56,7 +62,10 @@ def main(argv=None) -> int:
             t = Table.open(args.table)
         except FileNotFoundError:
             t = Table.create(args.table)
-        v = t.commit_append(sequences_dataset(args.rows))
+        kw = {}
+        if args.rows_per_fragment:
+            kw["rows_per_partition"] = args.rows_per_fragment
+        v = t.commit_append(sequences_dataset(args.rows, **kw))
         out["version"] = v
     elif args.op == "compact":
         t = Table.open(args.table)

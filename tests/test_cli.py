@@ -1,0 +1,69 @@
+"""End-to-end `ray job submit` entry-point test: drives the full
+maintenance cycle through `python -m fupi_ray.cli` subprocesses — the
+exact surface the north rule's job submission uses. Each invocation
+owns its own Ray session (the library never calls ray.init; the CLI
+does), so this runs OUTSIDE the session-scoped pytest Ray fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def run_cli(*args: str) -> dict:
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # CLI owns its session
+    out = subprocess.run(
+        [sys.executable, "-m", "fupi_ray.cli", *args, "--num-cpus", "4"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def test_cli_full_cycle(tmp_path):
+    table = str(tmp_path / "tbl")
+
+    r = run_cli("ingest", "--table", table, "--rows", "3000", "--rows-per-fragment", "500")
+    assert r["version"] == 1
+
+    r = run_cli("scan", "--table", table)
+    assert r["rows"] == 3000
+
+    r = run_cli("compact", "--table", table)
+    assert r["version"] == 2
+
+    r = run_cli("cluster", "--table", table, "--curve", "zorder")
+    assert r["version"] == 3
+
+    # MERGE from a parquet source file (updates 100 existing + 50 new)
+    from fupi_ray.fixtures import generate_rows
+
+    src = pa.concat_tables(
+        [generate_rows(0, 100, token_salt=9), generate_rows(1_000_000, 50)]
+    )
+    src_path = str(tmp_path / "src.parquet")
+    pq.write_table(src, src_path)
+    r = run_cli("merge", "--table", table, "--source", src_path)
+    assert r["version"] == 4
+
+    r = run_cli("scan", "--table", table)
+    assert r["rows"] == 3050
+
+    r = run_cli("expire", "--table", table, "--keep-last", "1")
+    assert r["expired_versions"]
+
+    # old pinned-style version gone, latest still scans
+    r = run_cli("scan", "--table", table)
+    assert r["rows"] == 3050
