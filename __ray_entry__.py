@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q.q_langid,
         "quality": q.q_quality,
         "fingerprint": q.q_fingerprint,
+        "translate": q.q_translate,
         "multimodal": q.q_multimodal,
         "topk_cosine": q.q_topk_cosine,
         "embedding_neardup": q.q_embedding_neardup,
@@ -79,6 +80,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": q.SQL_LANGID,
         "quality": q.SQL_QUALITY,
         "fingerprint": q.SQL_FINGERPRINT,
+        "translate": q.SQL_TRANSLATE,
         "multimodal": q.SQL_MULTIMODAL,
         "topk_cosine": q.SQL_TOPK_COSINE,
         "embedding_neardup": q.SQL_EMBEDDING_NEARDUP,

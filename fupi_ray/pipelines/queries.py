@@ -702,3 +702,23 @@ SELECT s.doc_id, any_value(d.lang) AS lang, COUNT(*) AS n_sentences,
 FROM s JOIN documents d ON s.doc_id = d.doc_id
 GROUP BY s.doc_id
 """
+
+
+def q_translate(sf_dir: str):
+    """T2 stateful translation stage (searcher.py:112-135, 42-58):
+    actor-pool batch "translate" with lazy heavy init in __init__.
+    The kernel is the deterministic word-reversal stub (the real model
+    is not in this container) — SQL-expressible, so oracle-checked."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = docs.map_batches(
+        tx.TranslateStub, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    return out.select_columns(["doc_id", "translated"])
+
+
+SQL_TRANSLATE = """
+SELECT doc_id,
+       array_to_string(list_reverse(string_split_regex(trim(coalesce(text, '')), '\\s+')), ' ')
+         AS translated
+FROM documents
+"""

@@ -141,6 +141,28 @@ class Table:
             return pq.read_schema(os.path.join(self.table_dir, m.fragments[0].path))
         return SEQUENCES_SCHEMA
 
+    def history(self) -> list[dict]:
+        """Version log, newest first: one dict per surviving manifest
+        with operation, parent, row/fragment/byte totals and op
+        properties (phase timings, strategies — A5 metrics surface;
+        the reference exposes the analogue through Lance versioning)."""
+        out = []
+        for v in sorted(self.versions(), reverse=True):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "operation": m.operation,
+                    "parent_version": m.parent_version,
+                    "rows": sum(f.rows for f in m.fragments),
+                    "fragments": len(m.fragments),
+                    "bytes": sum(f.bytes for f in m.fragments),
+                    "created_unix": m.created_unix,
+                    "properties": m.properties,
+                }
+            )
+        return out
+
     # -- snapshot pins ------------------------------------------------------
 
     def pin(self, name: str, version: int | None = None) -> int:

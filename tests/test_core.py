@@ -162,3 +162,32 @@ def test_zone_map_predicate_ops():
     assert not fragment_may_match(frag, [("source", "==", "wiki")])
     with pytest.raises(ValueError):
         fragment_may_match(frag, [("source", "equals", "cc")])
+
+
+def test_table_history_and_jsonl_source(tmp_table_dir, tmp_path):
+    import gzip
+    import json as _json
+
+    import ray.data
+
+    from fupi_ray.fixtures import generate_rows, write_fragmented_table
+    from fupi_ray.ops import compact
+    from fupi_ray.sources import readers
+
+    t = write_fragmented_table(tmp_table_dir, 200, rows_per_fragment=40)
+    compact(t)
+    h = t.history()
+    assert [e["operation"] for e in h] == ["compact", "append", "create"]
+    assert h[0]["rows"] == 200
+    assert h[0]["parent_version"] == h[1]["version"]
+    assert h[0]["properties"]["fragments_in"] >= 2
+
+    # S1: JSONL.gz reader (reference: read_json_auto of a .jsonl.gz,
+    # fupi/data.py:64) — auto-decompressed, lazily read
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(25):
+            f.write(_json.dumps({"doc_id": i, "text": f"t{i}"}) + "\n")
+    ds = readers.read_jsonl(str(p))
+    got = sorted(r["doc_id"] for r in ds.take_all())
+    assert got == list(range(25))
