@@ -126,6 +126,23 @@ def run_bench() -> dict:
     timed("scan_count", lambda: table.scan(columns=["n_tok"]).count())
     timed("cluster", lambda: cluster(table, curve="zorder"))
 
+    # post-cluster pruned box scan: zone maps skip fragments outside the
+    # (source, n_tok) hyper-rectangle — the point of Z-ordering
+    prune_stats = {}
+
+    def pruned_scan():
+        pred = [("source", "=", "wiki"), ("n_tok", "between", (64, 256))]
+        total = len(table.manifest().fragments)
+        paths = table.fragment_paths(predicate=pred)
+        n = table.scan(predicate=pred).count()
+        prune_stats.update(
+            fragments_total=total,
+            fragments_scanned=len(paths),
+            rows_matched=int(n),
+        )
+
+    timed("scan_pruned", pruned_scan)
+
     def do_merge():
         n_upd = bench_rows // 10
         upd = sequences_dataset(n_upd, rows_per_partition=10_000, token_salt=5)
@@ -181,6 +198,7 @@ def run_bench() -> dict:
         "scan_tokens_per_sec": scan_tps,
         "merge_sec": timings["merge"],
         "phases": phase_detail,
+        "prune": prune_stats,
     }
     ray.shutdown()
     shutil.rmtree(tdir, ignore_errors=True)

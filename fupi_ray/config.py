@@ -37,6 +37,11 @@ class EngineConfig:
     cluster_bits: int = 21
     # Default cluster key, per BASELINE.json north_star.
     cluster_columns: tuple[str, ...] = ("source", "n_tok", "doc_id")
+    # Grouped clustering: cluster fragment groups of ~this many bytes
+    # independently (each group = one bounded sort job + one lineage
+    # record → resumable, and no single 100 TB global exchange).
+    # None = one global sort (small tables / strict total order).
+    cluster_group_bytes: int | None = None
 
     # MERGE: if the deduped source has at most this many keys, the key
     # set is broadcast (ray.put once, np.isin per batch) instead of

@@ -120,29 +120,90 @@ def _column_stats(table: Table, version: int) -> dict:
     }
 
 
+def _plan_groups(fragments, group_bytes: int | None):
+    """Split the fragment list into byte-bounded groups, each clustered
+    independently. Fragments are ordered by their zone-map min doc_id
+    so groups inherit whatever key locality already exists. One group
+    (group_bytes=None) = one global sort."""
+    if group_bytes is None:
+        return [list(fragments)] if fragments else []
+    frags = sorted(
+        fragments, key=lambda f: (str(f.zone_map.get("doc_id", {}).get("min") or ""), f.path)
+    )
+    groups, cur, cur_b = [], [], 0
+    for f in frags:
+        if cur and cur_b + f.bytes > group_bytes:
+            groups.append(cur)
+            cur, cur_b = [], 0
+        cur.append(f)
+        cur_b += f.bytes
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _sort_and_write(
+    table: Table, paths: list[str], enc_ref, curve: str, prefix: str
+) -> list:
+    """One bounded cluster job: read → key (actor pool) → sort → write
+    one fragment per sorted output block (a contiguous curve-key range
+    → tight zone map)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    cfg = table.config
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    total_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # parallelism floor is useless once blocks drop under ~8 MiB — the
+    # per-partition sort/exchange overhead then outweighs the extra
+    # cores (measured: 64 partitions of 2.5 MiB sort 3x slower than 16)
+    nb_parallel = min(2 * cpus, max(1, total_bytes // (8 * 1024 * 1024)))
+    nb = max(-(-total_bytes // max(cfg.target_fragment_bytes, 1)), nb_parallel)
+    nb = max(1, min(int(nb), max(total_rows, 1)))
+
+    ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+    keyed = ds.map_batches(
+        KeyInterleaver,
+        fn_constructor_args=(enc_ref, curve, cfg.cluster_bits),
+        batch_format="pyarrow",
+        concurrency=(1, max(8, cpus)),
+        zero_copy_batch=True,
+    )
+    clustered = keyed.sort("_ckey").map_batches(
+        lambda t: t.drop_columns(["_ckey"]), batch_format="pyarrow"
+    )
+    return write_dataset_fragments(clustered, table.table_dir, prefix)
+
+
 def cluster(
     table: Table,
     curve: str = "zorder",
     version: int | None = None,
     job_id: str | None = None,
+    group_bytes: int | None = None,
 ) -> int:
     """Rewrite the table clustered by the interleaved key; new version.
 
     Content-preserving: only physical order and fragment boundaries
-    change. One global sort (unavoidable for clustering); everything
-    else streams. The sort's map parallelism and its output partition
-    count both equal the input block count, and each sorted output
-    block is a contiguous curve-key range → one fragment per block
-    with a tight zone map. Block count is sized so fragments approach
-    the target size but parallelism never drops below the cluster's
-    CPU count (post-compaction a table can be a handful of huge
-    fragments — without the override the shuffle map side serializes).
+    change. ``group_bytes`` (default from config) bounds each sort:
+    fragment groups of that size are clustered independently, one
+    lineage record per group — a resumed job (same ``job_id``) skips
+    completed groups, and no exchange ever spans more than one group
+    (at 10^12-sequence scale a single global sort would be one 100 TB
+    all-to-all; grouped clustering is how OPTIMIZE/Z-order works in
+    production lakehouses). ``group_bytes=None`` with no config default
+    keeps the single global sort (total curve order).
     """
     import time
+
+    from fupi_ray.state import lineage
 
     cfg = table.config
     parent = table.latest_version() if version is None else version
     m = table.manifest(parent)
+    job_id = job_id or f"cluster-{curve}-v{parent}"
     phase_t: dict[str, float] = {}
     t_last = time.perf_counter()
 
@@ -155,31 +216,34 @@ def cluster(
     enc_ref = ray.put(_column_stats(table, parent))
     mark("stats")
 
-    total_bytes = sum(f.bytes for f in m.fragments)
-    total_rows = sum(f.rows for f in m.fragments)
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    # parallelism floor is useless once blocks drop under ~8 MiB — the
-    # per-partition sort/exchange overhead then outweighs the extra
-    # cores (measured: 64 partitions of 2.5 MiB sort 3x slower than 16)
-    nb_parallel = min(2 * cpus, max(1, total_bytes // (8 * 1024 * 1024)))
-    nb = max(-(-total_bytes // max(cfg.target_fragment_bytes, 1)), nb_parallel)
-    nb = max(1, min(int(nb), max(total_rows, 1)))
+    if group_bytes is None:
+        group_bytes = cfg.cluster_group_bytes
+    groups = _plan_groups(m.fragments, group_bytes)
 
-    ds = table.scan(parent, override_num_blocks=nb)
-    keyed = ds.map_batches(
-        KeyInterleaver,
-        fn_constructor_args=(enc_ref, curve, cfg.cluster_bits),
-        batch_format="pyarrow",
-        concurrency=(1, max(8, cpus)),
-        zero_copy_batch=True,
-    )
-    clustered = keyed.sort("_ckey").map_batches(
-        lambda t: t.drop_columns(["_ckey"]), batch_format="pyarrow"
-    )
-    prefix = f"cl-{job_id or f'cluster-v{parent}'}"
-    frags = write_dataset_fragments(clustered, table.table_dir, prefix)
+    frags = []
+    for gi, group in enumerate(groups):
+        partition = f"group-{gi:05d}"
+        rec = lineage.read_record(table.table_dir, job_id, partition)
+        if rec is not None:
+            frags.extend(lineage.output_fragments(rec))
+            continue
+        t0 = time.perf_counter()
+        import os
+
+        paths = [os.path.join(table.table_dir, f.path) for f in group]
+        out = _sort_and_write(table, paths, enc_ref, curve, f"cl-{job_id}-g{gi:04d}")
+        lineage.write_record(
+            table.table_dir,
+            job_id,
+            partition,
+            input_fragments=[f.path for f in group],
+            output_fragments=out,
+            metrics={"seconds": time.perf_counter() - t0, "rows": sum(f.rows for f in out)},
+        )
+        frags.extend(out)
     mark("sort_write")
-    old_paths = {f.path for f in table.manifest(parent).fragments}
+
+    old_paths = {f.path for f in m.fragments}
     return table.commit_fragment_swap(
         old_paths,
         frags,
@@ -189,7 +253,7 @@ def cluster(
             "curve": curve,
             "bits": cfg.cluster_bits,
             "sources": len(ray.get(enc_ref)["codes"]),
-            "num_blocks": int(nb),
+            "groups": len(groups),
             "phase_seconds": phase_t,
         },
     )

@@ -255,3 +255,27 @@ def test_merge_empty_source_noop(tmp_table_dir):
     v = merge_into(t, empty, strategy="broadcast")
     assert v == t.latest_version()
     assert len(canonical(t)) == 100
+
+
+def test_cluster_grouped_resume_and_content(tmp_table_dir):
+    """Grouped clustering: bounded per-group sorts, per-group lineage,
+    resume skips completed groups (north rule: ops resumable from
+    per-partition lineage)."""
+    t = write_fragmented_table(tmp_table_dir, 600, rows_per_fragment=50, config=SMALL_CFG)
+    before = canonical(t)
+    v = cluster(t, curve="zorder", job_id="grp-job", group_bytes=256 * 1024)
+    assert canonical(t) == before
+    props = t.manifest(v).properties
+    assert props["groups"] >= 2
+
+    recs = lineage.list_records(t.table_dir, "grp-job") if hasattr(lineage, "list_records") else None
+    # re-running the same job id must reuse every group's outputs
+    import glob
+
+    rec_files = glob.glob(os.path.join(t.table_dir, "lineage", "grp-job", "*.json"))
+    assert len(rec_files) == props["groups"]
+    mtimes = {p: os.path.getmtime(p) for p in rec_files}
+    v2 = cluster(t, curve="zorder", job_id="grp-job", group_bytes=256 * 1024)
+    assert canonical(t, v2) == before
+    for p, mt in mtimes.items():
+        assert os.path.getmtime(p) == mt  # not recomputed
