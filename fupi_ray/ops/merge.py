@@ -232,12 +232,20 @@ def merge_into(
         phase_t[phase] = round(now - t_last, 3)
         t_last = now
 
-    # Materialize the deduped source once: both strategies consume it
-    # twice (keys + fragment write, or min/max + union), so a second
-    # lazy execution would re-run the dedup shuffle; count() on the
-    # materialized set is then metadata-free. The object store holds
-    # (and spills) it — never the driver heap.
-    deduped = _dedup_source(source, cfg.merge_num_buckets).materialize()
+    # Materialize the raw source once (the object store holds and
+    # spills it — never the driver heap), then size the dedup bucket
+    # count from its actual bytes: map_groups materializes ONE bucket
+    # per call, so a bucket must fit a worker heap — a fixed count
+    # would make 40 GB buckets out of a 10 TB source.
+    src_m = source.materialize()
+    src_raw_bytes = max(src_m.size_bytes() or 1, 1)
+    num_buckets = int(
+        max(cfg.merge_num_buckets, -(-src_raw_bytes // (256 * 1024 * 1024)))
+    )
+    # Materialize the deduped source too: both strategies consume it
+    # twice (keys + fragment write, or min/max + union); a second lazy
+    # execution would re-run the dedup shuffle. count() is then free.
+    deduped = _dedup_source(src_m, num_buckets).materialize()
     n_src = deduped.count()
     mark("dedup")
     if n_src == 0:
@@ -335,13 +343,17 @@ def merge_into(
         merged_rows_per_frag = max(
             1, int(hit_rows * min(cfg.target_fragment_bytes / max(hit_bytes, 1), 1.0))
         )
+        # resolve buckets see target + source rows: size by both sides
+        resolve_buckets = int(
+            max(num_buckets, -(-hit_bytes // (256 * 1024 * 1024)))
+        )
         new_frags = _merge_shuffle(
             table,
             [f.path for f in hit],
             deduped,
             parent,
             job_id,
-            cfg.merge_num_buckets,
+            resolve_buckets,
             rows_per_frag=merged_rows_per_frag,
         )
         mark("shuffle_resolve")
