@@ -101,10 +101,13 @@ class LangIdStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         hits = {k: np.zeros(len(texts), dtype=np.int64) for k in LANG_ORDER}
+        lex = {k: np.array(sorted(s), dtype=object) for k, s in self.sets.items()}
         for i, t in enumerate(texts):
-            words = self.word_re.findall((t or "").lower())
-            for k, s in self.sets.items():
-                hits[k][i] = sum(1 for w in words if w in s)
+            words = np.array(self.word_re.findall((t or "").lower()), dtype=object)
+            if len(words) == 0:
+                continue
+            for k in LANG_ORDER:
+                hits[k][i] = int(np.isin(words, lex[k]).sum())
         # argmax with fixed precedence: first language in LANG_ORDER wins ties
         stacked = np.stack([hits[k] for k in LANG_ORDER])
         best = np.argmax(stacked, axis=0)
@@ -157,33 +160,32 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 class RollingHashStage:
     """Winnowing-style rolling-hash fingerprint (stateful: precomputed
-    base powers). Emits the minimum k-gram polynomial hash per document
-    — an order-robust near-identity for shingled content. No SQL twin
-    (driver records rows-only)."""
+    base powers). Emits the minimum k-gram polynomial hash (mod 2^64,
+    natural uint64 wraparound) per document — an order-robust
+    near-identity for shingled content. Per-doc work is k vectorized
+    shifted multiply-adds, not a per-character python loop. No SQL
+    twin (driver records rows-only)."""
 
-    def __init__(self, k: int = 8, base: int = 257, mod: int = (1 << 61) - 1):
-        self.k, self.base, self.mod = k, base, mod
-        self.pow_k = pow(base, k - 1, mod)
+    def __init__(self, k: int = 8, base: int = 257):
+        self.k = k
+        self.pows = np.array(
+            [pow(base, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         mins = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            b = (t or "").lower().encode("utf-8")
-            if len(b) < self.k:
-                mins[i] = 0
-                continue
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-            # vectorized polynomial rolling hash over all k-grams
-            h = np.zeros(len(arr) - self.k + 1, dtype=object)
-            cur = 0
-            for j in range(self.k):
-                cur = (cur * self.base + int(arr[j])) % self.mod
-            vals = [cur]
-            for j in range(self.k, len(arr)):
-                cur = (
-                    (cur - int(arr[j - self.k]) * self.pow_k) * self.base + int(arr[j])
-                ) % self.mod
-                vals.append(cur)
-            mins[i] = np.uint64(min(vals))
-        return batch.append_column("rolling_fp", pa.array(mins.astype(np.int64)))
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(texts):
+                b = (t or "").lower().encode("utf-8")
+                if len(b) < self.k:
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+                n = len(arr) - self.k + 1
+                acc = np.zeros(n, dtype=np.uint64)
+                for j in range(self.k):
+                    acc += arr[j : j + n] * self.pows[j]
+                mins[i] = acc.min()
+        return batch.append_column(
+            "rolling_fp", pa.array(mins.view(np.int64))
+        )
