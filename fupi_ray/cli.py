@@ -49,6 +49,7 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().use_polars_sort = True
 
     from fupi_ray import Table
     from fupi_ray.ops import cluster, compact, expire_snapshots, merge_into
