@@ -139,10 +139,10 @@ def q_agg_pricing(sf_dir: str):
 
 SQL_AGG_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
-       SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_price,
-       (SUM(CAST(floor(l_discount*100 + 0.5) AS BIGINT))/100.0)/COUNT(*) AS avg_disc,
-       COUNT(*) AS n
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS DOUBLE) AS sum_price,
+       CAST((SUM(CAST(floor(l_discount*100 + 0.5) AS BIGINT))/100.0)/COUNT(*) AS DOUBLE) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS n
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
@@ -436,9 +436,9 @@ def q_token_stats(sf_dir: str):
 
 SQL_TOKEN_STATS = """
 SELECT lang,
-       SUM(len(string_split_regex(trim(text), '\\s+'))) AS total_words,
-       COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)/COUNT(*) AS avg_words
+       CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_words,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)/COUNT(*) AS DOUBLE) AS avg_words
 FROM documents GROUP BY lang
 """
 

@@ -89,11 +89,14 @@ def main():
         ok_vals = False
         if ok_rows and ok_cols:
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+                pd.testing.assert_frame_equal(got, exp, check_dtype=True, check_exact=True)
                 ok_vals = True
             except AssertionError as e:
                 msg = str(e).split("\n")[0]
-        status = "OK" if (ok_rows and ok_cols and ok_vals) else "MISMATCH"
+        ok_types = list(map(str, got.dtypes)) == list(map(str, exp.dtypes))
+        status = "OK" if (ok_rows and ok_cols and ok_vals and ok_types) else "MISMATCH"
+        if not ok_types:
+            print(f"    dtype mismatch: got {list(map(str, got.dtypes))} exp {list(map(str, exp.dtypes))}")
         if status != "OK":
             failures.append(name)
         print(
