@@ -42,14 +42,21 @@ class EngineConfig:
     # record → resumable, and no single 100 TB global exchange).
     # None = one global sort (small tables / strict total order).
     cluster_group_bytes: int | None = None
+    # Grouped clustering: how many group sort jobs run concurrently
+    # (each is an independent bounded Dataset pipeline; overlapping
+    # them keeps the cluster busy while one group's write drains).
+    cluster_group_concurrency: int = 4
 
     # MERGE: if the deduped source has at most this many keys, the key
     # set is broadcast (ray.put once, np.isin per batch) instead of
     # hash-shuffling the target side.
     merge_broadcast_max_keys: int = 4_000_000
-    # Hash-shuffle bucket count when the source is too big to
-    # broadcast. Sized so each bucket is roughly one block.
-    merge_num_buckets: int = 256
+    # Hash-shuffle bucket FLOOR when the source is too big to
+    # broadcast; the actual count is sized from measured source bytes
+    # (~256 MiB per bucket). A high floor makes tiny-source merges pay
+    # fixed per-bucket exchange overhead for nothing (measured: 256
+    # buckets made a 150k-row dedup cost 9x the fragment rewrite).
+    merge_num_buckets: int = 8
 
     # Snapshot expiry: keep at least this many trailing versions.
     expire_keep_last: int = 2

@@ -1,0 +1,252 @@
+"""Batch-flat text kernels: tokenize/shingle a whole Arrow batch into
+flat numpy arrays + per-doc offsets, so every downstream signature
+(MinHash, SimHash, language-ID, rolling hash) is computed with numpy
+segment ops (``np.minimum.reduceat`` / ``np.add.reduceat`` /
+``np.bincount``) instead of a Python loop over documents.
+
+This is the vectorization layer the 100 TB path needs: per-batch cost
+is a handful of Arrow/numpy kernel calls regardless of row count.
+Tokenization is ASCII word semantics (runs of ``[a-z0-9_]`` on the
+lowercased text) — documented engine semantics, reproducible in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fupi_ray.functions.hashing import mix64, stable_hash
+
+
+def _combined(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def flat_words(
+    texts, split_pattern: str = r"[^a-z0-9_]+"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize every doc in one Arrow call.
+
+    Returns ``(words, doc_idx, lengths)``: a flat object array of all
+    non-empty tokens, the doc index of each token, and per-doc token
+    counts (``len(lengths) == num docs``).
+    """
+    arr = _combined(texts)
+    n = len(arr)
+    lower = pc.utf8_lower(pc.fill_null(arr, ""))
+    lst = _combined(pc.split_pattern_regex(lower, split_pattern))
+    raw_lengths = np.diff(np.asarray(lst.offsets))
+    values = lst.values
+    vlen = pc.utf8_length(values).to_numpy(zero_copy_only=False)
+    mask = vlen > 0
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lengths)[mask]
+    keep = values.filter(pa.array(mask))
+    words = keep.to_numpy(zero_copy_only=False)
+    lengths = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    return words, doc_idx, lengths
+
+
+def flat_word_hashes(
+    texts, split_pattern: str = r"[^a-z0-9_]+"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``flat_words`` + one vectorized stable hash over all tokens.
+
+    Returns ``(word_hashes uint64, doc_idx, lengths)``.
+    """
+    words, doc_idx, lengths = flat_words(texts, split_pattern)
+    if len(words) == 0:
+        return np.empty(0, np.uint64), doc_idx, lengths
+    return stable_hash(words), doc_idx, lengths
+
+
+def doc_shingle_hashes(
+    W: np.ndarray, lengths: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word ``k``-gram mix-chain hashes for every doc of a batch.
+
+    ``W`` is the flat word-hash array (docs concatenated in order),
+    ``lengths`` the per-doc word counts. A gram hash is the chain
+    ``mix64(...mix64(w_p ^ w_{p+1}) ... ^ w_{p+k-1})``; docs with
+    ``0 < len < k`` chain all their words into one gram; empty docs get
+    the single gram ``0``. Every doc emits >= 1 gram.
+
+    Returns ``(grams uint64, gram_starts int64)`` where
+    ``gram_starts`` has ``n+1`` entries delimiting each doc's grams —
+    ready for ``np.minimum.reduceat``.
+    """
+    n = len(lengths)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    L = int(starts[-1])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+
+    parts_docs: list[np.ndarray] = []
+    parts_vals: list[np.ndarray] = []
+
+    # full windows: positions whose k-window stays inside one doc
+    if L >= k:
+        m = L - k + 1
+        g = W[:m].copy()
+        for off in range(1, k):
+            g = mix64(g ^ W[off : off + m])
+        valid = doc_of[:m] == doc_of[k - 1 : k - 1 + m]
+        parts_docs.append(doc_of[:m][valid])
+        parts_vals.append(g[valid])
+
+    # short docs (0 < len < k): one gram chaining all words,
+    # vectorized per length class (at most k-1 classes)
+    for l in range(1, k):
+        sel = np.nonzero(lengths == l)[0]
+        if len(sel) == 0:
+            continue
+        pos = starts[sel]
+        gg = W[pos].copy()
+        for off in range(1, l):
+            gg = mix64(gg ^ W[pos + off])
+        parts_docs.append(sel)
+        parts_vals.append(gg)
+
+    # empty docs: single gram 0
+    empty = np.nonzero(lengths == 0)[0]
+    if len(empty):
+        parts_docs.append(empty)
+        parts_vals.append(np.zeros(len(empty), dtype=np.uint64))
+
+    gram_doc = np.concatenate(parts_docs) if parts_docs else np.empty(0, np.int64)
+    grams = np.concatenate(parts_vals) if parts_vals else np.empty(0, np.uint64)
+    order = np.argsort(gram_doc, kind="stable")
+    grams = grams[order]
+    counts = np.bincount(gram_doc, minlength=n)
+    gram_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=gram_starts[1:])
+    return grams, gram_starts
+
+
+def minhash_signatures(
+    grams: np.ndarray, gram_starts: np.ndarray, salts: np.ndarray, perm_chunk: int = 16
+) -> np.ndarray:
+    """(num_perm, n) MinHash signature matrix via chunked broadcast +
+    ``np.minimum.reduceat`` (no per-doc Python). Every doc must own at
+    least one gram (``doc_shingle_hashes`` guarantees it)."""
+    n = len(gram_starts) - 1
+    P = len(salts)
+    out = np.empty((P, n), dtype=np.uint64)
+    if n == 0:
+        return out
+    seg = gram_starts[:-1]
+    for c0 in range(0, P, perm_chunk):
+        chunk = salts[c0 : c0 + perm_chunk]
+        M = mix64(grams[None, :] ^ chunk[:, None])
+        out[c0 : c0 + len(chunk)] = np.minimum.reduceat(M, seg, axis=1)
+    return out
+
+
+def simhash_values(W: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """64-bit SimHash per doc, batched: one (L, 64) bit matrix +
+    ``np.add.reduceat`` over doc segments. Empty docs hash to 0."""
+    n = len(lengths)
+    sh = np.zeros(n, dtype=np.uint64)
+    nz = np.nonzero(lengths > 0)[0]
+    if len(nz) == 0:
+        return sh
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((W[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+    cnt = np.add.reduceat(bits, starts[nz], axis=0)  # (n_nz, 64)
+    v = 2 * cnt - lengths[nz][:, None]
+    with np.errstate(over="ignore"):
+        sh[nz] = ((v > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return sh
+
+
+def charset_bitmask(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc distinct-byte 256-bit bitmask over the lowercased UTF-8
+    text, fully vectorized (reads the Arrow value buffer directly).
+
+    Returns ``(mask (n,4) uint64, sig (n,) uint64)`` where ``sig`` is a
+    mix of the 4 mask words — equal masks <=> equal sigs is NOT
+    guaranteed by sig alone, so always compare the mask words too.
+
+    For ASCII text the byte set equals the character set, so Jaccard
+    over these bitmasks matches duckdb's ``jaccard(lower(a), lower(b))``
+    exactly. Non-ASCII text degrades to UTF-8-byte granularity
+    (documented engine semantics).
+    """
+    arr = _combined(texts)
+    n = len(arr)
+    lower = _combined(pc.utf8_lower(pc.fill_null(arr, "")))
+    offsets = np.asarray(lower.buffers()[1], dtype=np.uint8).view(np.int32)[
+        lower.offset : lower.offset + n + 1
+    ]
+    data = np.frombuffer(lower.buffers()[2], dtype=np.uint8)
+    codes = data[offsets[0] : offsets[-1]]
+    lengths = np.diff(offsets.astype(np.int64))
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    # unique (doc, byte) pairs via one combined-key unique
+    key = (doc_idx.astype(np.uint64) << np.uint64(8)) | codes.astype(np.uint64)
+    uniq = np.unique(key)
+    udoc = (uniq >> np.uint64(8)).astype(np.int64)
+    ucode = (uniq & np.uint64(0xFF)).astype(np.int64)
+    mask = np.zeros((n, 4), dtype=np.uint64)
+    flat = mask.reshape(-1)
+    lin = udoc * 4 + (ucode >> 6)
+    np.bitwise_or.at(flat, lin, np.uint64(1) << (ucode & 63).astype(np.uint64))
+    sig = mix64(mask[:, 0])
+    for j in range(1, 4):
+        sig = mix64(sig ^ mask[:, j])
+    return mask, sig
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def rolling_min_hashes(texts, k: int, pows: np.ndarray) -> np.ndarray:
+    """Winnowing-min rolling polynomial hash per doc, batched: one
+    global shifted multiply-add over the concatenated byte buffer with
+    doc-boundary masking, then ``np.minimum.reduceat`` per doc.
+    Docs shorter than ``k`` bytes get 0."""
+    arr = _combined(texts)
+    n = len(arr)
+    lower = _combined(pc.utf8_lower(pc.fill_null(arr, "")))
+    offsets = np.asarray(lower.buffers()[1], dtype=np.uint8).view(np.int32)[
+        lower.offset : lower.offset + n + 1
+    ]
+    data = np.frombuffer(lower.buffers()[2], dtype=np.uint8)
+    codes = data[offsets[0] : offsets[-1]].astype(np.uint64)
+    lengths = np.diff(offsets.astype(np.int64))
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    out = np.zeros(n, dtype=np.uint64)
+    L = int(starts[-1])
+    if L < k:
+        return out
+    m = L - k + 1
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc += codes[j : j + m] * pows[j]
+    valid = doc_of[:m] == doc_of[k - 1 : k - 1 + m]
+    vdoc = doc_of[:m][valid]
+    vacc = acc[valid]
+    if len(vdoc) == 0:
+        return out
+    # per-doc min over contiguous segments
+    seg_counts = np.bincount(vdoc, minlength=n)
+    nz = np.nonzero(seg_counts > 0)[0]
+    seg_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(seg_counts, out=seg_starts[1:])
+    out[nz] = np.minimum.reduceat(vacc, seg_starts[nz])
+    return out

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-ZONE_MAP_COLUMNS = ("doc_id", "n_tok", "source")
+ZONE_MAP_COLUMNS = ("doc_id", "n_tok", "source", "bucket")
 
 
 @dataclass

@@ -31,8 +31,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+import threading
+
 from fupi_ray.functions.hashing import hilbert_key, stable_hash, zorder_key
 from fupi_ray.table import Table, write_dataset_fragments
+
+_READ_LOCK = threading.Lock()
 
 # Quantile resolution for the n_tok dimension: 2^12 buckets is far
 # finer than any realistic fragment count; remaining low bits are
@@ -163,7 +167,12 @@ def _sort_and_write(
     nb = max(-(-total_bytes // max(cfg.target_fragment_bytes, 1)), nb_parallel)
     nb = max(1, min(int(nb), max(total_rows, 1)))
 
-    ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+    # datasource construction is serialized: concurrent group threads
+    # racing through ray's fsspec-http probe hit a partial-module
+    # ImportError when aiohttp is absent (failed imports aren't cached,
+    # so every thread retries the import simultaneously)
+    with _READ_LOCK:
+        ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
     keyed = ds.map_batches(
         KeyInterleaver,
         fn_constructor_args=(enc_ref, curve, cfg.cluster_bits),
@@ -220,27 +229,40 @@ def cluster(
         group_bytes = cfg.cluster_group_bytes
     groups = _plan_groups(m.fragments, group_bytes)
 
-    frags = []
-    for gi, group in enumerate(groups):
-        partition = f"group-{gi:05d}"
-        rec = lineage.read_record(table.table_dir, job_id, partition)
-        if rec is not None:
-            frags.extend(lineage.output_fragments(rec))
-            continue
-        t0 = time.perf_counter()
-        import os
+    import os
+    from concurrent.futures import ThreadPoolExecutor
 
+    def run_group(gi: int, group) -> list:
+        partition = f"group-{gi:05d}"
+        inputs = [f.path for f in group]
+        rec = lineage.read_record(table.table_dir, job_id, partition)
+        # reuse only when the record covers the SAME inputs — after an
+        # intervening commit, group index gi can map to different files
+        if rec is not None and rec.get("input_fragments") == inputs:
+            return lineage.output_fragments(rec)
+        t0 = time.perf_counter()
         paths = [os.path.join(table.table_dir, f.path) for f in group]
         out = _sort_and_write(table, paths, enc_ref, curve, f"cl-{job_id}-g{gi:04d}")
         lineage.write_record(
             table.table_dir,
             job_id,
             partition,
-            input_fragments=[f.path for f in group],
+            input_fragments=inputs,
             output_fragments=out,
             metrics={"seconds": time.perf_counter() - t0, "rows": sum(f.rows for f in out)},
         )
-        frags.extend(out)
+        return out
+
+    # overlap group sort jobs (each is an independent bounded Dataset
+    # pipeline): wall time ≈ max(group) not sum(groups). Output order
+    # stays deterministic — results are collected in group order.
+    workers = max(1, min(cfg.cluster_group_concurrency, len(groups)))
+    if workers == 1:
+        results = [run_group(gi, g) for gi, g in enumerate(groups)]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            results = list(pool.map(run_group, range(len(groups)), groups))
+    frags = [f for out in results for f in out]
     mark("sort_write")
 
     old_paths = {f.path for f in m.fragments}

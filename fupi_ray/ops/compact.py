@@ -102,7 +102,12 @@ def _repack_task(
     partition = f"pack-{pack_idx:05d}"
     existing = lineage.read_record(table_dir, job_id, partition)
     if existing is not None:
-        return existing
+        # a record is only reusable if it was computed over the SAME
+        # inputs: after an intervening commit, pack index i can map to
+        # a different input set — reusing the stale outputs would
+        # silently drop/duplicate rows
+        if existing.get("input_fragments") == input_rel_paths:
+            return existing
 
     rel_out = os.path.join("data", f"cp-{job_id}-{pack_idx:05d}.parquet")
     abs_out = os.path.join(table_dir, rel_out)

@@ -25,17 +25,25 @@ class PinnedVersionError(RuntimeError):
     pass
 
 
+DEFAULT_GC_GRACE_SECONDS = 6 * 3600.0
+
+
 def expire_snapshots(
     table: Table,
     keep_last: int | None = None,
-    gc_grace_seconds: float = 0.0,
+    gc_grace_seconds: float = DEFAULT_GC_GRACE_SECONDS,
     versions: list[int] | None = None,
+    clear_stale_lineage_seconds: float | None = None,
 ) -> dict:
     """Drop old versions and GC unreferenced fragments.
 
     ``versions`` names explicit versions to expire (refused if pinned);
     otherwise all versions except the trailing ``keep_last`` and any
-    pinned ones are expired. Returns a summary dict.
+    pinned ones are expired. Fragments recorded in lineage (awaiting a
+    ``--job-id`` resume) are treated as live; pass
+    ``clear_stale_lineage_seconds`` to first drop lineage namespaces
+    whose newest record is older than that (abandoned jobs), letting
+    their outputs be GC'd. Returns a summary dict.
     """
     keep_last = table.config.expire_keep_last if keep_last is None else keep_last
     all_versions = table.versions()
@@ -64,11 +72,50 @@ def expire_snapshots(
         if os.path.exists(p):
             os.unlink(p)
 
+    cleared_jobs: list[str] = []
+    if clear_stale_lineage_seconds is not None:
+        from fupi_ray.state import lineage as lin
+
+        ldir0 = mf.lineage_dir(table.table_dir)
+        now0 = time.time()
+        if os.path.isdir(ldir0):
+            for job in os.listdir(ldir0):
+                jdir = os.path.join(ldir0, job)
+                if not os.path.isdir(jdir):
+                    continue
+                mtimes = [
+                    os.path.getmtime(os.path.join(jdir, n)) for n in os.listdir(jdir)
+                ] or [os.path.getmtime(jdir)]
+                if now0 - max(mtimes) > clear_stale_lineage_seconds:
+                    lin.clear_job(table.table_dir, job)
+                    cleared_jobs.append(job)
+
     # GC fragments unreachable from any surviving manifest
     live_paths: set[str] = set()
     for v in table.versions():
         for f in table.manifest(v).fragments:
             live_paths.add(f.path)
+    # outputs recorded by lineage (an in-flight or crashed job awaiting
+    # --job-id resume) are live too: deleting them would make a later
+    # resume commit a manifest pointing at vanished files
+    ldir = mf.lineage_dir(table.table_dir)
+    if os.path.isdir(ldir):
+        import json
+
+        for job in os.listdir(ldir):
+            jdir = os.path.join(ldir, job)
+            if not os.path.isdir(jdir):
+                continue
+            for name in os.listdir(jdir):
+                if not name.endswith(".json"):
+                    continue
+                try:
+                    with open(os.path.join(jdir, name)) as f:
+                        rec = json.load(f)
+                except (OSError, ValueError):
+                    continue
+                for frag in rec.get("output_fragments", []):
+                    live_paths.add(frag.get("path"))
     removed_files = 0
     freed = 0
     ddir = mf.data_dir(table.table_dir)
@@ -91,4 +138,5 @@ def expire_snapshots(
         "surviving_versions": table.versions(),
         "gc_files": removed_files,
         "gc_bytes": freed,
+        "cleared_lineage_jobs": cleared_jobs,
     }

@@ -1,0 +1,207 @@
+"""Distributed joins.
+
+The reference's only joins are driver-side pandas merges of small
+frames (fupi/embedders.py:110-115, fupi/utils.py:174-176). At 100 TB a
+real engine needs two shapes:
+
+- ``broadcast_join``: small side shipped once via ``ray.put`` and
+  probed vectorized inside ``map_batches`` (no shuffle of the big
+  side).
+- ``hash_join``: both sides large — one hash-bucket exchange of each
+  side keyed on ``stable_hash(key) % num_buckets``, then a per-bucket
+  Arrow (Acero) hash join. Only rows of one bucket ever co-reside, so
+  memory per task is bounded by bucket size; skewed keys can be spread
+  by raising ``num_buckets``.
+
+Both keep the probe/build kernels fully vectorized (pyarrow join /
+numpy searchsorted) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from fupi_ray.functions.hashing import mix64, stable_hash
+
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+    "semi": "left semi",
+    "anti": "left anti",
+}
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    def conv(t):
+        if isinstance(t, pa.DataType):
+            return t
+        if np.dtype(t).kind == "O":
+            return pa.string()  # pandas object column: assume string
+        return pa.from_numpy_dtype(np.dtype(t))
+
+    return pa.schema([(n, conv(t)) for n, t in zip(s.names, s.types)])
+
+
+def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for k in keys:
+        h = mix64(h ^ stable_hash(batch[k]))
+    return h
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str] | str,
+    right_on: list[str] | str | None = None,
+    how: str = "inner",
+    num_buckets: int = 64,
+    left_suffix: str = "",
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Hash-shuffle equi-join of two Datasets.
+
+    Plan: tag each side, pad each batch to the unified schema (other
+    side's columns as typed nulls), add ``_bucket = hash(key) % B``,
+    one ``groupby(_bucket)`` exchange, then split the bucket back into
+    its two sides and run ``pyarrow.Table.join`` (vectorized C++).
+
+    Key columns keep the LEFT names in the output (SQL USING
+    semantics). Same-named non-key columns get ``right_suffix``.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"how={how!r}; expected one of {sorted(_JOIN_TYPES)}")
+    join_type = _JOIN_TYPES[how]
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    semi_like = how in ("semi", "anti")
+
+    # right payload columns (non-key), renamed on collision
+    rpayload = [c for c in rcols if c not in right_on]
+    rpay_out = [c + (right_suffix if c in lcols else "") for c in rpayload]
+    out_cols = lcols + ([] if semi_like else rpay_out)
+
+    fields = [(c, lschema.field(c).type) for c in lcols]
+    fields += [("__rk_" + k, rschema.field(rk).type) for k, rk in zip(on, right_on)]
+    fields += [(c, rschema.field(orig).type) for orig, c in zip(rpayload, rpay_out)]
+    unified = pa.schema(fields + [("_side", pa.int8()), ("_bucket", pa.int32())])
+
+    def pad(side: int, keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            b = (_key_hash(batch, keys) % np.uint64(num_buckets)).astype(np.int32)
+            cols = []
+            for f in unified:
+                if f.name == "_side":
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif f.name == "_bucket":
+                    cols.append(pa.array(b))
+                elif side == 0 and f.name in lcols:
+                    cols.append(pc_cast(batch[f.name], f.type))
+                elif side == 1 and f.name.startswith("__rk_"):
+                    cols.append(pc_cast(batch[right_on[on.index(f.name[5:])]], f.type))
+                elif side == 1 and f.name in rpay_out:
+                    cols.append(pc_cast(batch[rpayload[rpay_out.index(f.name)]], f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.table(dict(zip(unified.names, cols)))
+
+        return fn
+
+    tagged = left.map_batches(pad(0, on), batch_format="pyarrow").union(
+        right.map_batches(pad(1, right_on), batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(lcols)
+        rt = g.filter(pa.array(side == 1)).select(["__rk_" + k for k in on] + rpay_out)
+        rt = rt.rename_columns(on + rpay_out)
+        joined = lt.join(rt, keys=on, join_type=join_type, right_suffix="__dup")
+        return joined.select(out_cols)
+
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )
+
+
+def pc_cast(col, typ):
+    import pyarrow.compute as pc
+
+    if col.type == typ:
+        return col
+    return pc.cast(col, typ)
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small_ref,
+    on: str,
+    value_cols: list[str],
+    how: str = "inner",
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Map-side join: the small side was ``ray.put`` ONCE as a dict
+    ``{key_col: np.ndarray(sorted keys), col: np.ndarray(values), ...}``
+    (see ``prepare_broadcast_side``); every actor reads it from the
+    object store in ``__init__`` and probes per batch with
+    ``np.searchsorted`` — zero Python-per-row, zero shuffle."""
+
+    class Probe:
+        def __init__(self):
+            side = ray.get(small_ref)
+            self.keys = side["__keys__"]
+            self.vals = {c: side[c] for c in value_cols}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            probe = batch[on].to_numpy(zero_copy_only=False)
+            if len(self.keys) == 0:
+                hit = np.zeros(len(probe), dtype=bool)
+                idx_c = np.zeros(len(probe), dtype=np.int64)
+                if how == "inner":
+                    return batch.slice(0, 0)
+            else:
+                idx = np.searchsorted(self.keys, probe)
+                idx_c = np.clip(idx, 0, len(self.keys) - 1)
+                hit = self.keys[idx_c] == probe
+            if how == "inner" and not hit.all():
+                batch = batch.filter(pa.array(hit))
+                idx_c = idx_c[hit]
+                hit = np.ones(len(idx_c), dtype=bool)
+            for c in value_cols:
+                v = self.vals[c][idx_c]
+                if how == "left":
+                    col = pa.array(v, mask=~hit, from_pandas=True)
+                else:
+                    col = pa.array(v, from_pandas=True)
+                batch = batch.append_column(c, col)
+            return batch
+
+    return big.map_batches(Probe, batch_format="pyarrow", concurrency=concurrency)
+
+
+def prepare_broadcast_side(df, on: str, value_cols: list[str]):
+    """Sort a small pandas frame by the key and ``ray.put`` it as plain
+    numpy arrays (no dicts of Python objects — deserialization of a
+    million-entry dict per task is the anti-pattern)."""
+    df = df.sort_values(on, kind="mergesort")
+    payload = {"__keys__": df[on].to_numpy()}
+    for c in value_cols:
+        payload[c] = df[c].to_numpy()
+    return ray.put(payload)

@@ -48,12 +48,50 @@ from fupi_ray.state import lineage
 from fupi_ray.table import Table, write_dataset_fragments
 
 
+def _list_content_hash(col) -> np.ndarray:
+    """Per-row order-sensitive hash of a list column, vectorized:
+    mix the flat values once, then fold each row's segment (position ^
+    value mixes) with a reduceat XOR. Empty rows hash to 0."""
+    from fupi_ray.functions.hashing import mix64
+    from fupi_ray.schema import _unwrap_tensor
+
+    lst = _unwrap_tensor(col)
+    n = len(lst)
+    offsets = np.asarray(lst.offsets, dtype=np.int64)
+    values = lst.values.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(values) == 0:
+        return out
+    # fold element position so permutations hash differently
+    pos = np.arange(len(values), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    vh = mix64(values.astype(np.uint64, copy=False) ^ pos.astype(np.uint64))
+    nz = np.nonzero(lengths > 0)[0]
+    starts = offsets[:-1]
+    out[nz] = np.bitwise_xor.reduceat(vh, starts[nz])
+    # reduceat folds to the NEXT nonzero start; restrict each row to
+    # its own segment by construction: consecutive nonzero rows'
+    # segments are adjacent in `vh` (zero-length rows contribute no
+    # elements), so the fold is exact.
+    out[nz] = mix64(out[nz] ^ lengths[nz].astype(np.uint64))
+    return out
+
+
 def _content_order(batch: pa.Table) -> np.ndarray:
     """Deterministic fallback source order when ``_src_order`` is
-    absent: a content hash (so duplicate resolution does not depend on
-    nondeterministic block arrival order)."""
+    absent: a FULL content hash over every column (so duplicate
+    resolution never depends on nondeterministic block arrival order,
+    even for rows equal on (doc_id, n_tok) but different in payload)."""
     h = stable_hash(batch["doc_id"])
-    h ^= stable_hash(batch["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64))
+    for name in batch.column_names:
+        if name == "doc_id" or name.startswith("_"):
+            continue
+        col = batch[name]
+        typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            h ^= _list_content_hash(col)
+        else:
+            h ^= stable_hash(col)
     return h.astype(np.int64) & np.int64(0x7FFFFFFFFFFFFFFF)
 
 
@@ -110,7 +148,10 @@ def _rewrite_fragment_task(
     partition = f"frag-{frag_idx:05d}"
     existing = lineage.read_record(table_dir, job_id, partition)
     if existing is not None:
-        return existing
+        # reuse only if the record covers the SAME input fragment — an
+        # intervening commit can remap index i to a different file
+        if existing.get("input_fragments") == [rel_path]:
+            return existing
 
     # keys arrive as (sorted uint64 hashes, fixed-width utf-8 bytes in
     # the same order): both arrays are single-buffer numpy — the
@@ -124,14 +165,26 @@ def _rewrite_fragment_task(
     tbl = pq.read_table(os.path.join(table_dir, rel_path))
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     id_hashes = stable_hash(ids)
-    pos = np.searchsorted(key_hashes, id_hashes)
-    pos = np.clip(pos, 0, max(len(key_hashes) - 1, 0))
-    cand = key_hashes[pos] == id_hashes
+    lo = np.searchsorted(key_hashes, id_hashes, side="left")
+    hi = np.searchsorted(key_hashes, id_hashes, side="right")
     matched = np.zeros(len(ids), dtype=bool)
-    ci = np.nonzero(cand)[0]
+    ci = np.nonzero(hi > lo)[0]
     if len(ci):
+        # scan the FULL run of equal hashes (hash collisions between
+        # distinct doc_ids would otherwise hide the second key): runs
+        # are length 1 almost always, so this loops over the max run
+        # width, vectorized across rows at each width
         ids_b = np.char.encode(ids[ci].astype(str), "utf-8")
-        matched[ci] = key_bytes[pos[ci]] == ids_b  # S-dtype compares by content
+        run_lo, run_hi = lo[ci], hi[ci]
+        width = int((run_hi - run_lo).max())
+        hit = np.zeros(len(ci), dtype=bool)
+        for w in range(width):
+            sel = run_lo + w < run_hi
+            if not sel.any():
+                break
+            idx = np.minimum(run_lo + w, len(key_bytes) - 1)
+            hit |= sel & (key_bytes[idx] == ids_b)
+        matched[ci] = hit
     out = tbl.filter(pa.array(~matched))
 
     outputs: list[FragmentMeta] = []
@@ -165,6 +218,7 @@ def _merge_shuffle(
     job_id: str,
     num_buckets: int,
     rows_per_frag: int | None = None,
+    tbl_schema: pa.Schema | None = None,
 ) -> list[FragmentMeta]:
     """Scale path: both sides tagged + bucketed by hash(doc_id); a
     source row wins over the target row of the same key inside each
@@ -172,10 +226,13 @@ def _merge_shuffle(
     target = ray.data.read_parquet(
         [os.path.join(table.table_dir, p) for p in hit_frag_paths]
     )
+    # project to the TABLE's schema (not the hardcoded canonical one):
+    # a user table with extra columns round-trips them through MERGE
+    proj_cols = list(tbl_schema.names) if tbl_schema is not None else list(SEQUENCE_COLUMNS)
 
     def tag(is_src: int):
         def fn(batch: pa.Table) -> pa.Table:
-            batch = batch.select(list(SEQUENCE_COLUMNS))
+            batch = batch.select(proj_cols)
             b = (stable_hash(batch["doc_id"]) % np.uint64(num_buckets)).astype(np.int32)
             batch = batch.append_column("_bucket", pa.array(b))
             return batch.append_column(
@@ -199,13 +256,14 @@ def _merge_shuffle(
 
     # the dedup shuffle returns list columns as Ray tensor-extension
     # arrays; normalize so union blocks share one schema
+    norm = lambda b: normalize_batch(b, tbl_schema)  # noqa: E731
     merged = (
-        deduped.map_batches(normalize_batch, batch_format="pyarrow")
+        deduped.map_batches(norm, batch_format="pyarrow")
         .map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
         .union(target.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
         .groupby("_bucket")
         .map_groups(resolve, batch_format="pyarrow")
-        .map_batches(normalize_batch, batch_format="pyarrow")
+        .map_batches(norm, batch_format="pyarrow")
     )
     return write_dataset_fragments(
         merged, table.table_dir, f"mg-{job_id}", target_fragment_rows=rows_per_frag
@@ -253,6 +311,10 @@ def merge_into(
 
     if strategy == "auto":
         strategy = "broadcast" if n_src <= cfg.merge_broadcast_max_keys else "shuffle"
+
+    # the TABLE's schema (not the canonical default) governs every
+    # projection below: user tables with extra columns round-trip
+    tbl_schema = table.schema(parent)
 
     # Pack the source-side fragments to target size instead of one tiny
     # fragment per dedup bucket (the groupby emits ~num_buckets blocks
@@ -302,7 +364,9 @@ def merge_into(
         survivors = [fm for rec in records for fm in lineage.output_fragments(rec)]
 
         src_frags = write_dataset_fragments(
-            deduped.map_batches(normalize_batch, batch_format="pyarrow"),
+            deduped.map_batches(
+                lambda b: normalize_batch(b, tbl_schema), batch_format="pyarrow"
+            ),
             table.table_dir,
             f"mg-{job_id}-src",
             target_fragment_rows=rows_per_frag,
@@ -355,6 +419,7 @@ def merge_into(
             job_id,
             resolve_buckets,
             rows_per_frag=merged_rows_per_frag,
+            tbl_schema=tbl_schema,
         )
         mark("shuffle_resolve")
         removed = {f.path for f in hit}

@@ -148,29 +148,33 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_join_enrich(sf_dir: str):
-    """J1 enrichment join: the small side (customer) is broadcast via
-    ray.put and mapped per batch — never shuffled (SURVEY.md §2.4)."""
+    """J1 enrichment join: the small side (customer) is broadcast ONCE
+    via ray.put as sorted numpy arrays and probed vectorized with
+    np.searchsorted inside map_batches — never shuffled, no per-row
+    Python (SURVEY.md §2.4)."""
+    from fupi_ray.ops.join import broadcast_join, prepare_broadcast_side
+
     cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    side_ref = prepare_broadcast_side(cust, on="c_custkey", value_cols=["c_mktsegment"])
     orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    class Enrich:
-        def __init__(self):
-            self.seg = ray.get(seg_ref)
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "price_c": _cents(batch["o_totalprice"]),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            seg = np.array([self.seg.get(k, None) for k in keys], dtype=object)
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(seg.astype(str)),
-                    "price_c": _cents(batch["o_totalprice"]),
-                }
-            )
-
+    enriched = broadcast_join(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        side_ref,
+        on="c_custkey",
+        value_cols=["c_mktsegment"],
+        how="inner",
+    )
     agg = (
-        orders.map_batches(Enrich, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("c_mktsegment")
+        enriched.groupby("c_mktsegment")
         .aggregate(Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders"))
     )
 
@@ -196,11 +200,23 @@ GROUP BY c.c_mktsegment
 
 
 def q_topk_join(sf_dir: str):
-    """J2: top-k side (≤10 rows) collected at the driver then joined
-    broadcast-style (fupi/utils.py:174-176 joins a 10-row ANN result)."""
+    """J2: top-k side (≤10 rows) collected at the driver, then the dim
+    table is SEMI-JOIN pruned to those 10 keys before leaving the
+    workers (fupi/utils.py:174-176 joins a 10-row ANN result) — the
+    full customer table never reaches the driver."""
     orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     top = orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
-    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    keys = np.sort(top["o_custkey"].unique())
+    cust = (
+        read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(
+                pa.array(np.isin(t["c_custkey"].to_numpy(zero_copy_only=False), keys))
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     out = top.merge(cust, left_on="o_custkey", right_on="c_custkey", how="inner")
     out = out[["o_orderkey", "o_totalprice", "c_name"]].sort_values("o_orderkey")
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
@@ -245,18 +261,25 @@ def q_explode_sentences(sf_dir: str):
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, sids, sents = [], [], []
-        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for j, s in enumerate((t or "").split(". ")):
-                if len(s) > 3:
-                    ids.append(i)
-                    sids.append(j + 1)
-                    sents.append(s)
+        # one Arrow split for the whole batch; doc ids / ordinals come
+        # from the list offsets (no per-doc Python)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern(pc.fill_null(col, ""), ". ")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        offsets = np.asarray(lst.offsets, dtype=np.int64)
+        lengths = np.diff(offsets)
+        n = batch.num_rows
+        doc_take = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        sid = np.arange(len(lst.values), dtype=np.int64) - np.repeat(offsets[:-1], lengths) + 1
+        keep = pc.greater(pc.utf8_length(lst.values), 3).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sentence_id": pa.array(sids, pa.int64()),
-                "sentence": pa.array(sents, pa.string()),
+                "doc_id": batch["doc_id"].take(pa.array(doc_take[keep])),
+                "sentence_id": pa.array(sid[keep], pa.int64()),
+                "sentence": lst.values.filter(pa.array(keep)),
             }
         )
 
@@ -343,18 +366,19 @@ def q_centroid_label(sf_dir: str):
         sums = g.sum()
         counts = g.size()
         dim = Mi.shape[1]
-        out_label, out_idx, out_sum, out_n = [], [], [], []
-        for lbl in sums.index:
-            out_label.extend([int(lbl)] * dim)
-            out_idx.extend(range(1, dim + 1))
-            out_sum.extend(int(x) for x in sums.loc[lbl].to_numpy())
-            out_n.extend([int(counts.loc[lbl])] * dim)
+        n_groups = len(sums)
         return pa.table(
             {
-                "label": pa.array(out_label, pa.int64()),
-                "idx": pa.array(out_idx, pa.int64()),
-                "s": pa.array(out_sum, pa.int64()),
-                "n_part": pa.array(out_n, pa.int64()),
+                "label": pa.array(
+                    np.repeat(sums.index.to_numpy().astype(np.int64), dim), pa.int64()
+                ),
+                "idx": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), n_groups), pa.int64()
+                ),
+                "s": pa.array(sums.to_numpy().astype(np.int64).ravel(), pa.int64()),
+                "n_part": pa.array(
+                    np.repeat(counts.to_numpy().astype(np.int64), dim), pa.int64()
+                ),
             }
         )
 
@@ -620,7 +644,7 @@ def q_minhash_pairs(sf_dir: str):
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     cand = dd.minhash_lsh_candidates(docs)
     verified = dd.verify_jaccard_pairs(docs, cand, threshold=0.5)
-    return pa.Table.from_pandas(verified[["id_a", "id_b", "jaccard"]], preserve_index=False)
+    return verified.select_columns(["id_a", "id_b", "jaccard"])
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -631,13 +655,23 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF-bucketed approximate top-k (scale path of O1). Approximate ⇒
-    no SQL oracle; deterministic for fixed seed."""
+    """IVF approximate top-k (scale path of O1) over a PERSISTED index:
+    the bucket column is a table artifact written one-fragment-per-
+    bucket, so the nprobe query scans exactly nprobe fragments (zone-
+    map prune) instead of re-assigning every row per query. Approximate
+    ⇒ no SQL oracle; deterministic for fixed seed."""
+    import shutil
+    import tempfile
+
     q = _query_vec(sf_dir)
     emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     emb = emb.map_batches(lambda t: t.filter(pc.not_equal(t["vec_id"], 0)), batch_format="pyarrow")
-    index = sim.IvfIndex.train(emb, n_centroids=8, sample_rows=512)
-    return sim.topk_ivf(emb, index, q, k=10, nprobe=3).select_columns(["vec_id"])
+    tdir = tempfile.mkdtemp(prefix="fupi-ivf-")
+    try:
+        t, _ = sim.build_ivf_table(emb, tdir, n_centroids=8, sample_rows=512)
+        return sim.topk_ivf_persisted(t, q, k=10, nprobe=3).select_columns(["vec_id"]).materialize()
+    finally:
+        shutil.rmtree(tdir, ignore_errors=True)
 
 
 def q_rolling_fp(sf_dir: str):
@@ -668,21 +702,25 @@ def q_doc_sentence_stats(sf_dir: str):
         .groupby("doc_id")
         .aggregate(Sum("chars", alias_name="chars"), Sum("n", alias_name="n_sentences"))
     )
+    from fupi_ray.ops.join import prepare_broadcast_side
+
     lang = read(sf_dir, "documents", columns=["doc_id", "lang"]).to_pandas()
-    lang_ref = ray.put(dict(zip(lang["doc_id"], lang["lang"])))
+    side_ref = prepare_broadcast_side(lang, on="doc_id", value_cols=["lang"])
 
     class Join:
         def __init__(self):
-            self.lang = ray.get(lang_ref)
+            side = ray.get(side_ref)
+            self.keys, self.lang = side["__keys__"], side["lang"]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             chars = batch["chars"].to_numpy(zero_copy_only=False).astype(np.float64)
             n = batch["n_sentences"].to_numpy(zero_copy_only=False)
+            idx = np.clip(np.searchsorted(self.keys, ids), 0, len(self.keys) - 1)
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
-                    "lang": pa.array([self.lang.get(i) for i in ids], pa.string()),
+                    "lang": pa.array(self.lang[idx], from_pandas=True),
                     "n_sentences": pa.array(n.astype(np.int64)),
                     "avg_sentence_chars": pa.array(chars / np.maximum(n, 1)),
                 }

@@ -39,21 +39,40 @@ def _unwrap_tensor(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arra
     return col
 
 
-def normalize_batch(batch: pa.Table) -> pa.Table:
-    """Project a batch to the canonical column order / types.
+def normalize_batch(batch: pa.Table, schema: pa.Schema | None = None) -> pa.Table:
+    """Project a batch to the target schema's column order / types.
 
     Mirrors the reference's declared-schema writes (``fupi/utils.py:39-49``
     always writes with an explicit schema, never inferred). Handles
     batches that round-tripped through pandas (list columns come back
     as Ray tensor extension arrays).
+
+    ``schema`` defaults to the canonical ``SEQUENCES_SCHEMA``;
+    maintenance ops pass the TABLE's manifest schema so user tables
+    with extra columns round-trip unchanged. A table column missing
+    from the batch raises; batch columns outside the schema are
+    dropped only if they are internal (``_``-prefixed) — a user column
+    the table does not know is an error, never a silent drop.
     """
+    schema = SEQUENCES_SCHEMA if schema is None else schema
+    missing = [f.name for f in schema if f.name not in batch.column_names]
+    if missing:
+        raise ValueError(f"batch is missing table columns {missing}")
+    extra = [
+        n for n in batch.column_names if schema.get_field_index(n) < 0 and not n.startswith("_")
+    ]
+    if extra:
+        raise ValueError(
+            f"batch has columns {extra} not in the table schema — "
+            "evolve the table schema first instead of silently dropping data"
+        )
     cols = []
-    for f in SEQUENCES_SCHEMA:
+    for f in schema:
         col = _unwrap_tensor(batch.column(f.name))
         if col.type != f.type:
             col = pc.cast(col, f.type)
         cols.append(col)
-    return pa.Table.from_arrays(cols, schema=SEQUENCES_SCHEMA)
+    return pa.Table.from_arrays(cols, schema=schema)
 
 
 def validate_batch(batch: pa.Table) -> pa.Table:

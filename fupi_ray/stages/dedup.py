@@ -4,30 +4,52 @@ Jaccard, embedding-cosine near-dup.
 The reference's only dedup is exact first-wins ``drop_duplicates``
 on the driver (fupi/embedders.py:92, SURVEY.md §2.5 A2/A4); at 100 TB
 that becomes a hash-shuffle, and a training-data pipeline additionally
-needs near-dup families. Shared pattern: per-batch vectorized signature
-→ hash-bucket shuffle (``groupby`` on a bucket column, NOT per-key
-groups — millions of tiny groups would serialize) → vectorized
-resolution inside each bucket.
+needs near-dup families. Shared patterns:
+
+- per-batch vectorized signatures (``functions.textkernels`` — flat
+  numpy segment kernels, no per-doc Python) → hash-bucket shuffle
+  (``groupby`` on a bucket column, NOT per-key groups) → vectorized
+  resolution inside each bucket;
+- all-pairs work is never O(n^2) over raw rows: char-Jaccard pairs go
+  through distinct-signature representatives (pairwise cost is U^2
+  over distinct charsets, expansion cost is output-linear), and
+  embedding near-dup tiles each block so one task never holds more
+  than 2/T of a block.
 """
 
 from __future__ import annotations
 
-import hashlib
 import re
-from collections import defaultdict
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
+from fupi_ray.functions import textkernels as tk
 from fupi_ray.functions.hashing import mix64, stable_hash
 
 
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
+
+
+def _arrow_keep_first(g: pa.Table, key_col: str, id_col: str) -> pa.Table:
+    """Pure-Arrow keep-first: sort by (key, id), boundary-mask filter.
+    No pandas conversion — a tokens/binary payload column passes
+    through zero-copy (same pattern as ops/merge._dedup_source)."""
+    order = pc.sort_indices(
+        g, sort_keys=[(key_col, "ascending"), (id_col, "ascending")]
+    )
+    g = g.take(order)
+    keys = g[key_col].to_numpy(zero_copy_only=False)
+    keep = np.ones(len(keys), dtype=bool)
+    if len(keys) > 1:
+        keep[1:] = keys[1:] != keys[:-1]
+    return g.filter(pa.array(keep))
 
 
 def dedup_exact(
@@ -40,31 +62,24 @@ def dedup_exact(
     ``id_col`` (order-independent, so the duckdb oracle can reproduce
     it with ``row_number() OVER (PARTITION BY key ORDER BY id)``).
 
-    Two-phase: (1) per-batch local dedup (vectorized, shrinks the
-    shuffle), (2) hash-bucket shuffle + per-bucket vectorized dedup.
+    Two-phase: (1) per-batch local dedup (pure Arrow, shrinks the
+    shuffle), (2) hash-bucket shuffle + per-bucket Arrow dedup.
     Scales: the exchange moves at most one row per distinct key per
-    input block.
+    input block, and payload columns never round-trip through pandas.
     """
 
     def local(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values([key_col, id_col], kind="mergesort").drop_duplicates(
-            subset=[key_col], keep="first"
-        )
-        b = (stable_hash(df[key_col].to_numpy()) % np.uint64(num_buckets)).astype(np.int32)
-        df["_bucket"] = b
-        return pa.Table.from_pandas(df, preserve_index=False)
+        batch = _arrow_keep_first(batch, key_col, id_col)
+        b = (stable_hash(batch[key_col]) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, id_col], kind="mergesort").drop_duplicates(
-            subset=[key_col], keep="first"
-        )
-        return g.drop(columns=["_bucket"])
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return _arrow_keep_first(g, key_col, id_col).drop_columns(["_bucket"])
 
     return (
-        ds.map_batches(local, batch_format="pyarrow")
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 
@@ -76,12 +91,12 @@ class MinHashStage:
     """Per-batch MinHash signatures (stateful: per-permutation salts
     generated once per actor from a fixed seed).
 
-    Shingles = word ``shingle_size``-grams; a gram's 64-bit hash is a
-    vectorized mix of its word hashes (no gram strings are ever
-    built). signature[p] = min over shingles of mix64(h ^ salt_p) —
-    one (P × S) uint64 broadcast per doc instead of object-dtype
-    Mersenne-prime bigint math. Emits one row per (doc, band):
-    ``(id, band, band_key)`` — ready for the LSH bucket groupby.
+    Fully batched: ONE Arrow tokenize + ONE stable hash for the whole
+    batch, gram mix-chains over the flat word array with doc-boundary
+    masking, then per-doc minima via ``np.minimum.reduceat``
+    (functions/textkernels.py). No per-document Python. Emits one row
+    per (doc, band): ``(id, band, band_key)`` — ready for the LSH
+    bucket groupby.
     """
 
     def __init__(
@@ -102,6 +117,7 @@ class MinHashStage:
         self.salts = rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
         self.word_re = re.compile(r"\w+", re.U)
 
+    # -- per-doc reference kernels (kept for tests / verify fallback) --
     def shingle_hashes(self, text: str) -> np.ndarray:
         words = self.word_re.findall((text or "").lower())
         if not words:
@@ -123,9 +139,7 @@ class MinHashStage:
         return mix64(h[None, :] ^ self.salts[:, None]).min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        n = len(ids)
+        n = batch.num_rows
         if n == 0:
             return pa.table(
                 {
@@ -134,19 +148,20 @@ class MinHashStage:
                     "band_key": pa.array([], pa.int64()),
                 }
             )
-        sigs = np.stack([self.signature(t) for t in texts])  # (n, P)
-        # fold each band's rows into one 64-bit key, vectorized over docs
+        W, _, lengths = tk.flat_word_hashes(batch[self.text_col])
+        grams, gstarts = tk.doc_shingle_hashes(W, lengths, self.shingle)
+        sigs = tk.minhash_signatures(grams, gstarts, self.salts).T  # (n, P)
         chunks = sigs.reshape(n, self.bands, self.rows_per_band)
         key = chunks[:, :, 0]
         for r in range(1, self.rows_per_band):
             key = mix64(key ^ chunks[:, :, r])
-        out_ids = np.repeat(np.asarray(ids, dtype=object), self.bands)
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
         out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
-                "id": pa.array(out_ids),
+                "id": batch[self.id_col].take(take),
                 "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(key.reshape(-1).astype(np.int64), pa.int64()),
+                "band_key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
             }
         )
 
@@ -267,33 +282,76 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     threshold: float = 0.7,
-) -> pd.DataFrame:
-    """Verify candidate pairs with true shingle Jaccard.
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Verify candidate pairs with true shingle Jaccard — distributed.
 
-    Candidates are a small set (near-dup rate is low); their texts are
-    broadcast-collected once and verified on the driver — the scale
-    path would chunk pairs into tasks with a broadcast text dict.
+    The candidate-id set is small by construction (LSH banding +
+    star-capping keeps it output-linear), so it is collected ONCE and
+    broadcast to semi-filter the corpus vectorized; the surviving
+    (id, text) rows are then hash-joined to the pair list twice (two
+    bounded bucket exchanges) and each pair batch is verified with the
+    batched shingle kernel — no driver-side ``take_all`` of texts.
     """
-    pair_df = pairs.to_pandas()
-    if pair_df.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    cand_ids = set(pair_df["id_a"]) | set(pair_df["id_b"])
+    from fupi_ray.ops.join import hash_join
+
+    # collect candidate ids (small): one driver round-trip of ids only
+    a = pairs.select_columns(["id_a"]).take_all()
+    b = pairs.select_columns(["id_b"]).take_all()
+    cand = np.unique(
+        np.array([r["id_a"] for r in a] + [r["id_b"] for r in b])
+    )
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(ids, cand)
+        return batch.filter(pa.array(keep)).select([id_col, text_col])
+
+    cand_docs = ds.map_batches(semi, batch_format="pyarrow")
+
+    j1 = hash_join(
+        pairs, cand_docs, on="id_a", right_on=id_col,
+        num_buckets=num_buckets, right_suffix="_a",
+    )
+    # text col arrives as text (id_a key keeps left name); rename to text_a
+    j1 = j1.rename_columns({text_col: "text_a"})
+    j2 = hash_join(
+        j1, cand_docs, on="id_b", right_on=id_col,
+        num_buckets=num_buckets, right_suffix="_b",
+    ).rename_columns({text_col: "text_b"})
+
     stage = MinHashStage(text_col=text_col, id_col=id_col, shingle_size=shingle_size)
 
-    def grab(batch: pa.Table) -> pa.Table:
-        mask = pa.array([i in cand_ids for i in batch[id_col].to_pylist()])
-        return batch.filter(mask).select([id_col, text_col])
+    def verify(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"id_a": batch["id_a"], "id_b": batch["id_b"],
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        texts = pa.concat_arrays(
+            [batch["text_a"].combine_chunks() if isinstance(batch["text_a"], pa.ChunkedArray) else batch["text_a"],
+             batch["text_b"].combine_chunks() if isinstance(batch["text_b"], pa.ChunkedArray) else batch["text_b"]]
+        )
+        W, _, lengths = tk.flat_word_hashes(texts)
+        grams, gstarts = tk.doc_shingle_hashes(W, lengths, stage.shingle)
+        jac = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            sa = np.unique(grams[gstarts[i] : gstarts[i + 1]])
+            sb = np.unique(grams[gstarts[n + i] : gstarts[n + i + 1]])
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / (union or 1)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(np.round(jac, 4)),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    texts = {r[id_col]: r[text_col] for r in ds.map_batches(grab, batch_format="pyarrow").take_all()}
-    sets = {i: set(stage.shingle_hashes(t)) for i, t in texts.items()}
-    jac = []
-    for a, b in zip(pair_df["id_a"], pair_df["id_b"]):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        inter = len(sa & sb)
-        union = len(sa | sb) or 1
-        jac.append(inter / union)
-    pair_df["jaccard"] = np.round(jac, 4)
-    return pair_df[pair_df["jaccard"] >= threshold].reset_index(drop=True)
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -306,13 +364,16 @@ class SimHashStage:
 
     Near-dup pairs differ in ≤3 bits ⇒ at least one 16-bit band is
     identical (pigeonhole) — the standard Manku/Jain/Sarma trick.
-    """
+    Batched: one flat tokenize+hash, per-doc bit counts via
+    ``np.add.reduceat``, band rows built with repeat/tile (no per-doc
+    Python loop)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col, self.id_col = text_col, id_col
         self.word_re = re.compile(r"\w+", re.U)
 
     def simhash(self, text: str) -> int:
+        """Per-doc reference kernel (tests only)."""
         words = self.word_re.findall((text or "").lower())
         if not words:
             return 0
@@ -324,21 +385,30 @@ class SimHashStage:
         return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        sh = np.array([self.simhash(t) for t in batch[self.text_col].to_pylist()], dtype=np.uint64)
-        out_id, out_band, out_key, out_sim = [], [], [], []
-        for i, s in zip(ids, sh):
-            for band in range(4):
-                out_id.append(i)
-                out_band.append(band)
-                out_key.append(int((s >> np.uint64(band * 16)) & np.uint64(0xFFFF)))
-                out_sim.append(int(s) - (1 << 64) if s >= (1 << 63) else int(s))
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int32()),
+                    "band_key": pa.array([], pa.int64()),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
+        W, _, lengths = tk.flat_word_hashes(batch[self.text_col])
+        sh = tk.simhash_values(W, lengths)  # (n,) uint64
+        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        sh_rep = np.repeat(sh, 4)
+        key = ((sh_rep >> (bands.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(
+            np.int64
+        )
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
-                "id": pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
-                "simhash": pa.array(out_sim, pa.int64()),
+                "id": batch[self.id_col].take(take),
+                "band": pa.array(bands, pa.int32()),
+                "band_key": pa.array(key, pa.int64()),
+                "simhash": pa.array(sh_rep.view(np.int64), pa.int64()),
             }
         )
 
@@ -387,7 +457,7 @@ def simhash_candidates(
             gi, gs = gi[keep], gs[keep]
             for i in range(len(gi) - 1):
                 x = np.bitwise_xor(gs[i + 1 :], gs[i])
-                ham = _popcount64(x)
+                ham = tk.popcount64(x)
                 for j in np.nonzero(ham <= max_hamming)[0]:
                     rows_a.append(gi[i])
                     rows_b.append(gi[i + 1 + j])
@@ -403,13 +473,7 @@ def simhash_candidates(
     return dedup_pairs(pairs)
 
 
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount (SWAR)."""
-    with np.errstate(over="ignore"):
-        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-        x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+_popcount64 = tk.popcount64  # back-compat alias
 
 
 # ---------------------------------------------------------------------------
@@ -423,28 +487,161 @@ def char_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("source", "lang"),
+    num_buckets: int = 64,
+    max_members: int | None = None,
 ) -> ray.data.Dataset:
     """All-pairs distinct-character Jaccard within blocking groups —
-    semantics chosen to equal duckdb's ``jaccard(s1, s2)`` so the
-    oracle can verify it. Blocking keeps the per-group O(n²) bounded."""
+    semantics equal to duckdb's ``jaccard(lower(a), lower(b))`` for
+    ASCII text (the per-doc signature is a 256-bit byte bitmask).
 
-    def grp(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        sets = [frozenset((t or "").lower()) for t in g[text_col]]
-        ra, rb, rj = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j]) or 1
-                jac = inter / union
-                if jac >= threshold:
-                    ra.append(ids[i])
-                    rb.append(ids[j])
-                    rj.append(round(jac, 4))
-        return pd.DataFrame({"id_a": ra, "id_b": rb, "jacc": rj})
+    Scale design (NOT all-pairs over rows): the n^2 moves to the
+    distinct-signature level.
 
-    return ds.groupby(list(block_cols)).map_groups(grp, batch_format="pandas")
+    1. per-batch: 256-bit charset bitmask + 64-bit sig per doc
+       (vectorized; the text column is DROPPED here — only 5 small
+       columns ever shuffle);
+    2. representatives: one bucket-shuffle dedup → one row per
+       distinct (block, mask);
+    3. rep pairs: per block, U×U vectorized popcount Jaccard over the
+       U distinct masks (U ≪ n) → passing (sig_a ≤ sig_b) pairs,
+       including the diagonal (identical charsets, jaccard 1.0);
+    4. expansion: two ``hash_join`` bucket exchanges of the tiny
+       member rows against the passing sig pairs → output-linear
+       cross products; ``id_a < id_b`` keeps each pair once.
+
+    ``max_members`` (optional) caps members per (block, sig): beyond
+    the cap, members pair only with the group's minimum id (star),
+    bounding a degenerate group's output at cap^2 + members.
+    """
+
+    bc = list(block_cols)
+
+    def sig_stage(batch: pa.Table) -> pa.Table:
+        mask, sig = tk.charset_bitmask(batch[text_col])
+        cols = {c: batch[c] for c in bc}
+        cols["id"] = batch[id_col]
+        for j in range(4):
+            cols[f"m{j}"] = pa.array(mask[:, j].view(np.int64), pa.int64())
+        cols["sig"] = pa.array(sig.view(np.int64), pa.int64())
+        return pa.table(cols)
+
+    members = ds.map_batches(sig_stage, batch_format="pyarrow")
+
+    # --- distinct (block, mask) representatives --------------------------
+    def local_reps(batch: pa.Table) -> pa.Table:
+        key = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in bc:
+            key = mix64(key ^ stable_hash(batch[c]))
+        key = mix64(key ^ batch["sig"].to_numpy(zero_copy_only=False).view(np.uint64))
+        batch = batch.append_column("_k", pa.array(key.view(np.int64)))
+        batch = _arrow_keep_first(batch, "_k", "id")
+        kk = batch["_k"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return batch.append_column(
+            "_bucket", pa.array((kk % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def bucket_reps(g: pa.Table) -> pa.Table:
+        return _arrow_keep_first(g, "_k", "id").drop_columns(["_bucket", "id"])
+
+    reps = (
+        members.map_batches(local_reps, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_reps, batch_format="pyarrow")
+        .drop_columns(["_k"])
+    )
+
+    # --- per-block rep pairs (U^2 vectorized) ----------------------------
+    def rep_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        U = len(g)
+        M = np.stack(
+            [g[f"m{j}"].to_numpy().view(np.uint64) for j in range(4)], axis=1
+        )  # (U, 4)
+        inter = np.zeros((U, U), dtype=np.int64)
+        union = np.zeros((U, U), dtype=np.int64)
+        for j in range(4):
+            w = M[:, j]
+            inter += tk.popcount64(w[:, None] & w[None, :])
+            union += tk.popcount64(w[:, None] | w[None, :])
+        jac = inter / np.maximum(union, 1)
+        sigs = g["sig"].to_numpy()
+        iu = np.triu_indices(U, k=0)  # include diagonal (identical charsets)
+        ok = jac[iu] >= threshold
+        sa, sb = sigs[iu[0][ok]], sigs[iu[1][ok]]
+        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
+        out = {c: np.repeat(g[c].iloc[0], ok.sum()) for c in bc}
+        out.update(
+            {"sig_a": lo, "sig_b": hi, "jacc": np.round(jac[iu][ok], 4)}
+        )
+        return pd.DataFrame(out)
+
+    pair_plan = reps.groupby(bc).map_groups(rep_pairs, batch_format="pandas")
+
+    # --- expansion: members ⋈ pair_plan ⋈ members -----------------------
+    from fupi_ray.ops.join import hash_join
+
+    mem = members.select_columns(bc + ["id", "sig"])
+    if max_members is not None:
+        mem = _cap_members(mem, bc, max_members, num_buckets)
+
+    j1 = hash_join(
+        pair_plan, mem, on=bc + ["sig_a"], right_on=bc + ["sig"],
+        num_buckets=num_buckets,
+    ).rename_columns({"id": "id_a"})
+    j2 = hash_join(
+        j1, mem, on=bc + ["sig_b"], right_on=bc + ["sig"],
+        num_buckets=num_buckets,
+    ).rename_columns({"id": "id_b"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        keep = a < b
+        same_sig = batch["sig_a"].to_numpy(zero_copy_only=False) == batch[
+            "sig_b"
+        ].to_numpy(zero_copy_only=False)
+        # off-diagonal pairs appear once with arbitrary id order: reorder
+        lo = np.where(same_sig, a, np.minimum(a, b))
+        hi = np.where(same_sig, b, np.maximum(a, b))
+        keep = np.where(same_sig, keep, a != b)
+        t = pa.table(
+            {
+                "id_a": pa.array(lo),
+                "id_b": pa.array(hi),
+                "jacc": batch["jacc"],
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def _cap_members(
+    mem: ray.data.Dataset, bc: list[str], cap: int, num_buckets: int
+) -> ray.data.Dataset:
+    """Keep the ``cap`` minimum-id members per (block, sig); a
+    degenerate group's output is bounded at cap^2 pairs. Uncapped
+    members are dropped from expansion (their pairs beyond the star
+    are sacrificed — approximate mode, documented)."""
+
+    def add_b(batch: pa.Table) -> pa.Table:
+        key = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in bc:
+            key = mix64(key ^ stable_hash(batch[c]))
+        key = mix64(key ^ batch["sig"].to_numpy(zero_copy_only=False).view(np.uint64))
+        return batch.append_column(
+            "_bucket", pa.array((key % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def cap_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*bc, "sig", "id"], kind="mergesort")
+        ranked = g.groupby([*bc, "sig"], sort=False).cumcount()
+        return g[ranked < cap].drop(columns=["_bucket"])
+
+    return (
+        mem.map_batches(add_b, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(cap_group, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -458,26 +655,93 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     block_col: str = "label",
+    tiles: int = 4,
+    chunk: int = 4096,
 ) -> ray.data.Dataset:
-    """Pairs with cosine ≥ threshold inside blocking groups, via one
-    numpy matmul per group (vectorized; no per-pair Python)."""
+    """Exact pairs with cosine ≥ threshold inside blocking groups.
 
-    def grp(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+    Scale design: each block is split into ``tiles`` hash tiles; every
+    row is replicated to the T tile-pairs it participates in, and one
+    ``groupby`` task computes one tile-pair with a CHUNKED matmul — a
+    task never holds more than 2/T of a block and never materializes
+    an n×n matrix. Work is the unavoidable n²·d/2 (exact all-pairs),
+    distributed over T(T+1)/2 tasks per block; raise ``tiles`` for
+    bigger blocks. Every unordered pair lands in exactly one tile-pair
+    group, so no output dedup pass is needed.
+    """
+    T = int(tiles)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty_cols = [
+            ("_ti", pa.int32()),
+            ("_tj", pa.int32()),
+            ("_tile", pa.int32()),
+        ]
+        if n == 0:
+            out = batch
+            for name, typ in empty_cols:
+                out = out.append_column(name, pa.array([], typ))
+            return out
+        t = (stable_hash(batch[id_col]) % np.uint64(T)).astype(np.int32)
+        reps = np.repeat(np.arange(n, dtype=np.int64), T)
+        u = np.tile(np.arange(T, dtype=np.int32), n)
+        tt = np.repeat(t, T)
+        out = batch.take(pa.array(reps))
+        out = out.append_column("_ti", pa.array(np.minimum(tt, u), pa.int32()))
+        out = out.append_column("_tj", pa.array(np.maximum(tt, u), pa.int32()))
+        return out.append_column("_tile", pa.array(tt, pa.int32()))
+
+    from fupi_ray.stages.similarity import _matrix
+
+    def kernel(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        g = g.take(order)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        tile = g["_tile"].to_numpy(zero_copy_only=False)
+        ti = int(g["_ti"][0].as_py())
+        tj = int(g["_tj"][0].as_py())
+        M = _matrix(g[vec_col])
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = 1.0
         Mn = M / norms[:, None]
-        cos = Mn @ Mn.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = cos[iu] >= threshold
-        return pd.DataFrame(
+        ra, rb, rc = [], [], []
+        if ti == tj:
+            for s in range(0, len(ids), chunk):
+                e = min(s + chunk, len(ids))
+                cos = Mn[s:e] @ Mn.T
+                r, c = np.nonzero(cos >= threshold)
+                keep = c > (r + s)
+                ra.append(ids[r[keep] + s])
+                rb.append(ids[c[keep]])
+                rc.append(cos[r[keep], c[keep]])
+        else:
+            li = np.nonzero(tile == ti)[0]
+            ri = np.nonzero(tile == tj)[0]
+            L, R = Mn[li], Mn[ri]
+            lids, rids = ids[li], ids[ri]
+            for s in range(0, len(lids), chunk):
+                e = min(s + chunk, len(lids))
+                cos = L[s:e] @ R.T
+                r, c = np.nonzero(cos >= threshold)
+                a, b = lids[r + s], rids[c]
+                ra.append(np.minimum(a, b))
+                rb.append(np.maximum(a, b))
+                rc.append(cos[r, c])
+        if not ra:
+            ra, rb, rc = [np.empty(0, ids.dtype)], [np.empty(0, ids.dtype)], [
+                np.empty(0, np.float64)
+            ]
+        return pa.table(
             {
-                "id_a": ids[iu[0][mask]],
-                "id_b": ids[iu[1][mask]],
-                "cos": np.round(cos[iu][mask], 4),
+                "id_a": pa.array(np.concatenate(ra)),
+                "id_b": pa.array(np.concatenate(rb)),
+                "cos": pa.array(np.round(np.concatenate(rc), 4)),
             }
         )
 
-    return ds.groupby(block_col).map_groups(grp, batch_format="pandas")
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby([block_col, "_ti", "_tj"])
+        .map_groups(kernel, batch_format="pyarrow")
+    )

@@ -112,11 +112,27 @@ class IvfIndex:
         sample_rows: int = 4096,
         iters: int = 5,
         vec_col: str = "embedding",
+        id_col: str | None = None,
         seed: int = 42,
     ) -> "IvfIndex":
-        # deterministic sample: first `sample_rows` rows (input order is
-        # stable for a snapshot scan)
-        rows = ds.limit(sample_rows).take_all()
+        # deterministic STRATIFIED sample: keep rows whose hashed id
+        # falls under sample_rows/n of the hash space — spread across
+        # the whole table, not the first block (first-N would train the
+        # quantizer on whatever shard happens to be first)
+        if id_col is not None:
+            from fupi_ray.functions.hashing import mix64, stable_hash
+
+            n_total = max(ds.count(), 1)
+            rate = min(1.0, 2.0 * sample_rows / n_total)
+            threshold = np.uint64(min(int(rate * float(2**64 - 1)), 2**64 - 1))
+
+            def pick(t: pa.Table) -> pa.Table:
+                h = mix64(stable_hash(t[id_col]))
+                return t.filter(pa.array(h <= threshold))
+
+            rows = ds.map_batches(pick, batch_format="pyarrow").limit(sample_rows).take_all()
+        else:
+            rows = ds.limit(sample_rows).take_all()
         X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
         Xn = X / np.maximum(np.linalg.norm(X, axis=1), 1e-12)[:, None]
         rng = np.random.default_rng(seed)
@@ -135,6 +151,115 @@ class IvfIndex:
         M = _matrix(batch[vec_col])
         norms = np.maximum(np.linalg.norm(M, axis=1), 1e-12)
         return np.argmax((M / norms[:, None]) @ self.centroids.T, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: bucket column as a table artifact, probes prune
+# via zone maps — the reference's stored-index search
+# (``table.search(vec).limit(10)``, fupi/utils.py:149-161) re-expressed
+# as lakehouse layout + metadata pruning.
+# ---------------------------------------------------------------------------
+
+
+def _index_path(table_dir: str) -> str:
+    import os
+
+    return os.path.join(table_dir, "index", "ivf.json")
+
+
+def build_ivf_table(
+    ds: ray.data.Dataset,
+    table_dir: str,
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    config=None,
+):
+    """Persist an IVF-bucketed copy of ``ds`` as a fupi_ray Table.
+
+    - trains the coarse quantizer on a stratified sample,
+    - assigns every row its ``bucket`` (actor pool, centroids broadcast
+      once),
+    - writes ONE fragment per bucket (the bucket groupby task writes
+      its own fragment), so the ``bucket`` zone map makes an
+      ``nprobe``-bucket query scan exactly ``nprobe`` fragments,
+    - stores the centroid matrix as ``index/ivf.json`` next to the
+      manifests (versioned with the table, tiny).
+
+    Returns ``(Table, IvfIndex)``.
+    """
+    import json
+    import os
+
+    from fupi_ray.table import Table, _FragmentWriter
+
+    index = IvfIndex.train(
+        ds, n_centroids=n_centroids, sample_rows=sample_rows, vec_col=vec_col, id_col=id_col
+    )
+    idx_ref = ray.put(index.centroids)
+
+    class Assign:
+        def __init__(self):
+            self.index = IvfIndex(ray.get(idx_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("bucket", pa.array([], pa.int32()))
+            a = self.index.assign_batch(batch, vec_col).astype(np.int32)
+            return batch.append_column("bucket", pa.array(a))
+
+    bucketed = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+
+    t = Table.create(table_dir, config=config)
+    writer = _FragmentWriter(table_dir, "ivf")
+
+    def write_group(g: pa.Table) -> pa.Table:
+        return writer(g)
+
+    meta_rows = (
+        bucketed.groupby("bucket")
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+    from fupi_ray.manifest import FragmentMeta
+
+    frags = [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows]
+    t.commit_fragment_swap(set(), frags, operation="ivf-build", properties={
+        "n_centroids": int(len(index.centroids)),
+    })
+    ip = _index_path(table_dir)
+    os.makedirs(os.path.dirname(ip), exist_ok=True)
+    with open(ip, "w") as f:
+        json.dump({"centroids": index.centroids.tolist()}, f)
+    return t, index
+
+
+def load_ivf_index(table_dir: str) -> IvfIndex:
+    import json
+
+    with open(_index_path(table_dir)) as f:
+        return IvfIndex(np.asarray(json.load(f)["centroids"], dtype=np.float64))
+
+
+def topk_ivf_persisted(
+    table,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Query a persisted IVF table: pick the ``nprobe`` nearest buckets
+    from the stored centroids, scan ONLY their fragments (zone-map
+    prune on the ``bucket`` column — no full-table pass, unlike the
+    ephemeral ``topk_ivf``), then exact top-k inside them."""
+    index = load_ivf_index(table.table_dir)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(b) for b in np.argsort(-(index.centroids @ qn))[:nprobe]]
+    ds = table.scan(predicate=[("bucket", "in", probes)])
+    return topk_cosine(ds, q, k=k, vec_col=vec_col, id_col=id_col)
 
 
 def topk_ivf(

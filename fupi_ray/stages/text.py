@@ -97,17 +97,26 @@ class LangIdStage:
     def __init__(self):
         self.word_re = re.compile(r"[a-z]+")
         self.sets = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
+        self.lex = {k: np.array(sorted(s), dtype=object) for k, s in self.sets.items()}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        hits = {k: np.zeros(len(texts), dtype=np.int64) for k in LANG_ORDER}
-        lex = {k: np.array(sorted(s), dtype=object) for k, s in self.sets.items()}
-        for i, t in enumerate(texts):
-            words = np.array(self.word_re.findall((t or "").lower()), dtype=object)
-            if len(words) == 0:
-                continue
+        from fupi_ray.functions import textkernels as tk
+
+        n = batch.num_rows
+        # ONE Arrow tokenize for the whole batch; stopword membership is
+        # tested on the factorized vocabulary (distinct words), then
+        # per-doc hit counts come from one bincount per language.
+        words, doc_idx, _ = tk.flat_words(batch["text"], r"[^a-z]+")
+        hits = {k: np.zeros(n, dtype=np.int64) for k in LANG_ORDER}
+        if len(words):
+            import pandas as pd
+
+            codes, vocab = pd.factorize(words)
             for k in LANG_ORDER:
-                hits[k][i] = int(np.isin(words, lex[k]).sum())
+                member = np.isin(np.asarray(vocab, dtype=object), self.lex[k])
+                hits[k] = np.bincount(
+                    doc_idx, weights=member[codes], minlength=n
+                ).astype(np.int64)
         # argmax with fixed precedence: first language in LANG_ORDER wins ties
         stacked = np.stack([hits[k] for k in LANG_ORDER])
         best = np.argmax(stacked, axis=0)
@@ -150,11 +159,12 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     md5 so duckdb's ``md5()`` reproduces it byte-for-byte; this is the
     content identity used by exact dedup (SURVEY.md §2.5 A2).
     """
-    texts = batch[text_col].to_pylist()
-    fps = [
-        hashlib.md5(_FP_RE.sub("", (t or "").lower()).encode("utf-8")).hexdigest()
-        for t in texts
-    ]
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(batch[text_col], "")), "[^a-z0-9]", ""
+    )
+    # md5 has no vectorized kernel; the per-row cost after the Arrow
+    # regex pass is one C hashlib call on pre-cleaned bytes
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in cleaned.to_pylist()]
     return batch.append_column("fp", pa.array(fps, pa.string()))
 
 
@@ -173,19 +183,9 @@ class RollingHashStage:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        mins = np.zeros(len(texts), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                b = (t or "").lower().encode("utf-8")
-                if len(b) < self.k:
-                    continue
-                arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-                n = len(arr) - self.k + 1
-                acc = np.zeros(n, dtype=np.uint64)
-                for j in range(self.k):
-                    acc += arr[j : j + n] * self.pows[j]
-                mins[i] = acc.min()
+        from fupi_ray.functions import textkernels as tk
+
+        mins = tk.rolling_min_hashes(batch["text"], self.k, self.pows)
         return batch.append_column(
             "rolling_fp", pa.array(mins.view(np.int64))
         )

@@ -28,6 +28,8 @@ class _Committer:
     """The commit critical section (also usable un-actored in tests)."""
 
     def commit(self, table_dir: str, m_json: str, expected_parent: int | None) -> int:
+        import os
+
         m = mf.Manifest.from_json(m_json)
         latest = mf.read_latest_version(table_dir)
         if expected_parent is not None and latest != expected_parent:
@@ -36,10 +38,33 @@ class _Committer:
                 f"latest is v{latest} — rebase the job on the new snapshot"
             )
         new_version = (latest if latest is not None else -1) + 1
+        # Filesystem-level duplicate-version guard: the named actor
+        # serializes commits within ONE Ray job, but two `ray job
+        # submit` invocations each get their own cluster and actor.
+        # O_CREAT|O_EXCL on the version file makes the second
+        # concurrent writer of v{N} fail loudly instead of clobbering.
+        path = mf.manifest_path(table_dir, new_version)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         m.version = new_version
         m.parent_version = latest
         m.created_unix = time.time()
-        mf.write_manifest(table_dir, m)
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            # link(2) is atomic AND exclusive: the second concurrent
+            # writer of v{N} fails instead of clobbering, and readers
+            # never observe a partially-written manifest.
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitError(
+                f"concurrent commit detected: v{new_version} manifest already "
+                "exists (another writer won the race) — rebase and retry"
+            )
+        finally:
+            os.unlink(tmp)
         mf.write_latest_version(table_dir, new_version)
         return new_version
 
@@ -48,9 +73,14 @@ CommitActor = ray.remote(num_cpus=0)(_Committer)
 
 
 def get_commit_actor(table_dir: str):
-    """One named commit actor per table directory (idempotent)."""
+    """One named DETACHED commit actor per table directory in a fixed
+    namespace (idempotent): every Ray job that connects to the same
+    cluster resolves the same serialization point, not a per-job
+    private actor."""
     name = "fupi-commit-" + hashlib.md5(table_dir.encode()).hexdigest()[:12]
-    return CommitActor.options(name=name, get_if_exists=True).remote()
+    return CommitActor.options(
+        name=name, get_if_exists=True, lifetime="detached", namespace="fupi"
+    ).remote()
 
 
 def commit(table_dir: str, m: mf.Manifest, expected_parent: int | None) -> int:

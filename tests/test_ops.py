@@ -137,9 +137,11 @@ def test_expire_gc_and_pin_protection(tmp_table_dir):
     assert v3 in res["surviving_versions"]
     # pinned reader still sees identical content after GC
     assert canonical(t, v1) == pinned_scan_before
-    # unpin → expire → fragments GC'd
+    # unpin → expire → fragments GC'd (grace disabled: this test's
+    # fragments are seconds old, and the default 6 h grace would keep
+    # them for in-flight-job safety)
     t.unpin("reader")
-    res = expire_snapshots(t, keep_last=1)
+    res = expire_snapshots(t, keep_last=1, gc_grace_seconds=0.0)
     assert v1 not in res["surviving_versions"]
     assert res["gc_files"] > 0
     assert canonical(t, v3)  # latest still intact
@@ -263,19 +265,37 @@ def test_cluster_grouped_resume_and_content(tmp_table_dir):
     per-partition lineage)."""
     t = write_fragmented_table(tmp_table_dir, 600, rows_per_fragment=50, config=SMALL_CFG)
     before = canonical(t)
-    v = cluster(t, curve="zorder", job_id="grp-job", group_bytes=256 * 1024)
-    assert canonical(t) == before
-    props = t.manifest(v).properties
-    assert props["groups"] >= 2
 
-    recs = lineage.list_records(t.table_dir, "grp-job") if hasattr(lineage, "list_records") else None
-    # re-running the same job id must reuse every group's outputs
+    # crash the first run AFTER the group work but BEFORE the commit
+    from fupi_ray.table import Table
+
+    orig = Table.commit_fragment_swap
+
+    def boom(self, *a, **k):
+        raise RuntimeError("simulated crash before commit")
+
+    Table.commit_fragment_swap = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            cluster(t, curve="zorder", job_id="grp-job", group_bytes=256 * 1024)
+    finally:
+        Table.commit_fragment_swap = orig
+
     import glob
 
     rec_files = glob.glob(os.path.join(t.table_dir, "lineage", "grp-job", "*.json"))
-    assert len(rec_files) == props["groups"]
+    assert len(rec_files) >= 2  # multiple groups completed pre-crash
     mtimes = {p: os.path.getmtime(p) for p in rec_files}
-    v2 = cluster(t, curve="zorder", job_id="grp-job", group_bytes=256 * 1024)
-    assert canonical(t, v2) == before
+
+    # resume with the SAME job id: completed groups are reused (same
+    # inputs → lineage records honored), only the commit is redone
+    v = cluster(t, curve="zorder", job_id="grp-job", group_bytes=256 * 1024)
+    assert canonical(t, v) == before
+    assert t.manifest(v).properties["groups"] == len(rec_files)
     for p, mt in mtimes.items():
         assert os.path.getmtime(p) == mt  # not recomputed
+
+    # a SECOND full run (new fragments → new inputs) must NOT reuse the
+    # stale records: input validation forces recompute, content survives
+    v2 = cluster(t, curve="zorder", job_id="grp-job", group_bytes=256 * 1024)
+    assert canonical(t, v2) == before

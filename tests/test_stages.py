@@ -77,7 +77,7 @@ def test_minhash_identical_docs_pair():
         )
     )
     cand = minhash_lsh_candidates(ds)
-    verified = verify_jaccard_pairs(ds, cand, threshold=0.5)
+    verified = verify_jaccard_pairs(ds, cand, threshold=0.5).to_pandas()
     pairs = set(zip(verified["id_a"], verified["id_b"]))
     assert (1, 2) in pairs
     assert not any(3 in p for p in pairs)
