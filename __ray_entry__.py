@@ -33,8 +33,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pricing": q.q_agg_pricing,
         "join_enrich": q.q_join_enrich,
         "topk_join": q.q_topk_join,
+        "hash_join": q.q_hash_join,
+        "anti_join": q.q_anti_join,
         "string_agg_events": q.q_string_agg_events,
         "explode_sentences": q.q_explode_sentences,
+        "segment_sentences": q.q_segment_sentences,
         "distinct_pairs": q.q_distinct_pairs,
         "window_events": q.q_window_events,
         "centroid_label": q.q_centroid_label,
@@ -69,8 +72,11 @@ def oracle_sql() -> dict[str, str]:
         "agg_pricing": q.SQL_AGG_PRICING,
         "join_enrich": q.SQL_JOIN_ENRICH,
         "topk_join": q.SQL_TOPK_JOIN,
+        "hash_join": q.SQL_HASH_JOIN,
+        "anti_join": q.SQL_ANTI_JOIN,
         "string_agg_events": q.SQL_STRING_AGG_EVENTS,
         "explode_sentences": q.SQL_EXPLODE_SENTENCES,
+        "segment_sentences": q.SQL_SEGMENT_SENTENCES,
         "distinct_pairs": q.SQL_DISTINCT_PAIRS,
         "window_events": q.SQL_WINDOW_EVENTS,
         "centroid_label": q.SQL_CENTROID_LABEL,

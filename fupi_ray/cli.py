@@ -22,9 +22,18 @@ import time
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fupi_ray")
-    p.add_argument("op", choices=["ingest", "compact", "cluster", "merge", "expire", "scan"])
+    p.add_argument(
+        "op",
+        choices=["ingest", "overwrite", "compact", "cluster", "merge", "expire", "scan"],
+    )
     p.add_argument("--table", required=True)
-    p.add_argument("--source", help="parquet path/dir of the MERGE source")
+    p.add_argument("--source", help="parquet path/dir of the MERGE/overwrite source")
+    p.add_argument(
+        "--auto-compact",
+        action="store_true",
+        help="run compaction right after ingest/merge (the reference "
+        "compacts after every ingest, fupi/embedders.py:127-128)",
+    )
     p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     p.add_argument("--keep-last", type=int, default=2)
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
@@ -68,6 +77,20 @@ def main(argv=None) -> int:
             kw["rows_per_partition"] = args.rows_per_fragment
         v = t.commit_append(sequences_dataset(args.rows, **kw))
         out["version"] = v
+        if args.auto_compact:
+            out["compacted_version"] = compact(t)
+    elif args.op == "overwrite":
+        # reference S4: create_table(mode="overwrite") — replace table
+        # contents from a parquet source (fupi/utils.py:39-49)
+        if not args.source:
+            p.error("overwrite requires --source")
+        import ray.data
+
+        try:
+            t = Table.open(args.table)
+        except FileNotFoundError:
+            t = Table.create(args.table)
+        out["version"] = t.commit_overwrite(ray.data.read_parquet(args.source))
     elif args.op == "compact":
         t = Table.open(args.table)
         out["version"] = compact(t, job_id=args.job_id)
@@ -82,6 +105,8 @@ def main(argv=None) -> int:
         t = Table.open(args.table)
         src = ray.data.read_parquet(args.source)
         out["version"] = merge_into(t, src, job_id=args.job_id)
+        if args.auto_compact:
+            out["compacted_version"] = compact(t)
     elif args.op == "expire":
         t = Table.open(args.table)
         out.update(expire_snapshots(t, keep_last=args.keep_last))

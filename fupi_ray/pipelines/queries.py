@@ -229,6 +229,46 @@ JOIN customer c ON o.o_custkey = c.c_custkey
 """
 
 
+def q_hash_join(sf_dir: str):
+    """Distributed hash-shuffle equi-join of two large sides (no
+    broadcast, no driver): one bucket exchange per side, per-bucket
+    Arrow (Acero) probe — the join shape the reference never needed
+    (its joins are driver-side pandas merges, fupi/embedders.py:110)
+    but a 100 TB engine must have."""
+    from fupi_ray.ops.join import hash_join
+
+    orders = read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    j = hash_join(orders, cust, on="o_custkey", right_on="c_custkey", how="inner")
+    return j.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"])
+
+
+SQL_HASH_JOIN = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """§2.7 EXCEPT / anti-join semantics: customers with no big-ticket
+    orders, via the distributed hash join's anti mode."""
+    from fupi_ray.ops.join import hash_join
+
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    return hash_join(cust, big, on="c_custkey", right_on="o_custkey", how="anti")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
 def q_string_agg_events(sf_dir: str):
     """A3 ordered string aggregation (fupi/utils.py:184-196): per-group
     order re-established INSIDE the group (Ray groupby does not
@@ -291,6 +331,40 @@ WITH s AS (SELECT doc_id, string_split(text, '. ') parts FROM documents)
 SELECT doc_id, CAST(i AS BIGINT) AS sentence_id, parts[i] AS sentence
 FROM s, (SELECT unnest(generate_series(1, 10000)) i) idx
 WHERE i <= len(parts) AND length(parts[i]) > 3
+"""
+
+
+def q_segment_sentences(sf_dir: str):
+    """M6 with linguistic fidelity (reference uses pysbd,
+    fupi/data.py:33-36): abbreviation/initial/decimal-aware sentence
+    boundaries, all Arrow-regex vectorized (stages/text.py
+    segment_sentences); the identical protect/split/restore chain runs
+    in the duckdb oracle."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: tx.segment_sentences(t, "text", min_chars=4), batch_format="pyarrow"
+    )
+
+
+_SEG_SQL_ABBREV = r"\b(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Inc|Jr|Sr|No|Fig|approx)\."
+
+SQL_SEGMENT_SENTENCES = rf"""
+WITH p AS (
+  SELECT doc_id,
+    replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '(\d)\.(\d)', '\1' || chr(2) || '\2', 'g'),
+            '{_SEG_SQL_ABBREV}', '\1' || chr(2), 'g'),
+          '\b([A-Z])\.', '\1' || chr(2), 'g'),
+        '([.!?])\s+', '\1' || chr(1), 'g'),
+      chr(2), '.') AS s
+  FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS sentence_id, parts[i] AS sentence
+FROM (SELECT doc_id, string_split(s, chr(1)) parts FROM p),
+     (SELECT unnest(generate_series(1, 10000)) i) idx
+WHERE i <= len(parts) AND length(parts[i]) >= 4
 """
 
 

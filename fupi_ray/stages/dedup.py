@@ -283,17 +283,30 @@ def verify_jaccard_pairs(
     shingle_size: int = 3,
     threshold: float = 0.7,
     num_buckets: int = 32,
+    broadcast_max_docs: int = 65536,
 ) -> ray.data.Dataset:
     """Verify candidate pairs with true shingle Jaccard — distributed.
 
     The candidate-id set is small by construction (LSH banding +
-    star-capping keeps it output-linear), so it is collected ONCE and
-    broadcast to semi-filter the corpus vectorized; the surviving
-    (id, text) rows are then hash-joined to the pair list twice (two
-    bounded bucket exchanges) and each pair batch is verified with the
-    batched shingle kernel — no driver-side ``take_all`` of texts.
+    star-capping keeps it output-linear): it is collected ONCE and
+    broadcast to semi-filter the corpus vectorized. Then:
+
+    - fast path (≤ ``broadcast_max_docs`` candidate docs): their
+      (id, text) rows are ``ray.put`` once and every pair batch probes
+      them by ``np.searchsorted`` — one map over the pairs, no
+      additional exchange;
+    - scale path: the candidate docs are hash-joined to the pair list
+      twice (two bounded bucket exchanges) — no driver-side or
+      broadcast materialization of texts.
+
+    Either way the Jaccard kernel is the batched shingle kernel; the
+    verification itself never runs on the driver.
     """
-    from fupi_ray.ops.join import hash_join
+    # pin the candidate pipeline ONCE: everything below consumes
+    # `pairs` several times (id collection + joins/probes, plus schema
+    # reads) — without materialize the whole LSH pipeline would
+    # re-execute per consumer
+    pairs = pairs.materialize()
 
     # collect candidate ids (small): one driver round-trip of ids only
     a = pairs.select_columns(["id_a"]).take_all()
@@ -307,32 +320,15 @@ def verify_jaccard_pairs(
         keep = np.isin(ids, cand)
         return batch.filter(pa.array(keep)).select([id_col, text_col])
 
-    cand_docs = ds.map_batches(semi, batch_format="pyarrow")
-
-    j1 = hash_join(
-        pairs, cand_docs, on="id_a", right_on=id_col,
-        num_buckets=num_buckets, right_suffix="_a",
-    )
-    # text col arrives as text (id_a key keeps left name); rename to text_a
-    j1 = j1.rename_columns({text_col: "text_a"})
-    j2 = hash_join(
-        j1, cand_docs, on="id_b", right_on=id_col,
-        num_buckets=num_buckets, right_suffix="_b",
-    ).rename_columns({text_col: "text_b"})
+    # small by construction (LSH + star-capping bound the candidate
+    # set); materialized so consumers don't re-scan the corpus
+    cand_docs = ds.map_batches(semi, batch_format="pyarrow").materialize()
 
     stage = MinHashStage(text_col=text_col, id_col=id_col, shingle_size=shingle_size)
 
-    def verify(batch: pa.Table) -> pa.Table:
+    def jaccard_batch(batch: pa.Table, texts: pa.Array) -> pa.Table:
+        """texts = concat(text_a rows, text_b rows) aligned to batch."""
         n = batch.num_rows
-        if n == 0:
-            return pa.table(
-                {"id_a": batch["id_a"], "id_b": batch["id_b"],
-                 "jaccard": pa.array([], pa.float64())}
-            )
-        texts = pa.concat_arrays(
-            [batch["text_a"].combine_chunks() if isinstance(batch["text_a"], pa.ChunkedArray) else batch["text_a"],
-             batch["text_b"].combine_chunks() if isinstance(batch["text_b"], pa.ChunkedArray) else batch["text_b"]]
-        )
         W, _, lengths = tk.flat_word_hashes(texts)
         grams, gstarts = tk.doc_shingle_hashes(W, lengths, stage.shingle)
         jac = np.empty(n, dtype=np.float64)
@@ -350,6 +346,63 @@ def verify_jaccard_pairs(
             }
         )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    if len(cand) <= broadcast_max_docs:
+        # ---- broadcast fast path ----
+        df = cand_docs.to_pandas()
+        order = np.argsort(df[id_col].to_numpy(), kind="stable")
+        side_ref = ray.put(
+            (df[id_col].to_numpy()[order], df[text_col].to_numpy()[order])
+        )
+
+        class Verify:
+            def __init__(self):
+                self.ids, self.texts = ray.get(side_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if batch.num_rows == 0:
+                    return pa.table(
+                        {"id_a": batch["id_a"], "id_b": batch["id_b"],
+                         "jaccard": pa.array([], pa.float64())}
+                    )
+                ia = np.searchsorted(self.ids, batch["id_a"].to_numpy(zero_copy_only=False))
+                ib = np.searchsorted(self.ids, batch["id_b"].to_numpy(zero_copy_only=False))
+                texts = pa.array(
+                    np.concatenate([self.texts[ia], self.texts[ib]]), pa.string()
+                )
+                return jaccard_batch(batch, texts)
+
+        return pairs.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+
+    # ---- hash-join scale path ----
+    from fupi_ray.ops.join import hash_join
+
+    j1 = hash_join(
+        pairs, cand_docs, on="id_a", right_on=id_col,
+        num_buckets=num_buckets, right_suffix="_a",
+    )
+    # text col arrives as text (id_a key keeps left name); rename to text_a.
+    # materialized: the second join probes j1's schema AND consumes it —
+    # lazy, the first join's shuffle would run twice
+    j1 = j1.rename_columns({text_col: "text_a"}).materialize()
+    j2 = hash_join(
+        j1, cand_docs, on="id_b", right_on=id_col,
+        num_buckets=num_buckets, right_suffix="_b",
+    ).rename_columns({text_col: "text_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"id_a": batch["id_a"], "id_b": batch["id_b"],
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        ta = batch["text_a"]
+        tb = batch["text_b"]
+        texts = pa.concat_arrays(
+            [ta.combine_chunks() if isinstance(ta, pa.ChunkedArray) else ta,
+             tb.combine_chunks() if isinstance(tb, pa.ChunkedArray) else tb]
+        )
+        return jaccard_batch(batch, texts)
 
     return j2.map_batches(verify, batch_format="pyarrow")
 
@@ -525,7 +578,9 @@ def char_jaccard_pairs(
         cols["sig"] = pa.array(sig.view(np.int64), pa.int64())
         return pa.table(cols)
 
-    members = ds.map_batches(sig_stage, batch_format="pyarrow")
+    # materialized: consumed by the rep-dedup AND both expansion joins;
+    # rows are tiny (id + 5 ints — the text column never leaves here)
+    members = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
 
     # --- distinct (block, mask) representatives --------------------------
     def local_reps(batch: pa.Table) -> pa.Table:
@@ -574,7 +629,9 @@ def char_jaccard_pairs(
         )
         return pd.DataFrame(out)
 
-    pair_plan = reps.groupby(bc).map_groups(rep_pairs, batch_format="pandas")
+    pair_plan = (
+        reps.groupby(bc).map_groups(rep_pairs, batch_format="pandas").materialize()
+    )
 
     # --- expansion: members ⋈ pair_plan ⋈ members -----------------------
     from fupi_ray.ops.join import hash_join
@@ -583,10 +640,12 @@ def char_jaccard_pairs(
     if max_members is not None:
         mem = _cap_members(mem, bc, max_members, num_buckets)
 
+    # materialized: j2 reads j1's schema and then consumes it (twice-
+    # execution guard); rows are id pairs + sigs, output-linear
     j1 = hash_join(
         pair_plan, mem, on=bc + ["sig_a"], right_on=bc + ["sig"],
         num_buckets=num_buckets,
-    ).rename_columns({"id": "id_a"})
+    ).rename_columns({"id": "id_a"}).materialize()
     j2 = hash_join(
         j1, mem, on=bc + ["sig_b"], right_on=bc + ["sig"],
         num_buckets=num_buckets,

@@ -150,6 +150,54 @@ class TranslateStub:
         return batch.append_column("translated", pa.array(out, pa.string()))
 
 
+# ---------------------------------------------------------------------------
+# Sentence segmentation (reference: pysbd, fupi/data.py:33-36).
+# Rule-based protect/split/restore — every step is ONE vectorized Arrow
+# regex pass, and the identical chain is expressible in duckdb SQL so
+# the oracle can verify it (pysbd itself is neither vectorizable nor
+# SQL-twinnable; this captures its main heuristics: abbreviations,
+# initials and decimals do not end sentences).
+# ---------------------------------------------------------------------------
+
+_SEG_PROTECT = "\x02"  # stands in for a non-boundary '.'
+_SEG_BREAK = "\x01"  # inserted sentence separator
+_SEG_ABBREVS = r"(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Inc|Jr|Sr|No|Fig|approx)"
+
+
+def segment_sentences(batch: pa.Table, text_col: str = "text", min_chars: int = 4) -> pa.Table:
+    """Explode docs into sentences with linguistic boundary rules.
+
+    Protect decimals (``3.14``), common abbreviations (``Dr.``) and
+    single-capital initials (``J.``); break after ``[.!?]`` runs
+    followed by whitespace (terminator kept with its sentence); restore
+    protected dots. Emits ``(row order of input) × (sentence_id,
+    sentence)`` keeping all other columns of the doc row.
+    """
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.fill_null(col, "")
+    s = pc.replace_substring_regex(s, r"(\d)\.(\d)", rf"\1{_SEG_PROTECT}\2")
+    s = pc.replace_substring_regex(s, rf"\b{_SEG_ABBREVS}\.", rf"\1{_SEG_PROTECT}")
+    s = pc.replace_substring_regex(s, r"\b([A-Z])\.", rf"\1{_SEG_PROTECT}")
+    s = pc.replace_substring_regex(s, r"([.!?])\s+", f"\\1{_SEG_BREAK}")
+    s = pc.replace_substring(s, _SEG_PROTECT, ".")
+    lst = pc.split_pattern(s, _SEG_BREAK)
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    offsets = np.asarray(lst.offsets, dtype=np.int64)
+    lengths = np.diff(offsets)
+    n = batch.num_rows
+    doc_take = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    sid = np.arange(len(lst.values), dtype=np.int64) - np.repeat(offsets[:-1], lengths) + 1
+    keep = pc.greater_equal(pc.utf8_length(lst.values), min_chars).to_numpy(
+        zero_copy_only=False
+    )
+    out = batch.drop_columns([text_col]).take(pa.array(doc_take[keep]))
+    out = out.append_column("sentence_id", pa.array(sid[keep], pa.int64()))
+    return out.append_column("sentence", lst.values.filter(pa.array(keep)))
+
+
 _FP_RE = re.compile(r"[^a-z0-9]")
 
 

@@ -279,3 +279,31 @@ def test_ivf_persisted_prunes_to_nprobe_fragments(tmp_path):
     top = topk_ivf_persisted(t, q, k=5, nprobe=2).to_pandas()
     assert 0 in set(top["vec_id"])
     assert len(top) == 5
+
+
+# -- sentence segmentation --------------------------------------------------
+
+
+def test_segment_sentences_rules():
+    from fupi_ray.stages.text import segment_sentences
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": [
+                "Dr. Smith paid 3.14 dollars. He left! Was J. Doe there? Yes indeed.",
+                "One sentence only",
+            ],
+        }
+    )
+    out = segment_sentences(batch, "text").to_pydict()
+    sents = out["sentence"]
+    assert sents == [
+        "Dr. Smith paid 3.14 dollars.",
+        "He left!",
+        "Was J. Doe there?",
+        "Yes indeed.",
+        "One sentence only",
+    ]
+    assert out["doc_id"] == [1, 1, 1, 1, 2]
+    assert out["sentence_id"] == [1, 2, 3, 4, 1]
