@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_sentences": q.q_segment_sentences,
         "distinct_pairs": q.q_distinct_pairs,
         "window_events": q.q_window_events,
+        "session_events": q.q_session_events,
+        "jsonl_scan": q.q_jsonl_scan,
         "centroid_label": q.q_centroid_label,
         "doc_sentence_stats": q.q_doc_sentence_stats,
         # training-data ops
@@ -51,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "translate": q.q_translate,
         "multimodal": q.q_multimodal,
         "topk_cosine": q.q_topk_cosine,
+        "embed_search": q.q_embed_search,
         "embedding_neardup": q.q_embedding_neardup,
         "char_jaccard": q.q_char_jaccard,
         "minhash_pairs": q.q_minhash_pairs,
@@ -79,6 +82,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_sentences": q.SQL_SEGMENT_SENTENCES,
         "distinct_pairs": q.SQL_DISTINCT_PAIRS,
         "window_events": q.SQL_WINDOW_EVENTS,
+        "session_events": q.SQL_SESSION_EVENTS,
+        "jsonl_scan": q.SQL_JSONL_SCAN,
         "centroid_label": q.SQL_CENTROID_LABEL,
         "doc_sentence_stats": q.SQL_DOC_SENTENCE_STATS,
         "dedup_exact": q.SQL_DEDUP_EXACT,

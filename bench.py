@@ -187,12 +187,15 @@ def run_bench() -> dict:
     for name, fn in [
         ("agg_pricing", q.q_agg_pricing),
         ("join_enrich", q.q_join_enrich),
+        ("hash_join", q.q_hash_join),
         ("window_events", q.q_window_events),
         ("string_agg_events", q.q_string_agg_events),
         ("dedup_exact", q.q_dedup_exact),
         ("topk_cosine", q.q_topk_cosine),
         ("langid", q.q_langid),
         ("minhash_pairs", q.q_minhash_pairs),
+        ("char_jaccard", q.q_char_jaccard),
+        ("segment_sentences", q.q_segment_sentences),
     ]:
         timed(name, lambda fn=fn: consume(fn(sf_dir)))
 

@@ -423,6 +423,114 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_jsonl_scan(sf_dir: str):
+    """S1 JSONL(.gz) source, driver-checked: the documents table is
+    dumped once to JSONL.gz (cached per sf under /tmp), read back lazily
+    through sources.read_jsonl (reference: read_json_auto over the HF
+    dump, fupi/data.py:41-74 — WITHOUT the S2 driver materialization),
+    then filtered/projected. Oracle runs the same predicate on the
+    parquet view."""
+    import gzip
+    import hashlib
+    import json
+
+    import pyarrow.parquet as pq
+
+    from fupi_ray.sources.readers import read_jsonl
+
+    cache = "/tmp/fupi-jsonl-%s.jsonl.gz" % hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    if not os.path.exists(cache):
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        tmp = cache + ".tmp"
+        with gzip.open(tmp, "wt") as f:
+            for row in t.to_pylist():
+                f.write(json.dumps(row) + "\n")
+        os.replace(tmp, cache)
+
+    ds = read_jsonl(cache)
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 200)).select(["doc_id", "lang"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_JSONL_SCAN = "SELECT doc_id, lang FROM documents WHERE n_chars > 200"
+
+
+def q_session_events(sf_dir: str):
+    """§2.9 sessionization (gap-based session windows) — the streaming
+    shape a training-data event pipeline needs, expressed batch: hash-
+    bucket by user (ONE shuffle, no per-user groups), then per bucket a
+    fully vectorized new-session mask + cumsum. 30-min inactivity gap."""
+    GAP_US = 1_800_000_000
+
+    ev = read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    ev = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["user_id"], 15), 0)),
+        batch_format="pyarrow",
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions.hashing import stable_hash
+
+        b = (stable_hash(batch["user_id"].to_numpy(zero_copy_only=False)) % np.uint64(32)).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
+        sess = np.cumsum(new)
+        df = pd.DataFrame({"user_id": u, "sess": sess, "ts_us": ts})
+        out = df.groupby(["user_id", "sess"], as_index=False).agg(
+            n_events=("ts_us", "size"),
+            ts_min=("ts_us", "min"),
+            ts_max=("ts_us", "max"),
+        )
+        # session_id restarts at 1 per user
+        out["session_id"] = out.groupby("user_id").cumcount() + 1
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype(np.int64),
+                "session_id": out["session_id"].astype(np.int64),
+                "n_events": out["n_events"].astype(np.int64),
+                "duration_us": (out["ts_max"] - out["ts_min"]).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+SQL_SESSION_EVENTS = """
+WITH x AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id % 16 = 0 AND user_id >= 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), y AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x)
+SELECT user_id, CAST(sess AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+FROM y GROUP BY user_id, sess
+"""
+
+
 def q_centroid_label(sf_dir: str):
     """A1 grouped vector centroid (fupi/embedders.py:98-109,130-135) in
     its scalable form: per-batch partial (sum, count) per group —
@@ -746,6 +854,27 @@ def q_ivf_topk(sf_dir: str):
         return sim.topk_ivf_persisted(t, q, k=10, nprobe=3).select_columns(["vec_id"]).materialize()
     finally:
         shutil.rmtree(tdir, ignore_errors=True)
+
+
+def q_embed_search(sf_dir: str):
+    """The reference's core dataflow re-expressed (fupi/embedders.py
+    35-63 + utils.py:149-161): embed every doc with a stateful
+    actor-pool stage (feature-hashing embedder — deterministic, honest
+    kernel), embed the query text with the SAME stage, exact cosine
+    top-k. Approximate parity op ⇒ rows-only check."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    embedded = docs.map_batches(
+        sim.FeatureHashEmbedder, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    # query = the text of doc 0, embedded through the same kernel
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    idx = pc.index(pc.equal(t["doc_id"], pc.min(t["doc_id"])), True).as_py()
+    qtab = sim.FeatureHashEmbedder()(t.slice(idx, 1))
+    qvec = np.asarray(qtab["vec"][0].as_py(), dtype=np.float64)
+    hits = sim.topk_cosine(embedded, qvec, k=10, vec_col="vec", id_col="doc_id")
+    return hits.select_columns(["doc_id"])
 
 
 def q_rolling_fp(sf_dir: str):

@@ -153,6 +153,64 @@ class IvfIndex:
         return np.argmax((M / norms[:, None]) @ self.centroids.T, axis=1)
 
 
+class FeatureHashEmbedder:
+    """Stateful text→vector stage: deterministic feature-hashing
+    embedding (char 3-gram hashes → signed counts in ``dim`` buckets,
+    L2-normalized). The honest stand-in for the reference's ONNX
+    embedding stage (fupi/embedders.py:35-63 — load once per worker,
+    batch encode): feature hashing is a real technique, not a fake
+    kernel, and it is deterministic across workers.
+
+    Fully batched: one rolling-hash pass over the concatenated byte
+    buffer (functions/textkernels machinery), one ``np.add.at``
+    scatter per batch — no per-document Python."""
+
+    def __init__(self, text_col: str = "text", dim: int = 64, k: int = 3, base: int = 257):
+        self.text_col, self.dim, self.k = text_col, dim, k
+        self.pows = np.array(
+            [pow(base, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions import textkernels as tk
+
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(pc.fill_null(col, ""))
+        if isinstance(lower, pa.ChunkedArray):
+            lower = lower.combine_chunks()
+        n = batch.num_rows
+        offsets = np.asarray(lower.buffers()[1], dtype=np.uint8).view(np.int32)[
+            lower.offset : lower.offset + n + 1
+        ]
+        data = np.frombuffer(lower.buffers()[2], dtype=np.uint8)
+        codes = data[offsets[0] : offsets[-1]].astype(np.uint64)
+        lengths = np.diff(offsets.astype(np.int64))
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        M = np.zeros((n, self.dim), dtype=np.float64)
+        L = len(codes)
+        if L >= self.k:
+            m = L - self.k + 1
+            with np.errstate(over="ignore"):
+                acc = np.zeros(m, dtype=np.uint64)
+                for j in range(self.k):
+                    acc += codes[j : j + m] * self.pows[j]
+            valid = doc_of[:m] == doc_of[self.k - 1 : self.k - 1 + m]
+            vdoc = doc_of[:m][valid]
+            vh = acc[valid]
+            bucket = (vh % np.uint64(self.dim)).astype(np.int64)
+            sign = np.where((vh >> np.uint64(63)) > 0, -1.0, 1.0)
+            np.add.at(M.reshape(-1), vdoc * self.dim + bucket, sign)
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        M /= norms[:, None]
+        vec = pa.FixedSizeListArray.from_arrays(pa.array(M.reshape(-1)), self.dim)
+        return batch.append_column("vec", vec)
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index: bucket column as a table artifact, probes prune
 # via zone maps — the reference's stored-index search
