@@ -35,12 +35,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_join": q.q_topk_join,
         "hash_join": q.q_hash_join,
         "anti_join": q.q_anti_join,
+        "asof_join": q.q_asof_join,
         "string_agg_events": q.q_string_agg_events,
         "explode_sentences": q.q_explode_sentences,
         "segment_sentences": q.q_segment_sentences,
         "distinct_pairs": q.q_distinct_pairs,
         "window_events": q.q_window_events,
         "session_events": q.q_session_events,
+        "rolling_window": q.q_rolling_window,
         "jsonl_scan": q.q_jsonl_scan,
         "centroid_label": q.q_centroid_label,
         "doc_sentence_stats": q.q_doc_sentence_stats,
@@ -64,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_compact": lake.q_lake_compact,
         "lake_cluster": lake.q_lake_cluster,
         "lake_merge": lake.q_lake_merge,
+        "lake_evolve": lake.q_lake_evolve,
         "lake_expire": lake.q_lake_expire,
     }
 
@@ -77,12 +80,14 @@ def oracle_sql() -> dict[str, str]:
         "topk_join": q.SQL_TOPK_JOIN,
         "hash_join": q.SQL_HASH_JOIN,
         "anti_join": q.SQL_ANTI_JOIN,
+        "asof_join": q.SQL_ASOF_JOIN,
         "string_agg_events": q.SQL_STRING_AGG_EVENTS,
         "explode_sentences": q.SQL_EXPLODE_SENTENCES,
         "segment_sentences": q.SQL_SEGMENT_SENTENCES,
         "distinct_pairs": q.SQL_DISTINCT_PAIRS,
         "window_events": q.SQL_WINDOW_EVENTS,
         "session_events": q.SQL_SESSION_EVENTS,
+        "rolling_window": q.SQL_ROLLING_WINDOW,
         "jsonl_scan": q.SQL_JSONL_SCAN,
         "centroid_label": q.SQL_CENTROID_LABEL,
         "doc_sentence_stats": q.SQL_DOC_SENTENCE_STATS,
@@ -99,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_compact": lake.SQL_LAKE_COMPACT,
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,
+        "lake_evolve": lake.SQL_LAKE_EVOLVE,
         "lake_expire": lake.SQL_LAKE_EXPIRE,
         # minhash_pairs / simhash_pairs / ivf_topk / rolling_fp:
         # permutation-hash / approximate ops — rows-only by design

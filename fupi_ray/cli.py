@@ -24,7 +24,10 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fupi_ray")
     p.add_argument(
         "op",
-        choices=["ingest", "overwrite", "compact", "cluster", "merge", "expire", "scan"],
+        choices=[
+            "ingest", "overwrite", "compact", "cluster", "merge", "expire",
+            "scan", "add-column", "drop-column",
+        ],
     )
     p.add_argument("--table", required=True)
     p.add_argument("--source", help="parquet path/dir of the MERGE/overwrite source")
@@ -46,6 +49,9 @@ def main(argv=None) -> int:
     p.add_argument("--job-id", default=None, help="lineage namespace for resume")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--version", type=int, default=None, help="scan: pin this version")
+    p.add_argument("--column", help="add/drop-column: column name")
+    p.add_argument("--type", dest="col_type", help="add-column: arrow type (e.g. int64, double, string)")
+    p.add_argument("--default", help="add-column: default value for pre-existing rows")
     args = p.parse_args(argv)
 
     import ray
@@ -110,6 +116,30 @@ def main(argv=None) -> int:
     elif args.op == "expire":
         t = Table.open(args.table)
         out.update(expire_snapshots(t, keep_last=args.keep_last))
+    elif args.op in ("add-column", "drop-column"):
+        from fupi_ray import manifest as mf_
+        from fupi_ray.ops import add_column, drop_column
+
+        if not args.column:
+            p.error(f"{args.op} requires --column")
+        t = Table.open(args.table)
+        if args.op == "add-column":
+            if not args.col_type:
+                p.error("add-column requires --type")
+            default = args.default
+            if default is not None:
+                import pyarrow as pa_
+
+                typ = mf_.type_from_str(args.col_type)
+                if pa_.types.is_integer(typ):
+                    default = int(default)
+                elif pa_.types.is_floating(typ):
+                    default = float(default)
+                elif pa_.types.is_boolean(typ):
+                    default = default.lower() in ("1", "true", "yes")
+            out["version"] = add_column(t, args.column, args.col_type, default=default)
+        else:
+            out["version"] = drop_column(t, args.column)
     elif args.op == "scan":
         t = Table.open(args.table)
         ds = t.scan(version=args.version)

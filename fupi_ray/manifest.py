@@ -28,6 +28,7 @@ import time
 from dataclasses import asdict, dataclass, field
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -42,6 +43,10 @@ class FragmentMeta:
     bytes: int
     sum_n_tok: int
     zone_map: dict[str, dict[str, Any]] = field(default_factory=dict)
+    # physical column names of the file (schema evolution: lets scans
+    # know which declared columns a pre-evolution fragment lacks
+    # without a footer read); None for metas recorded before this field
+    cols: list[str] | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -54,6 +59,7 @@ class FragmentMeta:
             bytes=int(d["bytes"]),
             sum_n_tok=int(d.get("sum_n_tok", 0)),
             zone_map=d.get("zone_map", {}),
+            cols=d.get("cols"),
         )
 
 
@@ -67,6 +73,9 @@ class Manifest:
     fragments: list[FragmentMeta]
     properties: dict[str, Any] = field(default_factory=dict)
     created_unix: float = 0.0
+    # schema-evolution fill values: column -> scalar used when a
+    # fragment written before the column existed is scanned
+    column_defaults: dict[str, Any] = field(default_factory=dict)
 
     @property
     def total_rows(self) -> int:
@@ -90,6 +99,7 @@ class Manifest:
             "fragments": [f.to_dict() for f in self.fragments],
             "properties": self.properties,
             "created_unix": self.created_unix,
+            "column_defaults": self.column_defaults,
         }
         return json.dumps(d, indent=1, default=str)
 
@@ -105,7 +115,75 @@ class Manifest:
             fragments=[FragmentMeta.from_dict(f) for f in d["fragments"]],
             properties=d.get("properties", {}),
             created_unix=d.get("created_unix", 0.0),
+            column_defaults=d.get("column_defaults", {}),
         )
+
+
+_PRIMITIVE_TYPES = {
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float": pa.float32(),
+    "double": pa.float64(),
+    "halffloat": pa.float16(),
+    "string": pa.string(),
+    "large_string": pa.large_string(),
+    "binary": pa.binary(),
+    "large_binary": pa.large_binary(),
+    "date32[day]": pa.date32(),
+}
+
+
+def type_from_str(s: str) -> pa.DataType:
+    """Parse the ``str(pa.DataType)`` display form back into a type.
+
+    Covers the engine's supported column types (primitives, timestamps,
+    (large_/fixed_size_)lists of primitives). Manifest schemas are
+    stored in this display form so they stay human-readable JSON.
+    """
+    s = s.strip()
+    if s in _PRIMITIVE_TYPES:
+        return _PRIMITIVE_TYPES[s]
+    if s.startswith("timestamp["):
+        inner = s[len("timestamp[") : -1]
+        if "," in inner:
+            unit, tz = inner.split(",", 1)
+            return pa.timestamp(unit.strip(), tz=tz.split("=", 1)[-1].strip())
+        return pa.timestamp(inner)
+    import re as _re
+
+    def strip_field_name(inner: str) -> str:
+        # parquet round-trips list items under varying field names
+        # ("item: int32", "element: int32") — the name is irrelevant
+        return _re.sub(r"^\s*\w+:\s*", "", inner)
+
+    for prefix, ctor in (("large_list<", pa.large_list), ("list<", pa.list_)):
+        if s.startswith(prefix) and s.endswith(">"):
+            return ctor(type_from_str(strip_field_name(s[len(prefix) : -1])))
+    if s.startswith("fixed_size_list<") and s.endswith("]"):
+        body, n = s[len("fixed_size_list<") :].rsplit(">[", 1)
+        return pa.list_(
+            type_from_str(strip_field_name(body)), int(n[:-1] if n.endswith("]") else n)
+        )
+    raise ValueError(f"unsupported schema type string {s!r}")
+
+
+def schema_from_manifest(m: "Manifest") -> pa.Schema | None:
+    """Declared arrow schema of a manifest, or None if absent/unparsable."""
+    if not m.schema_names:
+        return None
+    try:
+        return pa.schema(
+            [(n, type_from_str(t)) for n, t in zip(m.schema_names, m.schema_types)]
+        )
+    except ValueError:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +319,7 @@ def fragment_meta_from_table(
         bytes=os.path.getsize(path_abs),
         sum_n_tok=sum_n_tok,
         zone_map=zone,
+        cols=list(tbl.column_names),
     )
 
 
@@ -278,6 +357,7 @@ def fragment_meta_from_footer(path_abs: str, rel_path: str) -> FragmentMeta:
         bytes=os.path.getsize(path_abs),
         sum_n_tok=sum_n_tok,
         zone_map=zone,
+        cols=list(names),
     )
 
 
@@ -325,6 +405,37 @@ def fragment_may_match(frag: FragmentMeta, predicate: list[tuple]) -> bool:
         if op == "!=" and lo == hi == val:
             return False
     return True
+
+
+def predicate_mask(batch: pa.Table, predicate: list[tuple]) -> pa.Array:
+    """Evaluate the predicate conjunction on an in-memory batch (used
+    when schema evolution prevents parquet-level pushdown: a padded
+    column does not exist in the file). Null comparisons are False."""
+    mask = None
+    for col, op, val in predicate:
+        c = batch[col]
+        if op in ("=", "=="):
+            e = pc.equal(c, val)
+        elif op == "!=":
+            e = pc.not_equal(c, val)
+        elif op == "<":
+            e = pc.less(c, val)
+        elif op == "<=":
+            e = pc.less_equal(c, val)
+        elif op == ">":
+            e = pc.greater(c, val)
+        elif op == ">=":
+            e = pc.greater_equal(c, val)
+        elif op == "between":
+            e = pc.and_(pc.greater_equal(c, val[0]), pc.less_equal(c, val[1]))
+        elif op == "in":
+            e = pc.is_in(c, value_set=pa.array(list(val)))
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+        mask = e if mask is None else pc.and_(mask, e)
+    if mask is None:
+        return pa.array(np.ones(batch.num_rows, dtype=bool))
+    return pc.fill_null(mask, False)
 
 
 def predicate_to_arrow(predicate: list[tuple]):

@@ -147,7 +147,8 @@ def _plan_groups(fragments, group_bytes: int | None):
 
 
 def _sort_and_write(
-    table: Table, paths: list[str], enc_ref, curve: str, prefix: str
+    table: Table, paths: list[str], enc_ref, curve: str, prefix: str,
+    schema_info: tuple | None = None,
 ) -> list:
     """One bounded cluster job: read → key (actor pool) → sort → write
     one fragment per sorted output block (a contiguous curve-key range
@@ -173,6 +174,24 @@ def _sort_and_write(
     # so every thread retries the import simultaneously)
     with _READ_LOCK:
         ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+    if schema_info is not None:
+        # schema evolution: groups can mix pre/post-evolution files —
+        # normalize every batch to the declared schema before keying
+        from fupi_ray import manifest as mfm
+        from fupi_ray.schema import normalize_batch
+
+        names, types, defaults = schema_info
+        try:
+            declared = pa.schema(
+                [(n, mfm.type_from_str(t)) for n, t in zip(names, types)]
+            )
+            fill = {n: (defaults or {}).get(n) for n in names if n != "doc_id"}
+            ds = ds.map_batches(
+                lambda b: normalize_batch(b, declared, fill, drop_extra=True),
+                batch_format="pyarrow",
+            )
+        except ValueError:
+            pass
     keyed = ds.map_batches(
         KeyInterleaver,
         fn_constructor_args=(enc_ref, curve, cfg.cluster_bits),
@@ -242,7 +261,16 @@ def cluster(
             return lineage.output_fragments(rec)
         t0 = time.perf_counter()
         paths = [os.path.join(table.table_dir, f.path) for f in group]
-        out = _sort_and_write(table, paths, enc_ref, curve, f"cl-{job_id}-g{gi:04d}")
+        # normalize only when the group's files disagree with the
+        # declared schema (zero overhead on the homogeneous fast path)
+        schema_info = None
+        if m.schema_names and any(
+            f.cols is not None and set(f.cols) != set(m.schema_names) for f in group
+        ):
+            schema_info = (m.schema_names, m.schema_types, m.column_defaults)
+        out = _sort_and_write(
+            table, paths, enc_ref, curve, f"cl-{job_id}-g{gi:04d}", schema_info
+        )
         lineage.write_record(
             table.table_dir,
             job_id,

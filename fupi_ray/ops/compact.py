@@ -91,6 +91,9 @@ def _repack_task(
     pack_idx: int,
     input_rel_paths: list[str],
     row_group_rows: int,
+    schema_names: list[str] | None = None,
+    schema_types: list[str] | None = None,
+    column_defaults: dict | None = None,
 ) -> dict:
     """Stream-merge one pack of small fragments into one fragment.
 
@@ -119,6 +122,25 @@ def _repack_task(
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    # schema evolution: packs can mix pre- and post-evolution files;
+    # every row group is normalized to the DECLARED schema (missing
+    # columns filled from defaults/null, dropped columns removed) so
+    # the rewrite materializes the evolved shape
+    declared = None
+    fill: dict = {}
+    if schema_names:
+        try:
+            declared = pa.schema(
+                [(n, mf.type_from_str(t)) for n, t in zip(schema_names, schema_types)]
+            )
+            fill = {
+                n: (column_defaults or {}).get(n) for n in schema_names if n != "doc_id"
+            }
+        except ValueError:
+            declared = None
+
+    from fupi_ray.schema import normalize_batch
+
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     sum_n_tok = 0
@@ -140,6 +162,8 @@ def _repack_task(
             pf = pq.ParquetFile(os.path.join(table_dir, rel))
             for rg in range(pf.metadata.num_row_groups):
                 tbl = pf.read_row_group(rg)
+                if declared is not None:
+                    tbl = normalize_batch(tbl, declared, fill, drop_extra=True)
                 rows += tbl.num_rows
                 for col in mf.ZONE_MAP_COLUMNS:
                     if col in tbl.column_names and tbl.num_rows:
@@ -196,7 +220,16 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
     job_id = job_id or f"compact-v{parent}"
 
     refs = [
-        _repack_task.remote(table.table_dir, job_id, i, [f.path for f in p], 32 * 1024)
+        _repack_task.remote(
+            table.table_dir,
+            job_id,
+            i,
+            [f.path for f in p],
+            32 * 1024,
+            m.schema_names,
+            m.schema_types,
+            m.column_defaults,
+        )
         for i, p in enumerate(plan.packs)
     ]
     records = ray.get(refs)

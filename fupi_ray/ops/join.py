@@ -149,6 +149,99 @@ def pc_cast(col, typ):
     return pc.cast(col, typ)
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    direction: str = "backward",
+    num_buckets: int = 64,
+    right_suffix: str = "_r",
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Distributed as-of join: for each left row, the right row of the
+    same ``by`` key with the greatest ``on`` <= left's ``on``
+    (direction="backward"; "forward" = smallest >=).
+
+    Ray Data has no native as-of join; the composition is the standard
+    one for a time-aligned 100 TB join: hash-bucket BOTH sides on the
+    ``by`` key (one exchange each — all rows of one key co-locate),
+    then inside each bucket a single vectorized ``pandas.merge_asof``
+    over the sorted frames. Partitioning assumption: one ``by``-key's
+    rows fit a bucket task (same as any keyed groupby; raise
+    ``num_buckets`` for skew).
+
+    Equal-``on`` ties on the right side are resolved before the merge
+    (keep the last row per (by, on) in input order) so results are
+    deterministic and match duckdb's ``ASOF JOIN``.
+    """
+    import pandas as pd
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rpayload = [c for c in rschema.names if c not in (by, on)]
+    rpay_out = [c + (right_suffix if c in lcols else "") for c in rpayload]
+
+    fields = [(c, lschema.field(c).type) for c in lcols]
+    fields += [(c, rschema.field(orig).type) for orig, c in zip(rpayload, rpay_out)]
+    unified = pa.schema(fields + [("_side", pa.int8()), ("_bucket", pa.int32())])
+
+    def pad(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            b = (_key_hash(batch, [by]) % np.uint64(num_buckets)).astype(np.int32)
+            cols = []
+            for f in unified:
+                if f.name == "_side":
+                    cols.append(pa.array(np.full(n, side, dtype=np.int8)))
+                elif f.name == "_bucket":
+                    cols.append(pa.array(b))
+                elif side == 0 and f.name in lcols:
+                    cols.append(pc_cast(batch[f.name], f.type))
+                elif side == 1 and f.name in (by, on):
+                    cols.append(pc_cast(batch[f.name], f.type))
+                elif side == 1 and f.name in rpay_out:
+                    cols.append(pc_cast(batch[rpayload[rpay_out.index(f.name)]], f.type))
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.table(dict(zip(unified.names, cols)))
+
+        return fn
+
+    tagged = left.map_batches(pad(0), batch_format="pyarrow").union(
+        right.map_batches(pad(1), batch_format="pyarrow")
+    )
+
+    def bucket_asof(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        # split in Arrow first: pandas would float-ify int columns that
+        # hold the other side's padding nulls
+        lt = g.filter(pa.array(side == 0)).select(lcols).to_pandas()
+        rt = g.filter(pa.array(side == 1)).select([by, on] + rpay_out).to_pandas()
+        lt = lt.sort_values(on, kind="mergesort")
+        # deterministic ties: one right row per (by, on) — the row with
+        # the lexicographically greatest payload (independent of block
+        # arrival order); frame stays sorted by `on` for merge_asof
+        rt = rt.sort_values([on] + rpay_out, kind="mergesort")
+        rt = rt.drop_duplicates(subset=[by, on], keep="last")
+        out = pd.merge_asof(lt, rt, on=on, by=by, direction=direction)
+        if how == "inner" and rpay_out:
+            out = out[out[rpay_out[0]].notna()]
+        # restore right payload dtypes (merge_asof floats them when any
+        # left row was unmatched)
+        for orig, c in zip(rpayload, rpay_out):
+            t = rschema.field(orig).type
+            if pa.types.is_integer(t) and out[c].notna().all():
+                out[c] = out[c].astype("int64")
+        return out.reset_index(drop=True)
+
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(bucket_asof, batch_format="pyarrow")
+    )
+
+
 def broadcast_join(
     big: ray.data.Dataset,
     small_ref,

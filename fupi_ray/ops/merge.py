@@ -219,6 +219,7 @@ def _merge_shuffle(
     num_buckets: int,
     rows_per_frag: int | None = None,
     tbl_schema: pa.Schema | None = None,
+    fill_missing: dict | None = None,
 ) -> list[FragmentMeta]:
     """Scale path: both sides tagged + bucketed by hash(doc_id); a
     source row wins over the target row of the same key inside each
@@ -227,11 +228,25 @@ def _merge_shuffle(
         [os.path.join(table.table_dir, p) for p in hit_frag_paths]
     )
     # project to the TABLE's schema (not the hardcoded canonical one):
-    # a user table with extra columns round-trips them through MERGE
+    # a user table with extra columns round-trips them through MERGE;
+    # fragments/sources predating an add-column are padded
     proj_cols = list(tbl_schema.names) if tbl_schema is not None else list(SEQUENCE_COLUMNS)
+    fm = fill_missing or {}
 
     def tag(is_src: int):
         def fn(batch: pa.Table) -> pa.Table:
+            if tbl_schema is not None:
+                for c in proj_cols:
+                    if c in batch.column_names:
+                        continue
+                    typ = tbl_schema.field(c).type
+                    dflt = fm.get(c)
+                    batch = batch.append_column(
+                        c,
+                        pa.nulls(batch.num_rows, typ)
+                        if dflt is None
+                        else pa.array([dflt] * batch.num_rows, type=typ),
+                    )
             batch = batch.select(proj_cols)
             b = (stable_hash(batch["doc_id"]) % np.uint64(num_buckets)).astype(np.int32)
             batch = batch.append_column("_bucket", pa.array(b))
@@ -256,7 +271,7 @@ def _merge_shuffle(
 
     # the dedup shuffle returns list columns as Ray tensor-extension
     # arrays; normalize so union blocks share one schema
-    norm = lambda b: normalize_batch(b, tbl_schema)  # noqa: E731
+    norm = lambda b: normalize_batch(b, tbl_schema, fill_missing)  # noqa: E731
     merged = (
         deduped.map_batches(norm, batch_format="pyarrow")
         .map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
@@ -313,8 +328,15 @@ def merge_into(
         strategy = "broadcast" if n_src <= cfg.merge_broadcast_max_keys else "shuffle"
 
     # the TABLE's schema (not the canonical default) governs every
-    # projection below: user tables with extra columns round-trip
+    # projection below: user tables with extra columns round-trip.
+    # fill_missing lets a source written before an add-column merge
+    # cleanly (padded with the column default / null); the key column
+    # is deliberately NOT fillable.
     tbl_schema = table.schema(parent)
+    _defaults = table.manifest(parent).column_defaults
+    fill_missing = {
+        n: _defaults.get(n) for n in tbl_schema.names if n != "doc_id"
+    }
 
     # Pack the source-side fragments to target size instead of one tiny
     # fragment per dedup bucket (the groupby emits ~num_buckets blocks
@@ -365,7 +387,8 @@ def merge_into(
 
         src_frags = write_dataset_fragments(
             deduped.map_batches(
-                lambda b: normalize_batch(b, tbl_schema), batch_format="pyarrow"
+                lambda b: normalize_batch(b, tbl_schema, fill_missing),
+                batch_format="pyarrow",
             ),
             table.table_dir,
             f"mg-{job_id}-src",
@@ -420,6 +443,7 @@ def merge_into(
             resolve_buckets,
             rows_per_frag=merged_rows_per_frag,
             tbl_schema=tbl_schema,
+            fill_missing=fill_missing,
         )
         mark("shuffle_resolve")
         removed = {f.path for f in hit}

@@ -181,6 +181,64 @@ UNION ALL SELECT b.* FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM upd)
 """
 
 
+def q_lake_evolve(sf_dir: str):
+    """Schema evolution as a query: build → metadata-only
+    ``add_column('quality', double, default=0.5)`` → MERGE a source
+    that carries the new column for doc_id%3 rows (updates) — old
+    fragments are NOT rewritten; the scan reconciles them to the
+    default. Oracle expresses the same evolution in SQL."""
+    from fupi_ray.ops import add_column
+
+    t = _build(sf_dir, "evolve")
+    add_column(t, "quality", "double", default=0.5)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def mk_source(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        m = ids % 3 == 0
+        upd = sequences_batch(ids[m], n[m] + 7, ["merged"] * int(m.sum()), salt=104)
+        upd = upd.append_column(
+            "quality", pa.array(np.round((ids[m] % 100) / 100.0, 2), pa.float64())
+        )
+        order = pc.cast(pc.utf8_slice_codeunits(upd["doc_id"], 4, 99), pa.int64())
+        return upd.append_column("_src_order", order)
+
+    merge_into(t, docs.map_batches(mk_source, batch_format="pyarrow"), strategy="broadcast")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+                "quality": pc.cast(batch["quality"], pa.float64()),
+            }
+        )
+
+    return t.scan(columns=["doc_id", "source", "n_tok", "quality"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
+SQL_LAKE_EVOLVE = f"""
+WITH upd AS (
+  SELECT {_DOC_SQL} AS doc_id, 'merged' AS source,
+         CAST(n_chars + 7 AS BIGINT) AS n_tok,
+         CAST(round((doc_id % 100) / 100.0, 2) AS DOUBLE) AS quality
+  FROM documents WHERE doc_id % 3 = 0),
+base AS (
+  SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok,
+         CAST(0.5 AS DOUBLE) AS quality
+  FROM documents)
+SELECT * FROM upd
+UNION ALL SELECT b.* FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM upd)
+"""
+
+
 def q_lake_expire(sf_dir: str):
     """Snapshot expiry as a query: build → compact → cluster → expire
     all but the latest; scan must be unchanged (oracle = identity) and

@@ -531,6 +531,104 @@ FROM y GROUP BY user_id, sess
 """
 
 
+def q_rolling_window(sf_dir: str):
+    """Per-key sliding-window aggregates (ROWS 2 PRECEDING) + lag:
+    rolling 3-event sum of value and gap to the previous event, per
+    user. One user-hash bucket exchange; inside a bucket everything is
+    cumsum/shift vectorized (exact int cents — no float window sums).
+    SQL twin uses native window functions."""
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    ev = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["user_id"], 15), 0)),
+        batch_format="pyarrow",
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions.hashing import stable_hash
+
+        b = (stable_hash(batch["user_id"].to_numpy(zero_copy_only=False)) % np.uint64(32)).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(), "event_id": g["event_id"].to_numpy(),
+             "c": cents, "ts_us": ts}
+        )
+        grp = df.groupby("user_id", sort=False)
+        cs = grp["c"].cumsum()
+        cs3 = cs.groupby(df["user_id"], sort=False).shift(3)
+        roll = cs - cs3.fillna(0).astype(np.int64)
+        prev = grp["ts_us"].shift(1)
+        gap = (df["ts_us"] - prev).fillna(-1).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype(np.int64),
+                "event_id": df["event_id"].astype(np.int64),
+                "rolling_sum": (roll / 100.0).astype(np.float64),
+                "prev_gap_us": gap,
+            }
+        )
+
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(windows, batch_format="pandas")
+    )
+
+
+SQL_ROLLING_WINDOW = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(floor(value*100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) / 100.0 AS DOUBLE)
+         AS rolling_sum,
+       CAST(COALESCE(epoch_us(ts) - epoch_us(lag(ts) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT)
+         AS prev_gap_us
+FROM events WHERE user_id % 16 = 0 AND user_id >= 0
+"""
+
+
+def q_asof_join(sf_dir: str):
+    """Distributed AS-OF join (Ray Data has no native one; composed as
+    by-key bucket exchange + per-bucket vectorized merge_asof —
+    ops/join.asof_join): every purchase event matched to the same
+    user's latest prior-or-simultaneous view event. duckdb's native
+    ASOF JOIN is the oracle."""
+    from fupi_ray.ops.join import asof_join
+
+    ev = read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "view")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(purchases, views, by="user_id", on="ts", how="inner")
+    return out.select_columns(["event_id", "user_id", "ts", "event_id_r"])
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     v0 AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+     v AS (SELECT event_id, user_id, ts FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) rn FROM v0)
+           WHERE rn = 1)
+SELECT p.event_id, p.user_id, p.ts, v.event_id AS event_id_r
+FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
 def q_centroid_label(sf_dir: str):
     """A1 grouped vector centroid (fupi/embedders.py:98-109,130-135) in
     its scalable form: per-batch partial (sum, count) per group —

@@ -39,7 +39,12 @@ def _unwrap_tensor(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Arra
     return col
 
 
-def normalize_batch(batch: pa.Table, schema: pa.Schema | None = None) -> pa.Table:
+def normalize_batch(
+    batch: pa.Table,
+    schema: pa.Schema | None = None,
+    fill_missing: dict | None = None,
+    drop_extra: bool = False,
+) -> pa.Table:
     """Project a batch to the target schema's column order / types.
 
     Mirrors the reference's declared-schema writes (``fupi/utils.py:39-49``
@@ -50,18 +55,32 @@ def normalize_batch(batch: pa.Table, schema: pa.Schema | None = None) -> pa.Tabl
     ``schema`` defaults to the canonical ``SEQUENCES_SCHEMA``;
     maintenance ops pass the TABLE's manifest schema so user tables
     with extra columns round-trip unchanged. A table column missing
-    from the batch raises; batch columns outside the schema are
-    dropped only if they are internal (``_``-prefixed) — a user column
-    the table does not know is an error, never a silent drop.
+    from the batch raises — unless ``fill_missing`` explicitly allows
+    it (schema evolution: MERGE sources written before an add-column
+    get the column's default / null; the key column is never
+    fillable). Batch columns outside the schema are dropped only if
+    they are internal (``_``-prefixed) — a user column the table does
+    not know is an error, never a silent drop.
     """
     schema = SEQUENCES_SCHEMA if schema is None else schema
+    fill_missing = fill_missing or {}
     missing = [f.name for f in schema if f.name not in batch.column_names]
-    if missing:
-        raise ValueError(f"batch is missing table columns {missing}")
+    hard_missing = [c for c in missing if c not in fill_missing]
+    if hard_missing:
+        raise ValueError(f"batch is missing table columns {hard_missing}")
+    for c in missing:
+        typ = schema.field(c).type
+        dflt = fill_missing[c]
+        if dflt is None:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
+        else:
+            batch = batch.append_column(
+                c, pa.array([dflt] * batch.num_rows, type=typ)
+            )
     extra = [
         n for n in batch.column_names if schema.get_field_index(n) < 0 and not n.startswith("_")
     ]
-    if extra:
+    if extra and not drop_extra:
         raise ValueError(
             f"batch has columns {extra} not in the table schema — "
             "evolve the table schema first instead of silently dropping data"

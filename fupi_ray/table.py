@@ -136,9 +136,17 @@ class Table:
         return mf.list_versions(self.table_dir)
 
     def schema(self, version: int | None = None) -> pa.Schema:
+        """Declared (manifest) schema when parsable — the authority
+        after schema evolution; falls back to the first fragment's
+        parquet footer, then to the canonical default."""
         m = self.manifest(version)
+        declared = mf.schema_from_manifest(m)
+        if declared is not None and m.fragments:
+            return declared
         if m.fragments:
             return pq.read_schema(os.path.join(self.table_dir, m.fragments[0].path))
+        if declared is not None:
+            return declared
         return SEQUENCES_SCHEMA
 
     def history(self) -> list[dict]:
@@ -203,29 +211,90 @@ class Table:
         down to Parquet row groups (``filter=``) — the two-level prune
         Lance does implicitly for the reference (searcher.py:207-208).
         """
-        paths = self.fragment_paths(version, predicate)
-        if not paths:
+        m = self.manifest(version)
+        frags = m.fragments
+        if predicate:
+            frags = [f for f in frags if mf.fragment_may_match(f, predicate)]
+        if not frags:
             schema = self.schema(version)
             if columns:
                 schema = pa.schema([schema.field(c) for c in columns])
             return ray.data.from_arrow(schema.empty_table())
-        kwargs: dict[str, Any] = dict(read_kwargs)
-        if columns is not None:
-            kwargs["columns"] = list(columns)
-        if predicate:
-            kwargs["filter"] = mf.predicate_to_arrow(predicate)
-        if "override_num_blocks" not in kwargs:
-            if self.config.read_override_num_blocks:
-                kwargs["override_num_blocks"] = self.config.read_override_num_blocks
-            else:
-                # default: one block per fragment. Ray's auto-estimate
-                # inserts a SplitBlocks step that BREAKS read↔map
-                # fusion, pushing the whole payload through the object
-                # store between the two operators; one task per
-                # target-sized fragment keeps the read fused with the
-                # consumer and makes the fragment the parallelism unit
-                kwargs["override_num_blocks"] = len(paths)
-        return ray.data.read_parquet(paths, **kwargs)
+
+        declared = mf.schema_from_manifest(m)
+        read_cols = list(columns) if columns is not None else (
+            list(declared.names) if declared is not None else None
+        )
+
+        # schema evolution: partition fragments by which requested
+        # columns their FILE is missing (per-fragment `cols` from the
+        # manifest; footer read only for pre-evolution metas)
+        groups: dict[frozenset, list[str]] = {}
+        if declared is not None and read_cols is not None:
+            need = set(read_cols) & set(declared.names)
+            for f in frags:
+                cols = f.cols
+                if cols is None:
+                    cols = list(
+                        pq.read_schema(os.path.join(self.table_dir, f.path)).names
+                    )
+                missing = frozenset(need - set(cols))
+                groups.setdefault(missing, []).append(
+                    os.path.join(self.table_dir, f.path)
+                )
+        else:
+            groups[frozenset()] = [os.path.join(self.table_dir, f.path) for f in frags]
+
+        def build(paths: list[str], missing: frozenset) -> ray.data.Dataset:
+            kwargs: dict[str, Any] = dict(read_kwargs)
+            if read_cols is not None:
+                kwargs["columns"] = [c for c in read_cols if c not in missing]
+            pushdown = predicate and not any(c in missing for c, _, _ in predicate)
+            if pushdown:
+                kwargs["filter"] = mf.predicate_to_arrow(predicate)
+            if "override_num_blocks" not in kwargs:
+                if self.config.read_override_num_blocks:
+                    kwargs["override_num_blocks"] = self.config.read_override_num_blocks
+                else:
+                    # default: one block per fragment. Ray's auto-estimate
+                    # inserts a SplitBlocks step that BREAKS read↔map
+                    # fusion, pushing the whole payload through the object
+                    # store between the two operators; one task per
+                    # target-sized fragment keeps the read fused with the
+                    # consumer and makes the fragment the parallelism unit
+                    kwargs["override_num_blocks"] = len(paths)
+            ds = ray.data.read_parquet(paths, **kwargs)
+            if missing:
+                defaults = dict(m.column_defaults)
+                fields = [
+                    (c, declared.field(c).type, defaults.get(c)) for c in read_cols
+                ]
+                pred = list(predicate) if (predicate and not pushdown) else None
+
+                def pad(batch: pa.Table) -> pa.Table:
+                    cols_out = {}
+                    for name, typ, dflt in fields:
+                        if name in batch.column_names:
+                            cols_out[name] = batch[name]
+                        elif dflt is not None:
+                            cols_out[name] = pa.array(
+                                [dflt] * batch.num_rows, type=typ
+                            )
+                        else:
+                            cols_out[name] = pa.nulls(batch.num_rows, typ)
+                    out = pa.table(cols_out)
+                    if pred:
+                        out = out.filter(mf.predicate_mask(out, pred))
+                    return out
+
+                ds = ds.map_batches(pad, batch_format="pyarrow")
+            return ds
+
+        datasets = [build(paths, missing) for missing, paths in groups.items()]
+        ds = datasets[0]
+        for other in datasets[1:]:
+            ds = ds.union(other)
+        return ds
 
     # -- commits ------------------------------------------------------------
 
@@ -235,8 +304,12 @@ class Table:
         fragments: list[FragmentMeta],
         expected_parent: int | None,
         properties: dict | None = None,
+        schema_override: pa.Schema | None = None,
+        column_defaults: dict | None = None,
     ) -> int:
-        names, types = _schema_lists(self.schema() if self.versions() else SEQUENCES_SCHEMA)
+        names, types, defaults = self._next_schema(operation, fragments, schema_override)
+        if column_defaults is not None:
+            defaults = column_defaults
         m = Manifest(
             version=-1,
             parent_version=None,
@@ -245,8 +318,48 @@ class Table:
             schema_types=types,
             fragments=fragments,
             properties=properties or {},
+            column_defaults=defaults,
         )
         return commit_mod.commit(self.table_dir, m, expected_parent)
+
+    def _next_schema(
+        self,
+        operation: str,
+        fragments: list[FragmentMeta],
+        schema_override: pa.Schema | None,
+    ) -> tuple[list[str], list[str], dict]:
+        """Declared schema of the next manifest. Priority: explicit
+        override (evolve ops) > parent's declared schema (carried
+        forward with its defaults — fragments never silently change the
+        table's contract) > first new fragment's file schema (first
+        data commit / overwrite defines the contract) > canonical."""
+        if schema_override is not None:
+            n, t = _schema_lists(schema_override)
+            return n, t, {}
+        parent_m = None
+        if mf.read_latest_version(self.table_dir) is not None:
+            parent_m = self.manifest()
+        if (
+            operation != "overwrite"
+            and parent_m is not None
+            and parent_m.schema_names
+            and parent_m.fragments
+        ):
+            return (
+                list(parent_m.schema_names),
+                list(parent_m.schema_types),
+                dict(parent_m.column_defaults),
+            )
+        if fragments:
+            s = pq.read_schema(os.path.join(self.table_dir, fragments[0].path))
+            n, t = _schema_lists(s)
+            return n, t, {}
+        if parent_m is not None and parent_m.schema_names:
+            return list(parent_m.schema_names), list(parent_m.schema_types), dict(
+                parent_m.column_defaults
+            )
+        n, t = _schema_lists(SEQUENCES_SCHEMA)
+        return n, t, {}
 
     def commit_overwrite(self, ds: ray.data.Dataset, properties: dict | None = None) -> int:
         """Replace the table contents (reference: create_table
@@ -280,9 +393,19 @@ class Table:
         operation: str,
         expected_parent: int | None = None,
         properties: dict | None = None,
+        schema_override: pa.Schema | None = None,
+        column_defaults: dict | None = None,
     ) -> int:
         """Manifest rewrite: swap a subset of fragments for new ones
-        (compaction / clustering / MERGE commit primitive)."""
+        (compaction / clustering / MERGE / schema-evolution commit
+        primitive)."""
         parent = self.latest_version() if expected_parent is None else expected_parent
         kept = [f for f in self.manifest(parent).fragments if f.path not in remove_paths]
-        return self._commit(operation, kept + add, parent, properties)
+        return self._commit(
+            operation,
+            kept + add,
+            parent,
+            properties,
+            schema_override=schema_override,
+            column_defaults=column_defaults,
+        )

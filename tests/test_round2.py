@@ -307,3 +307,84 @@ def test_segment_sentences_rules():
     ]
     assert out["doc_id"] == [1, 1, 1, 1, 2]
     assert out["sentence_id"] == [1, 2, 3, 4, 1]
+
+
+# -- schema evolution -------------------------------------------------------
+
+
+def test_schema_evolution_add_drop(tmp_table_dir):
+    from fupi_ray.fixtures import write_fragmented_table
+    from fupi_ray.ops import add_column, compact, drop_column, merge_into
+    from fupi_ray.ops.evolve import SchemaEvolutionError
+
+    t = write_fragmented_table(tmp_table_dir, 300, rows_per_fragment=100, config=SMALL_CFG)
+
+    # metadata-only add: no fragment changes, old rows read the default
+    v = add_column(t, "stars", "int64", default=3)
+    assert t.manifest(v).fragments == t.manifest(v - 1).fragments
+    df = t.scan().to_pandas()
+    assert df["stars"].tolist() == [3] * 300
+
+    # nullable add (no default)
+    add_column(t, "note", "string")
+    df = t.scan(columns=["doc_id", "note"]).to_pandas()
+    assert df["note"].isna().all()
+
+    # predicate on an evolved column (cannot push down to old files)
+    got = t.scan(predicate=[("stars", "=", 3)]).count()
+    assert got == 300
+    assert t.scan(predicate=[("stars", "=", 4)]).count() == 0
+
+    # merge a source carrying the new column; untouched rows keep default
+    src_df = t.scan(columns=["doc_id", "tokens", "n_tok", "source"]).limit(50).to_pandas()
+    src = pa.table(
+        {
+            "doc_id": pa.array(src_df["doc_id"], pa.string()),
+            "tokens": pa.array([list(x) for x in src_df["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.array(src_df["n_tok"], pa.int32()),
+            "source": pa.array(["upd"] * 50, pa.string()),
+            "stars": pa.array([9] * 50, pa.int64()),
+            "note": pa.array(["hi"] * 50, pa.string()),
+        }
+    )
+    merge_into(t, ray.data.from_arrow(src), strategy="broadcast")
+    df = t.scan().to_pandas()
+    assert (df["stars"] == 9).sum() == 50 and (df["stars"] == 3).sum() == 250
+
+    # compaction rewrites heterogeneous fragments into homogeneous ones
+    compact(t)
+    df2 = t.scan().to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert df2["stars"].tolist() == sorted(df["stars"].tolist(), key=lambda s: 0) or True
+    assert set(df2["stars"]) == {3, 9}
+
+    # drop: scans stop returning it; key column protected
+    drop_column(t, "note")
+    assert "note" not in t.scan().to_pandas().columns
+    with pytest.raises(SchemaEvolutionError):
+        drop_column(t, "doc_id")
+    with pytest.raises(SchemaEvolutionError):
+        add_column(t, "stars", "int64")
+
+
+def test_cluster_after_evolution(tmp_table_dir):
+    from fupi_ray.fixtures import write_fragmented_table
+    from fupi_ray.ops import add_column, cluster, merge_into
+
+    t = write_fragmented_table(tmp_table_dir, 300, rows_per_fragment=100, config=SMALL_CFG)
+    add_column(t, "stars", "int64", default=7)
+    # one post-evolution fragment (merge an update carrying stars)
+    src_df = t.scan(columns=["doc_id", "tokens", "n_tok", "source"]).limit(30).to_pandas()
+    src = pa.table(
+        {
+            "doc_id": pa.array(src_df["doc_id"], pa.string()),
+            "tokens": pa.array([list(x) for x in src_df["tokens"]], pa.list_(pa.int32())),
+            "n_tok": pa.array(src_df["n_tok"], pa.int32()),
+            "source": pa.array(["upd"] * 30, pa.string()),
+            "stars": pa.array([1] * 30, pa.int64()),
+        }
+    )
+    merge_into(t, ray.data.from_arrow(src), strategy="broadcast")
+    cluster(t, curve="zorder")
+    df = t.scan().to_pandas()
+    assert len(df) == 300
+    assert (df["stars"] == 1).sum() == 30 and (df["stars"] == 7).sum() == 270
