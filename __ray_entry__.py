@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "langid": q.q_langid,
         "quality": q.q_quality,
+        "gopher_quality": q.q_gopher_quality,
+        "bpe_tokens": q.q_bpe_tokens,
+        "redact": q.q_redact,
         "fingerprint": q.q_fingerprint,
         "translate": q.q_translate,
         "multimodal": q.q_multimodal,
@@ -95,6 +98,9 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": q.SQL_TOKEN_STATS,
         "langid": q.SQL_LANGID,
         "quality": q.SQL_QUALITY,
+        "gopher_quality": q.SQL_GOPHER_QUALITY,
+        "bpe_tokens": q.SQL_BPE_TOKENS,
+        "redact": q.SQL_REDACT,
         "fingerprint": q.SQL_FINGERPRINT,
         "translate": q.SQL_TRANSLATE,
         "multimodal": q.SQL_MULTIMODAL,

@@ -50,6 +50,26 @@ def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
     return pa.schema([(n, conv(t)) for n, t in zip(s.names, s.types)])
 
 
+def _reconcile_key_types(
+    lschema: pa.Schema, rschema: pa.Schema, on: list[str], right_on: list[str]
+) -> tuple[pa.Schema, pa.Schema]:
+    """An empty/degenerate side reports null-typed key columns (e.g. a
+    zero-row pandas frame); Acero refuses null join keys. Coerce a
+    null-typed key to the other side's type (string if both null)."""
+    for lk, rk in zip(on, right_on):
+        lt = lschema.field(lk).type
+        rt = rschema.field(rk).type
+        if pa.types.is_null(lt) and pa.types.is_null(rt):
+            lt = rt = pa.string()
+        elif pa.types.is_null(lt):
+            lt = rt
+        elif pa.types.is_null(rt):
+            rt = lt
+        lschema = lschema.set(lschema.get_field_index(lk), pa.field(lk, lt))
+        rschema = rschema.set(rschema.get_field_index(rk), pa.field(rk, rt))
+    return lschema, rschema
+
+
 def _key_hash(batch: pa.Table, keys: list[str]) -> np.ndarray:
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     for k in keys:
@@ -87,6 +107,7 @@ def hash_join(
 
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
+    lschema, rschema = _reconcile_key_types(lschema, rschema, on, right_on)
     lcols = list(lschema.names)
     rcols = list(rschema.names)
     semi_like = how in ("semi", "anti")
@@ -127,11 +148,23 @@ def hash_join(
         right.map_batches(pad(1, right_on), batch_format="pyarrow")
     )
 
+    def _coerce(t: pa.Table, names: list[str], types: list[pa.DataType]) -> pa.Table:
+        # an empty input block can slip through the pad map un-executed
+        # and null-promote columns at the shuffle; Acero refuses
+        # null-typed join keys, so cast back to the unified types
+        cols = [pc_cast(t[n], typ) for n, typ in zip(t.column_names, types)]
+        return pa.table(dict(zip(names, cols)))
+
+    l_types = [unified.field(c).type for c in lcols]
+    r_types = [unified.field("__rk_" + k).type for k in on] + [
+        unified.field(c).type for c in rpay_out
+    ]
+
     def join_bucket(g: pa.Table) -> pa.Table:
         side = g["_side"].to_numpy(zero_copy_only=False)
-        lt = g.filter(pa.array(side == 0)).select(lcols)
+        lt = _coerce(g.filter(pa.array(side == 0)).select(lcols), lcols, l_types)
         rt = g.filter(pa.array(side == 1)).select(["__rk_" + k for k in on] + rpay_out)
-        rt = rt.rename_columns(on + rpay_out)
+        rt = _coerce(rt, on + rpay_out, r_types)
         joined = lt.join(rt, keys=on, join_type=join_type, right_suffix="__dup")
         return joined.select(out_cols)
 
@@ -179,6 +212,9 @@ def asof_join(
 
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
+    lschema, rschema = _reconcile_key_types(
+        lschema, rschema, [by, on], [by, on]
+    )
     lcols = list(lschema.names)
     rpayload = [c for c in rschema.names if c not in (by, on)]
     rpay_out = [c + (right_suffix if c in lcols else "") for c in rpayload]
@@ -213,12 +249,30 @@ def asof_join(
         right.map_batches(pad(1), batch_format="pyarrow")
     )
 
-    def bucket_asof(g: pa.Table) -> pa.Table:
+    out_schema = pa.schema(
+        [(c, lschema.field(c).type) for c in lcols]
+        + [(c, rschema.field(orig).type) for orig, c in zip(rpayload, rpay_out)]
+    )
+
+    def bucket_asof(g: pa.Table):
         side = g["_side"].to_numpy(zero_copy_only=False)
-        # split in Arrow first: pandas would float-ify int columns that
-        # hold the other side's padding nulls
-        lt = g.filter(pa.array(side == 0)).select(lcols).to_pandas()
-        rt = g.filter(pa.array(side == 1)).select([by, on] + rpay_out).to_pandas()
+        # split in Arrow first (pandas would float-ify int columns that
+        # hold the other side's padding nulls) and re-coerce to the
+        # unified types (an empty block slipping past the pad map can
+        # null-promote columns at the shuffle)
+        import pyarrow.compute as _pc  # noqa: F401
+
+        def coerce(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {n: pc_cast(t[n], unified.field(n).type) for n in t.column_names}
+            )
+
+        lt = coerce(g.filter(pa.array(side == 0)).select(lcols)).to_pandas()
+        rt = coerce(g.filter(pa.array(side == 1)).select([by, on] + rpay_out)).to_pandas()
+        if lt.empty or (how == "inner" and rt.empty):
+            # typed empty (an untyped one breaks downstream union /
+            # pandas merge dtype checks)
+            return out_schema.empty_table().to_pandas()
         lt = lt.sort_values(on, kind="mergesort")
         # deterministic ties: one right row per (by, on) — the row with
         # the lexicographically greatest payload (independent of block

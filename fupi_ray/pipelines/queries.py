@@ -830,6 +830,167 @@ FROM documents
 """
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style rule-based quality gate (Rae et al. 2021, public
+    heuristics): word-count bounds, mean word length bounds, symbol
+    ratio, stopword presence. Emits per-doc signals + keep flag —
+    all Arrow-vectorized; SQL twin computes identical rules."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        trimmed = pc.utf8_trim_whitespace(text)
+        n_words = pc.cast(pc.count_substring_regex(trimmed, r"\S+"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+        n_space = pc.cast(pc.count_substring_regex(text, r"\s"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_hash = pc.cast(pc.count_substring_regex(text, r"[#@]"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = pc.cast(
+            pc.count_substring_regex(
+                pc.utf8_lower(text), r"\b(the|and|of|to|in|is|was|for|with|that)\b"
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        letters = (n_chars - n_space).astype(np.float64)
+        # floor(x*1e4+0.5)/1e4 on BOTH sides: np.round is banker's,
+        # duckdb round() is half-away — they disagree on .5 ties
+        mean_wl = np.floor(letters / np.maximum(n_words, 1) * 1e4 + 0.5) / 1e4
+        sym_ratio = np.floor(n_hash / np.maximum(n_words, 1) * 1e4 + 0.5) / 1e4
+        keep = (
+            (n_words >= 5)
+            & (n_words <= 100000)
+            & (mean_wl >= 2)
+            & (mean_wl <= 12)
+            & (sym_ratio <= 0.1)
+            & (n_stop >= 1)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "mean_word_len": pa.array(mean_wl),
+                "symbol_ratio": pa.array(sym_ratio),
+                "n_stopwords": pa.array(n_stop),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(string_split_regex(trim(text), '\s+')) AS n_words,
+    length(text) AS n_chars,
+    length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+    length(text) - length(regexp_replace(text, '[#@]', '', 'g')) AS n_hash,
+    len(regexp_extract_all(lower(text),
+        '\b(the|and|of|to|in|is|was|for|with|that)\b')) AS n_stop
+  FROM documents)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+  floor(CAST(n_chars - n_space AS DOUBLE)/greatest(n_words,1)*1e4 + 0.5)/1e4 AS mean_word_len,
+  floor(CAST(n_hash AS DOUBLE)/greatest(n_words,1)*1e4 + 0.5)/1e4 AS symbol_ratio,
+  CAST(n_stop AS BIGINT) AS n_stopwords,
+  (n_words >= 5 AND n_words <= 100000
+   AND floor(CAST(n_chars - n_space AS DOUBLE)/greatest(n_words,1)*1e4 + 0.5)/1e4 >= 2
+   AND floor(CAST(n_chars - n_space AS DOUBLE)/greatest(n_words,1)*1e4 + 0.5)/1e4 <= 12
+   AND floor(CAST(n_hash AS DOUBLE)/greatest(n_words,1)*1e4 + 0.5)/1e4 <= 0.1
+   AND n_stop >= 1) AS keep
+FROM s
+"""
+
+
+# GPT-2-style pre-tokenizer pattern, RE2-compatible subset (no
+# lookahead): contractions, letter runs, digit runs, punctuation runs.
+_BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish token counting (GPT-2 pre-tokenizer shape, RE2 subset):
+    per-source totals + avg. Both sides run the SAME RE2 pattern
+    (pyarrow and duckdb embed RE2), so counts match exactly."""
+    docs = read(sf_dir, "documents", columns=["source", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], _BPE_PATTERN), pa.int64())
+        return pa.table({"source": batch["source"], "n_bpe": n})
+
+    agg = (
+        docs.map_batches(count, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_bpe", alias_name="total_bpe"), Count(alias_name="n_docs"))
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        tb = batch["total_bpe"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "total_bpe": pc.cast(batch["total_bpe"], pa.int64()),
+                "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+                "avg_bpe": pa.array(tb / nd),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
+
+SQL_BPE_TOKENS = rf"""
+SELECT source,
+  CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS BIGINT) AS total_bpe,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}'))) AS DOUBLE)/COUNT(*)
+       AS DOUBLE) AS avg_bpe
+FROM documents GROUP BY source
+"""
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+
+
+def q_redact(sf_dir: str):
+    """PII-ish scrubbing: count + redact emails/URLs (one Arrow regex
+    pass each; the scrub step every public-corpus pipeline runs).
+    SQL twin uses the same RE2 patterns."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_email = pc.cast(pc.count_substring_regex(text, _EMAIL_RE), pa.int64())
+        n_url = pc.cast(pc.count_substring_regex(text, _URL_RE), pa.int64())
+        red = pc.replace_substring_regex(text, _EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, _URL_RE, "<URL>")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_emails": n_email,
+                "n_urls": n_url,
+                "redacted": red,
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_REDACT = rf"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+  regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_URL_RE}', '<URL>', 'g') AS redacted
+FROM documents
+"""
+
+
 def q_fingerprint(sf_dir: str):
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(

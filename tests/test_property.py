@@ -168,3 +168,121 @@ def test_expire_never_breaks_live_versions(data):
             assert os.path.exists(os.path.join(t.table_dir, f.path)), (v, f.path)
     assert t.latest_version() == keep
     assert t.scan().count() == tbl.num_rows
+
+
+# -- distributed joins vs pandas reference ---------------------------------
+
+
+@st.composite
+def join_frames(draw):
+    import pandas as pd
+
+    nl = draw(st.integers(0, 60))
+    nr = draw(st.integers(0, 40))
+    key_space = draw(st.integers(1, 20))
+    lk = draw(st.lists(st.integers(0, key_space), min_size=nl, max_size=nl))
+    rk = draw(st.lists(st.integers(0, key_space), min_size=nr, max_size=nr))
+    left = pd.DataFrame(
+        {"k": np.array(lk, dtype=np.int64), "x": np.arange(nl, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.array(rk, dtype=np.int64), "y": np.arange(nr, dtype=np.int64) * 7}
+    )
+    return left, right
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(frames=join_frames(), how=st.sampled_from(["inner", "left", "semi", "anti"]))
+def test_hash_join_any_frames(frames, how):
+    import pandas as pd
+
+    from fupi_ray.ops.join import hash_join
+
+    left, right = frames
+    got = hash_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        on="k",
+        how=how,
+        num_buckets=4,
+    ).to_pandas()
+    if len(got) == 0 and len(got.columns) == 0:
+        got = left.iloc[0:0].copy()  # an all-empty result carries no schema
+        if how in ("inner", "left"):
+            got["y"] = np.array([], dtype=np.int64)
+    if how in ("inner", "left"):
+        exp = left.merge(right, on="k", how=how)
+        assert sorted(map(tuple, got.fillna(-9).to_numpy().tolist())) == sorted(
+            map(tuple, exp.fillna(-9).to_numpy().tolist())
+        )
+    elif how == "semi":
+        exp = left[left["k"].isin(set(right["k"]))]
+        assert sorted(got["x"]) == sorted(exp["x"])
+    else:
+        exp = left[~left["k"].isin(set(right["k"]))]
+        assert sorted(got["x"]) == sorted(exp["x"])
+
+
+@st.composite
+def asof_frames(draw):
+    import pandas as pd
+
+    nl = draw(st.integers(0, 50))
+    nr = draw(st.integers(0, 50))
+    keys = draw(st.integers(1, 6))
+    lts = draw(st.lists(st.integers(0, 1000), min_size=nl, max_size=nl))
+    rts = draw(st.lists(st.integers(0, 1000), min_size=nr, max_size=nr))
+    lk = draw(st.lists(st.integers(0, keys), min_size=nl, max_size=nl))
+    rk = draw(st.lists(st.integers(0, keys), min_size=nr, max_size=nr))
+    left = pd.DataFrame(
+        {"k": np.array(lk, dtype=np.int64), "t": np.array(lts, dtype=np.int64),
+         "lid": np.arange(nl, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.array(rk, dtype=np.int64), "t": np.array(rts, dtype=np.int64),
+         "rid": np.arange(nr, dtype=np.int64)}
+    )
+    return left, right
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(frames=asof_frames())
+def test_asof_join_any_frames(frames):
+    import pandas as pd
+
+    from fupi_ray.ops.join import asof_join
+
+    left, right = frames
+    got = asof_join(
+        ray.data.from_pandas(left),
+        ray.data.from_pandas(right),
+        by="k",
+        on="t",
+        num_buckets=4,
+        how="inner",
+    ).to_pandas()
+    # reference: dedupe right ties (max rid per (k,t)), then merge_asof
+    r = right.sort_values(["t", "rid"], kind="mergesort").drop_duplicates(
+        subset=["k", "t"], keep="last"
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="mergesort"),
+        r.sort_values("t", kind="mergesort"),
+        on="t",
+        by="k",
+        direction="backward",
+    )
+    exp = exp[exp["rid"].notna()]
+    if len(got) == 0 and len(exp) == 0:
+        return  # an all-empty result may carry no schema
+    assert sorted(zip(got["lid"], got["rid"])) == sorted(
+        zip(exp["lid"], exp["rid"].astype(np.int64))
+    )
