@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "langid": q.q_langid,
         "quality": q.q_quality,
+        "sample_stratified": q.q_sample_stratified,
         "gopher_quality": q.q_gopher_quality,
         "bpe_tokens": q.q_bpe_tokens,
         "redact": q.q_redact,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": q.SQL_TOKEN_STATS,
         "langid": q.SQL_LANGID,
         "quality": q.SQL_QUALITY,
+        "sample_stratified": q.SQL_SAMPLE_STRATIFIED,
         "gopher_quality": q.SQL_GOPHER_QUALITY,
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "redact": q.SQL_REDACT,

@@ -830,6 +830,44 @@ FROM documents
 """
 
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sampling — the reproducible
+    train/validation split a corpus pipeline needs: keep a doc iff the
+    first 8 hex digits of md5(doc_id) fall under the per-source rate.
+    Content-addressed (NOT ds.random_sample: same doc always lands in
+    the same split, across runs and cluster sizes). md5 is identical in
+    hashlib and duckdb, so the oracle reproduces the exact sample."""
+    import hashlib
+
+    rates = {"wiki": 0.5, "cc": 0.2}  # everything else: 0.1
+    docs = read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        )
+        u = h / float(0x100000000)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        rate = np.full(len(ids), 0.1)
+        for s, r in rates.items():
+            rate[src == s] = r
+        return batch.filter(pa.array(u < rate))
+
+    return docs.map_batches(sample, batch_format="pyarrow")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, source, lang FROM (
+  SELECT *,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+      / 4294967296.0 AS u
+  FROM documents)
+WHERE u < CASE source WHEN 'wiki' THEN 0.5 WHEN 'cc' THEN 0.2 ELSE 0.1 END
+"""
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher-style rule-based quality gate (Rae et al. 2021, public
     heuristics): word-count bounds, mean word length bounds, symbol
