@@ -542,6 +542,8 @@ def char_jaccard_pairs(
     block_cols: tuple[str, ...] = ("source", "lang"),
     num_buckets: int = 64,
     max_members: int | None = None,
+    max_driver_reps: int = 200_000,
+    max_broadcast_pairs: int = 200_000,
 ) -> ray.data.Dataset:
     """All-pairs distinct-character Jaccard within blocking groups —
     semantics equal to duckdb's ``jaccard(lower(a), lower(b))`` for
@@ -558,9 +560,16 @@ def char_jaccard_pairs(
     3. rep pairs: per block, U×U vectorized popcount Jaccard over the
        U distinct masks (U ≪ n) → passing (sig_a ≤ sig_b) pairs,
        including the diagonal (identical charsets, jaccard 1.0);
-    4. expansion: two ``hash_join`` bucket exchanges of the tiny
-       member rows against the passing sig pairs → output-linear
-       cross products; ``id_a < id_b`` keeps each pair once.
+    4. expansion to id pairs — two execution plans:
+       - FAST PATH (distinct charsets ≤ ``max_driver_reps`` and
+         passing rep pairs ≤ ``max_broadcast_pairs``, i.e. always in
+         practice): reps collected once (tiny), U² pair plan computed
+         driver-side, broadcast as sorted key arrays; ONE bucket
+         exchange of ragged-expanded (pair, role, id) rows assembles
+         the cross products;
+       - scale path: distributed rep dedup + per-block rep-pair
+         groupby + two ``hash_join`` bucket exchanges.
+       ``id_a < id_b`` keeps each pair once in either plan.
 
     ``max_members`` (optional) caps members per (block, sig): beyond
     the cap, members pair only with the group's minimum id (star),
@@ -582,35 +591,17 @@ def char_jaccard_pairs(
     # rows are tiny (id + 5 ints — the text column never leaves here)
     members = ds.map_batches(sig_stage, batch_format="pyarrow").materialize()
 
-    # --- distinct (block, mask) representatives --------------------------
-    def local_reps(batch: pa.Table) -> pa.Table:
-        key = np.zeros(batch.num_rows, dtype=np.uint64)
+    def _block_sig_key(batch_or_df, sig_vals: np.ndarray) -> np.ndarray:
+        """Composite (block, sig) 64-bit key, identical on both paths."""
+        key = np.zeros(len(sig_vals), dtype=np.uint64)
         for c in bc:
-            key = mix64(key ^ stable_hash(batch[c]))
-        key = mix64(key ^ batch["sig"].to_numpy(zero_copy_only=False).view(np.uint64))
-        batch = batch.append_column("_k", pa.array(key.view(np.int64)))
-        batch = _arrow_keep_first(batch, "_k", "id")
-        kk = batch["_k"].to_numpy(zero_copy_only=False).view(np.uint64)
-        return batch.append_column(
-            "_bucket", pa.array((kk % np.uint64(num_buckets)).astype(np.int32))
-        )
+            col = batch_or_df[c]
+            key = mix64(key ^ stable_hash(col))
+        return mix64(key ^ sig_vals.view(np.uint64))
 
-    def bucket_reps(g: pa.Table) -> pa.Table:
-        return _arrow_keep_first(g, "_k", "id").drop_columns(["_bucket", "id"])
-
-    reps = (
-        members.map_batches(local_reps, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(bucket_reps, batch_format="pyarrow")
-        .drop_columns(["_k"])
-    )
-
-    # --- per-block rep pairs (U^2 vectorized) ----------------------------
-    def rep_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        U = len(g)
-        M = np.stack(
-            [g[f"m{j}"].to_numpy().view(np.uint64) for j in range(4)], axis=1
-        )  # (U, 4)
+    def _pairs_from_reps(M: np.ndarray, sigs: np.ndarray):
+        """U×U vectorized popcount Jaccard → passing (i, j) with i<=j."""
+        U = len(sigs)
         inter = np.zeros((U, U), dtype=np.int64)
         union = np.zeros((U, U), dtype=np.int64)
         for j in range(4):
@@ -618,60 +609,250 @@ def char_jaccard_pairs(
             inter += tk.popcount64(w[:, None] & w[None, :])
             union += tk.popcount64(w[:, None] | w[None, :])
         jac = inter / np.maximum(union, 1)
-        sigs = g["sig"].to_numpy()
         iu = np.triu_indices(U, k=0)  # include diagonal (identical charsets)
         ok = jac[iu] >= threshold
-        sa, sb = sigs[iu[0][ok]], sigs[iu[1][ok]]
-        lo, hi = np.minimum(sa, sb), np.maximum(sa, sb)
-        out = {c: np.repeat(g[c].iloc[0], ok.sum()) for c in bc}
-        out.update(
-            {"sig_a": lo, "sig_b": hi, "jacc": np.round(jac[iu][ok], 4)}
-        )
-        return pd.DataFrame(out)
+        return iu[0][ok], iu[1][ok], np.round(jac[iu][ok], 4)
 
-    pair_plan = (
-        reps.groupby(bc).map_groups(rep_pairs, batch_format="pandas").materialize()
-    )
+    # --- local distinct reps (tiny stream regardless of row count) -------
+    def local_reps(batch: pa.Table) -> pa.Table:
+        key = _block_sig_key(batch, batch["sig"].to_numpy(zero_copy_only=False))
+        batch = batch.append_column("_k", pa.array(key.view(np.int64)))
+        return _arrow_keep_first(batch, "_k", "id")
 
-    # --- expansion: members ⋈ pair_plan ⋈ members -----------------------
-    from fupi_ray.ops.join import hash_join
+    local = members.map_batches(local_reps, batch_format="pyarrow").materialize()
+    n_local = local.count()
 
     mem = members.select_columns(bc + ["id", "sig"])
     if max_members is not None:
         mem = _cap_members(mem, bc, max_members, num_buckets)
 
-    # materialized: j2 reads j1's schema and then consumes it (twice-
-    # execution guard); rows are id pairs + sigs, output-linear
+    if n_local <= max_driver_reps:
+        # ---- FAST PATH: driver-side rep plan + broadcast expansion ----
+        rep_df = local.to_pandas().drop_duplicates(subset=["_k"])
+        ka_list, kb_list, jc_list, diag_list = [], [], [], []
+        for _, g in rep_df.groupby(bc, sort=False):
+            M = np.stack(
+                [g[f"m{j}"].to_numpy().view(np.uint64) for j in range(4)], axis=1
+            )
+            sigs = g["sig"].to_numpy()
+            keys = g["_k"].to_numpy().view(np.uint64)
+            ia, ib, jc = _pairs_from_reps(M, sigs)
+            ka_list.append(keys[ia])
+            kb_list.append(keys[ib])
+            jc_list.append(jc)
+            diag_list.append(ia == ib)
+        if ka_list:
+            ka = np.concatenate(ka_list)
+            kb = np.concatenate(kb_list)
+            jc = np.concatenate(jc_list)
+            diag = np.concatenate(diag_list)
+        else:
+            ka = kb = np.empty(0, np.uint64)
+            jc = np.empty(0, np.float64)
+            diag = np.empty(0, bool)
+
+        if len(ka) <= max_broadcast_pairs:
+            return _expand_pairs_broadcast(
+                mem, bc, ka, kb, jc, diag, _block_sig_key, num_buckets
+            )
+        # plan too big to broadcast → rebuild it as a Dataset and join
+        pair_plan = ray.data.from_arrow(
+            pa.table({"ka": ka.view(np.int64), "kb": kb.view(np.int64), "jacc": jc,
+                      "diag": diag})
+        ).materialize()
+    else:
+        # ---- scale path: distributed rep dedup + per-block pair plan ----
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            kk = batch["_k"].to_numpy(zero_copy_only=False).view(np.uint64)
+            return batch.append_column(
+                "_bucket", pa.array((kk % np.uint64(num_buckets)).astype(np.int32))
+            )
+
+        def bucket_reps(g: pa.Table) -> pa.Table:
+            return _arrow_keep_first(g, "_k", "id").drop_columns(["_bucket", "id"])
+
+        reps = (
+            local.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_reps, batch_format="pyarrow")
+        )
+
+        def rep_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            M = np.stack(
+                [g[f"m{j}"].to_numpy().view(np.uint64) for j in range(4)], axis=1
+            )
+            sigs = g["sig"].to_numpy()
+            keys = g["_k"].to_numpy().view(np.uint64)
+            ia, ib, jc = _pairs_from_reps(M, sigs)
+            return pd.DataFrame(
+                {
+                    "ka": keys[ia].view(np.int64),
+                    "kb": keys[ib].view(np.int64),
+                    "jacc": jc,
+                    "diag": ia == ib,
+                }
+            )
+
+        pair_plan = (
+            reps.groupby(bc).map_groups(rep_pairs, batch_format="pandas").materialize()
+        )
+
+    # --- join expansion (pair plan keyed by composite (block,sig)) -------
+    from fupi_ray.ops.join import hash_join
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = _block_sig_key(batch, batch["sig"].to_numpy(zero_copy_only=False))
+        return batch.append_column("_k", pa.array(key.view(np.int64)))
+
+    mem_k = mem.map_batches(add_key, batch_format="pyarrow").select_columns(
+        ["_k", "id"]
+    ).materialize()
+
     j1 = hash_join(
-        pair_plan, mem, on=bc + ["sig_a"], right_on=bc + ["sig"],
-        num_buckets=num_buckets,
+        pair_plan, mem_k, on="ka", right_on="_k", num_buckets=num_buckets
     ).rename_columns({"id": "id_a"}).materialize()
     j2 = hash_join(
-        j1, mem, on=bc + ["sig_b"], right_on=bc + ["sig"],
-        num_buckets=num_buckets,
+        j1, mem_k, on="kb", right_on="_k", num_buckets=num_buckets
     ).rename_columns({"id": "id_b"})
 
     def finish(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
         b = batch["id_b"].to_numpy(zero_copy_only=False)
-        keep = a < b
-        same_sig = batch["sig_a"].to_numpy(zero_copy_only=False) == batch[
-            "sig_b"
-        ].to_numpy(zero_copy_only=False)
+        same_sig = batch["diag"].to_numpy(zero_copy_only=False)
+        keep = np.where(same_sig, a < b, a != b)
         # off-diagonal pairs appear once with arbitrary id order: reorder
         lo = np.where(same_sig, a, np.minimum(a, b))
         hi = np.where(same_sig, b, np.maximum(a, b))
-        keep = np.where(same_sig, keep, a != b)
         t = pa.table(
-            {
-                "id_a": pa.array(lo),
-                "id_b": pa.array(hi),
-                "jacc": batch["jacc"],
-            }
+            {"id_a": pa.array(lo), "id_b": pa.array(hi), "jacc": batch["jacc"]}
         )
         return t.filter(pa.array(keep))
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def _expand_pairs_broadcast(
+    mem: ray.data.Dataset,
+    bc: list[str],
+    ka: np.ndarray,
+    kb: np.ndarray,
+    jacc: np.ndarray,
+    diag: np.ndarray,
+    block_sig_key,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Output-linear expansion with ONE exchange: the (tiny) pair plan
+    is broadcast as sorted key arrays; every member row ragged-expands
+    to the (pair, role) slots it fills, and a single pair-bucket
+    groupby assembles the cross products."""
+    oa = np.argsort(ka, kind="stable")
+    ob = np.argsort(kb, kind="stable")
+    plan_ref = ray.put(
+        (ka[oa], oa.astype(np.int64), kb[ob], ob.astype(np.int64), jacc, diag)
+    )
+
+    class Expand:
+        def __init__(self):
+            (self.ka, self.pa_, self.kb, self.pb, self.jc, self.dg) = ray.get(plan_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mk = block_sig_key(batch, batch["sig"].to_numpy(zero_copy_only=False))
+            ids = batch["id"]
+            parts = []
+            for keys, pids, role in ((self.ka, self.pa_, 0), (self.kb, self.pb, 1)):
+                lo = np.searchsorted(keys, mk, side="left")
+                hi = np.searchsorted(keys, mk, side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                ridx = np.repeat(np.arange(len(mk), dtype=np.int64), cnt)
+                off = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                pidx = pids[np.repeat(lo, cnt) + off]
+                parts.append(
+                    pa.table(
+                        {
+                            "pid": pa.array(pidx, pa.int64()),
+                            "role": pa.array(
+                                np.full(total, role, dtype=np.int8), pa.int8()
+                            ),
+                            "id": ids.take(pa.array(ridx)),
+                        }
+                    )
+                )
+            if not parts:
+                empty_ids = (
+                    ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+                ).slice(0, 0)
+                return pa.table(
+                    {
+                        "pid": pa.array([], pa.int64()),
+                        "role": pa.array([], pa.int8()),
+                        "id": empty_ids,
+                        "_bucket": pa.array([], pa.int32()),
+                    }
+                )
+            out = pa.concat_tables(parts)
+            b = (mix64(out["pid"].to_numpy(zero_copy_only=False).astype(np.uint64))
+                 % np.uint64(num_buckets)).astype(np.int32)
+            return out.append_column("_bucket", pa.array(b))
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        jc, dg = ray.get(plan_ref)[4], ray.get(plan_ref)[5]
+        g = g.sort_values(["pid", "role", "id"], kind="mergesort")
+        pids = g["pid"].to_numpy()
+        roles = g["role"].to_numpy()
+        ids = g["id"].to_numpy()
+        change = np.ones(len(g), dtype=bool)
+        change[1:] = pids[1:] != pids[:-1]
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(g))
+        ra, rb, rj = [], [], []
+        for s, e in zip(starts, ends):
+            pid = int(pids[s])
+            seg_roles = roles[s:e]
+            a_ids = ids[s:e][seg_roles == 0]
+            b_ids = ids[s:e][seg_roles == 1]
+            if dg[pid]:
+                # identical charsets: members appear as both roles;
+                # emit the triangle a<b over the role-0 list
+                n = len(a_ids)
+                if n < 2:
+                    continue
+                A = np.repeat(a_ids, n)
+                B = np.tile(a_ids, n)
+                m = A < B
+                ra.append(A[m]); rb.append(B[m])
+                rj.append(np.full(int(m.sum()), jc[pid]))
+            else:
+                if len(a_ids) == 0 or len(b_ids) == 0:
+                    continue
+                A = np.repeat(a_ids, len(b_ids))
+                B = np.tile(b_ids, len(a_ids))
+                lo = np.minimum(A, B)
+                hi = np.maximum(A, B)
+                m = A != B
+                ra.append(lo[m]); rb.append(hi[m])
+                rj.append(np.full(int(m.sum()), jc[pid]))
+        if not ra:
+            return pd.DataFrame({"id_a": pd.Series([], dtype=g["id"].dtype),
+                                 "id_b": pd.Series([], dtype=g["id"].dtype),
+                                 "jacc": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ra),
+                "id_b": np.concatenate(rb),
+                "jacc": np.concatenate(rj),
+            }
+        )
+
+    return (
+        mem.map_batches(Expand, batch_format="pyarrow", concurrency=(1, 8))
+        .groupby("_bucket")
+        .map_groups(assemble, batch_format="pandas")
+    )
 
 
 def _cap_members(

@@ -388,3 +388,26 @@ def test_cluster_after_evolution(tmp_table_dir):
     df = t.scan().to_pandas()
     assert len(df) == 300
     assert (df["stars"] == 1).sum() == 30 and (df["stars"] == 7).sum() == 270
+
+
+def test_char_jaccard_scale_path_matches_fast_path():
+    from fupi_ray.stages.dedup import char_jaccard_pairs
+
+    rng = np.random.default_rng(5)
+    texts = ["".join(rng.choice(list("abcdefgh "), size=20)) for _ in range(120)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": texts,
+            "source": ["s1", "s2"] * 60,
+            "lang": ["en"] * 120,
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    fast = char_jaccard_pairs(ds, threshold=0.8, id_col="doc_id").to_pandas()
+    slow = char_jaccard_pairs(
+        ds, threshold=0.8, id_col="doc_id", max_driver_reps=0
+    ).to_pandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"]))  # noqa: E731
+    assert key(fast) == key(slow)
+    assert len(fast) > 0
