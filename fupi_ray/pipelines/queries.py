@@ -1121,7 +1121,7 @@ def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates, Jaccard-verified ≥0.5.
     No SQL twin (permutation hashing) — driver rows-only check."""
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = dd.minhash_lsh_candidates(docs)
+    cand = dd.minhash_lsh_candidates(docs, dedup=False)
     verified = dd.verify_jaccard_pairs(docs, cand, threshold=0.5)
     return verified.select_columns(["id_a", "id_b", "jaccard"])
 

@@ -174,6 +174,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_size: int = 3,
     concurrency: int | tuple = (1, 8),
+    dedup: bool = True,
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
@@ -181,6 +182,10 @@ def minhash_lsh_candidates(
     then distinct pairs. The per-bucket pair fan-out is capped by
     bucket size; huge buckets (degenerate content) emit pairs against
     the bucket minimum only, keeping output linear.
+
+    ``dedup=False`` skips the distinct-pairs exchange (a pair can fire
+    in several bands) — use when the consumer dedupes anyway
+    (``verify_jaccard_pairs`` does, on its fast path for free).
     """
     sig = ds.map_batches(
         MinHashStage,
@@ -196,6 +201,8 @@ def minhash_lsh_candidates(
     )
 
     pairs = _grouped_pairs(sig, ["band", "band_key"], max_group=64)
+    if not dedup:
+        return pairs
     # distinct pairs (a pair can fire in several bands)
     return dedup_pairs(pairs)
 
@@ -307,13 +314,27 @@ def verify_jaccard_pairs(
     # reads) — without materialize the whole LSH pipeline would
     # re-execute per consumer
     pairs = pairs.materialize()
+    n_pairs = pairs.count()
 
-    # collect candidate ids (small): one driver round-trip of ids only
-    a = pairs.select_columns(["id_a"]).take_all()
-    b = pairs.select_columns(["id_b"]).take_all()
-    cand = np.unique(
-        np.array([r["id_a"] for r in a] + [r["id_b"] for r in b])
-    )
+    pair_df = None
+    if n_pairs <= max(broadcast_max_docs * 4, 1):
+        # collect + dedupe the pair list driver-side (candidates are
+        # output-linear by construction) — this also absorbs the
+        # distinct-pairs exchange the LSH stage can then skip
+        rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+        pair_df = pd.DataFrame(rows).drop_duplicates() if rows else pd.DataFrame(
+            {"id_a": [], "id_b": []}
+        )
+        cand = np.unique(
+            np.concatenate([pair_df["id_a"].to_numpy(), pair_df["id_b"].to_numpy()])
+        ) if len(pair_df) else np.array([])
+    else:
+        pairs = dedup_pairs(pairs).materialize()
+        a = pairs.select_columns(["id_a"]).take_all()
+        b = pairs.select_columns(["id_b"]).take_all()
+        cand = np.unique(
+            np.array([r["id_a"] for r in a] + [r["id_b"] for r in b])
+        )
 
     def semi(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -347,8 +368,9 @@ def verify_jaccard_pairs(
         )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    if len(cand) <= broadcast_max_docs:
+    if pair_df is not None and len(cand) <= broadcast_max_docs:
         # ---- broadcast fast path ----
+        pairs = ray.data.from_pandas(pair_df.reset_index(drop=True))
         df = cand_docs.to_pandas()
         order = np.argsort(df[id_col].to_numpy(), kind="stable")
         side_ref = ray.put(
