@@ -58,7 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q.q_fingerprint,
         "translate": q.q_translate,
         "multimodal": q.q_multimodal,
+        "frame_sample": q.q_frame_sample,
         "topk_cosine": q.q_topk_cosine,
+        "maxsim": q.q_maxsim,
         "embed_search": q.q_embed_search,
         "embedding_neardup": q.q_embedding_neardup,
         "char_jaccard": q.q_char_jaccard,
@@ -106,7 +108,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": q.SQL_FINGERPRINT,
         "translate": q.SQL_TRANSLATE,
         "multimodal": q.SQL_MULTIMODAL,
+        "frame_sample": q.SQL_FRAME_SAMPLE,
         "topk_cosine": q.SQL_TOPK_COSINE,
+        "maxsim": q.SQL_MAXSIM,
         "embedding_neardup": q.SQL_EMBEDDING_NEARDUP,
         "char_jaccard": q.SQL_CHAR_JACCARD,
         "lake_compact": lake.SQL_LAKE_COMPACT,

@@ -1057,6 +1057,31 @@ FROM documents
 """
 
 
+def q_frame_sample(sf_dir: str):
+    """Multimodal flat-map: binary payloads exploded into per-frame
+    rows by an actor-pool sampling stage (video keyframe shape;
+    deterministic byte-slice kernel, real codec stubbed). Oracle
+    reproduces the frames with substring + sha256 on the BLOB."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payload = docs.map_batches(mm.attach_payload, batch_format="pyarrow")
+    frames = with_payload.map_batches(
+        mm.FrameSampleStage,
+        fn_constructor_kwargs=dict(frame_len=32, stride=64, max_frames=8),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+    )
+    return frames
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+       sha256(substring(text, j*64 + 1, 32)) AS frame_sha256
+FROM documents, (SELECT unnest(generate_series(0, 7)) j) g
+WHERE j*64 < length(text)
+"""
+
+
 def _query_vec(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -1084,6 +1109,87 @@ WHERE vec_id <> 0
 ORDER BY list_cosine_similarity(embedding::DOUBLE[],
         (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC, vec_id
 LIMIT 10
+"""
+
+
+def q_maxsim(sf_dir: str):
+    """Late-interaction (ColBERT-style) retrieval — the reference's
+    colbert twin search (fupi/utils.py:237-239): a multi-vector query
+    (vec_ids 0..2) scores each label-group by Σ_q max_v cos(q, v);
+    top-5 labels. One matmul per batch against the broadcast query
+    matrix, per-label MAX via the groupby combiner, driver-side only
+    the tiny label scores."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qm = []
+    for qid in (0, 1, 2):
+        idx = pc.index(pc.equal(t["vec_id"], qid), True).as_py()
+        qm.append(np.asarray(t["embedding"][idx].as_py(), dtype=np.float64))
+    Q = np.stack(qm)
+    Qn = (Q / np.maximum(np.linalg.norm(Q, axis=1), 1e-12)[:, None]).T  # (d, 3)
+    q_ref = ray.put(Qn)
+
+    emb = read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    emb = emb.map_batches(
+        lambda b: b.filter(pc.invert(pc.is_in(b["vec_id"], value_set=pa.array([0, 1, 2])))),
+        batch_format="pyarrow",
+    )
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            M = sim._matrix(batch["embedding"])
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (M / norms[:, None]) @ self.q  # (n, 3)
+            return pa.table(
+                {
+                    "label": batch["label"],
+                    "c0": pa.array(cos[:, 0]),
+                    "c1": pa.array(cos[:, 1]),
+                    "c2": pa.array(cos[:, 2]),
+                }
+            )
+
+    agg = (
+        emb.map_batches(Score, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("label")
+        .aggregate(
+            Max("c0", alias_name="m0"),
+            Max("c1", alias_name="m1"),
+            Max("c2", alias_name="m2"),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = (
+            batch["m0"].to_numpy(zero_copy_only=False)
+            + batch["m1"].to_numpy(zero_copy_only=False)
+            + batch["m2"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"label": pc.cast(batch["label"], pa.int64()), "score": pa.array(s)})
+
+    return (
+        agg.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "label"], descending=[True, False])
+        .limit(5)
+        .select_columns(["label"])
+    )
+
+
+SQL_MAXSIM = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2)),
+     d AS (SELECT * FROM embeddings WHERE vec_id NOT IN (0, 1, 2)),
+     s AS (SELECT d.label, q.vec_id AS qid,
+                  MAX(list_cosine_similarity(d.embedding::DOUBLE[],
+                                             q.embedding::DOUBLE[])) AS m
+           FROM d, q GROUP BY d.label, q.vec_id)
+SELECT CAST(label AS BIGINT) AS label
+FROM (SELECT label, SUM(m) AS score FROM s GROUP BY label)
+ORDER BY score DESC, label LIMIT 5
 """
 
 

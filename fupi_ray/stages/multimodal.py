@@ -67,6 +67,71 @@ class DecodeStub:
         return batch.append_column("feat_bytes", pa.array(sizes))
 
 
+class ResizeStub:
+    """Actor-pool resize stage (image thumbnailing shape): real codecs
+    absent, so the kernel is deterministic byte truncation to the
+    target budget — the Ray plumbing (actor pool, byte-bounded
+    batches, binary in/out) is the real pattern. Emits the "resized"
+    payload digest + sizes, never the decoded pixels."""
+
+    def __init__(self, target_bytes: int = 256, real: bool = False):
+        self.target = target_bytes
+        if real:
+            raise NotImplementedError(
+                "real resize requires an image codec; not in this environment"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        resized = [(p or b"")[: self.target] for p in payloads]
+        batch = batch.append_column(
+            "resized_sha256",
+            pa.array([hashlib.sha256(r).hexdigest() for r in resized], pa.string()),
+        )
+        return batch.append_column(
+            "resized_bytes", pa.array([len(r) for r in resized], pa.int64())
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sampling stage (video shape): flat-map one
+    binary payload row into up to ``max_frames`` frame rows, each a
+    ``frame_len``-byte slice every ``stride`` bytes. With a real codec
+    this is keyframe extraction; the slicing stand-in keeps the
+    explode-with-binary plumbing (schema, per-frame rows, byte-bounded
+    batches) real and oracle-checkable (sha256 per frame)."""
+
+    def __init__(self, frame_len: int = 32, stride: int = 64, max_frames: int = 8,
+                 id_col: str = "doc_id", real: bool = False):
+        self.frame_len, self.stride, self.max_frames = frame_len, stride, max_frames
+        self.id_col = id_col
+        if real:
+            raise NotImplementedError(
+                "real frame sampling requires a video codec; not in this environment"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        take_idx, frame_idx, digests = [], [], []
+        for i, p in enumerate(payloads):
+            p = p or b""
+            for j in range(self.max_frames):
+                start = j * self.stride
+                if start >= len(p):
+                    break
+                frame = p[start : start + self.frame_len]
+                take_idx.append(i)
+                frame_idx.append(j)
+                digests.append(hashlib.sha256(frame).hexdigest())
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col].take(pa.array(take_idx, pa.int64())),
+                "frame_idx": pa.array(frame_idx, pa.int64()),
+                "frame_sha256": pa.array(digests, pa.string()),
+            }
+        )
+
+
 def featurize_payloads(
     ds: ray.data.Dataset,
     batch_size: int = 64,
