@@ -36,6 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": q.q_hash_join,
         "anti_join": q.q_anti_join,
         "asof_join": q.q_asof_join,
+        "nation_revenue": q.q_nation_revenue,
+        "supplier_parts": q.q_supplier_parts,
         "string_agg_events": q.q_string_agg_events,
         "explode_sentences": q.q_explode_sentences,
         "segment_sentences": q.q_segment_sentences,
@@ -87,6 +89,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_join": q.SQL_HASH_JOIN,
         "anti_join": q.SQL_ANTI_JOIN,
         "asof_join": q.SQL_ASOF_JOIN,
+        "nation_revenue": q.SQL_NATION_REVENUE,
+        "supplier_parts": q.SQL_SUPPLIER_PARTS,
         "string_agg_events": q.SQL_STRING_AGG_EVENTS,
         "explode_sentences": q.SQL_EXPLODE_SENTENCES,
         "segment_sentences": q.SQL_SEGMENT_SENTENCES,

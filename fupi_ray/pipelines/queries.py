@@ -269,6 +269,116 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000
 """
 
 
+def q_nation_revenue(sf_dir: str):
+    """Multi-way join rollup (TPC-H Q5 shape): orders revenue by
+    nation within one region. The dimension chain region→nation→
+    customer is resolved by CHAINED BROADCAST probes (each side tiny,
+    ray.put once, searchsorted per batch — zero shuffles); only the
+    final groupby aggregates. The dataflow a 100 TB star-schema scan
+    should compile to."""
+    from fupi_ray.ops.join import broadcast_join, prepare_broadcast_side
+
+    region = read(sf_dir, "region").to_pandas()
+    nation = read(sf_dir, "nation").to_pandas()
+    asia = region.loc[region["r_name"] == "ASIA", "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(asia)][["n_nationkey", "n_name"]]
+    cust = read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    side_ref = prepare_broadcast_side(
+        cust[["c_custkey", "n_name"]], on="c_custkey", value_cols=["n_name"]
+    )
+
+    orders = read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "price_c": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    enriched = broadcast_join(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        side_ref,
+        on="c_custkey",
+        value_cols=["n_name"],
+        how="inner",
+    )
+    agg = enriched.groupby("n_name").aggregate(
+        Sum("price_c", alias_name="price_c"), Count(alias_name="n_orders")
+    )
+
+    def final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch["n_name"],
+                "revenue": pa.array(
+                    batch["price_c"].to_numpy(zero_copy_only=False) / 100.0
+                ),
+                "n_orders": pc.cast(batch["n_orders"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS DOUBLE)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+
+def q_supplier_parts(sf_dir: str):
+    """Supplier/part dimension coverage: distributed hash join of the
+    two remaining testdata tables keyed by a derived attribute
+    (suppliers paired to parts of their size class), then a grouped
+    count — exercises hash_join on a non-fk key with duplicates on
+    both sides."""
+    from fupi_ray.ops.join import hash_join
+
+    supp = read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    part = read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def supp_key(batch: pa.Table) -> pa.Table:
+        k = pc.cast(pc.bit_wise_and(batch["s_suppkey"], 7), pa.int64())
+        return pa.table({"size_class": k, "s_suppkey": batch["s_suppkey"]})
+
+    def part_key(batch: pa.Table) -> pa.Table:
+        k = pc.cast(pc.bit_wise_and(batch["p_size"], 7), pa.int64())
+        return pa.table({"size_class": k, "p_partkey": batch["p_partkey"]})
+
+    j = hash_join(
+        supp.map_batches(supp_key, batch_format="pyarrow"),
+        part.map_batches(part_key, batch_format="pyarrow"),
+        on="size_class",
+        num_buckets=8,
+    )
+    agg = j.groupby("size_class").aggregate(Count(alias_name="n_pairs"))
+    return agg.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("n_pairs"), "n_pairs", pc.cast(t["n_pairs"], pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SUPPLIER_PARTS = """
+SELECT s.s_suppkey % 8 AS size_class, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM supplier s JOIN part p ON s.s_suppkey % 8 = p.p_size % 8
+WHERE s.s_suppkey >= 0 AND p.p_size >= 0
+GROUP BY 1
+"""
+
+
 def q_string_agg_events(sf_dir: str):
     """A3 ordered string aggregation (fupi/utils.py:184-196): per-group
     order re-established INSIDE the group (Ray groupby does not
