@@ -18,7 +18,6 @@ The reference's retrieval is LanceDB ANN top-k
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -172,8 +171,6 @@ class FeatureHashEmbedder:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from fupi_ray.functions import textkernels as tk
-
         col = batch[self.text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
