@@ -15,6 +15,11 @@ real engine needs two shapes:
 
 Both keep the probe/build kernels fully vectorized (pyarrow join /
 numpy searchsorted) — no per-row Python.
+
+``hash_join`` was A/B-measured against Ray's native
+``Dataset.join`` (2.49 hash-shuffle): 2.2 s vs 4.4 s warm for
+orders⋈customer at sf0.1 / 32 CPUs — the groupby-bucket plan with a
+per-bucket Acero probe wins 2×, so it is the engine's join.
 """
 
 from __future__ import annotations
