@@ -411,3 +411,25 @@ def test_char_jaccard_scale_path_matches_fast_path():
     key = lambda df: sorted(zip(df["id_a"], df["id_b"]))  # noqa: E731
     assert key(fast) == key(slow)
     assert len(fast) > 0
+
+
+def test_asof_join_forward_direction():
+    from fupi_ray.ops.join import asof_join
+
+    left = pd.DataFrame(
+        {"k": np.array([1, 1, 2], dtype=np.int64),
+         "t": np.array([10, 50, 10], dtype=np.int64),
+         "lid": np.array([0, 1, 2], dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"k": np.array([1, 1, 2], dtype=np.int64),
+         "t": np.array([20, 60, 5], dtype=np.int64),
+         "rid": np.array([100, 101, 102], dtype=np.int64)}
+    )
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        by="k", on="t", direction="forward", num_buckets=2,
+    ).to_pandas()
+    # lid 0 (t=10) -> first right t>=10 for k=1 is t=20 (rid 100)
+    # lid 1 (t=50) -> t=60 (rid 101); lid 2 (k=2, t=10) -> none (t=5 < 10)
+    assert sorted(zip(got["lid"], got["rid"])) == [(0, 100), (1, 101)]
