@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_search": q.q_embed_search,
         "embedding_neardup": q.q_embedding_neardup,
         "char_jaccard": q.q_char_jaccard,
+        "dedup_families": q.q_dedup_families,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
         "ivf_topk": q.q_ivf_topk,
@@ -117,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "maxsim": q.SQL_MAXSIM,
         "embedding_neardup": q.SQL_EMBEDDING_NEARDUP,
         "char_jaccard": q.SQL_CHAR_JACCARD,
+        "dedup_families": q.SQL_DEDUP_FAMILIES,
         "lake_compact": lake.SQL_LAKE_COMPACT,
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,

@@ -1333,6 +1333,36 @@ WHERE jaccard(lower(a.text), lower(b.text)) >= 0.9
 """
 
 
+def q_dedup_families(sf_dir: str):
+    """Duplicate-family resolution: char-Jaccard near-dup pairs →
+    connected components, family_id = min doc_id per component — the
+    actionable keep/drop plan a dedup pass ends with. Oracle computes
+    the same components with a recursive min-label-propagation CTE."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text", "source", "lang"])
+    pairs = dd.char_jaccard_pairs(docs, threshold=0.9, id_col="doc_id")
+    return dd.resolve_duplicate_families(pairs)
+
+
+SQL_DEDUP_FAMILIES = """
+WITH RECURSIVE pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b
+    ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE jaccard(lower(a.text), lower(b.text)) >= 0.9
+), edges AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT id_a AS id FROM edges
+), walk(id, fam) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.id_a, w.fam FROM edges e JOIN walk w ON e.id_b = w.id
+  WHERE w.fam < e.id_a
+)
+SELECT id AS doc_id, MIN(fam) AS family_id FROM walk GROUP BY id
+"""
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates, Jaccard-verified ≥0.5.
     No SQL twin (permutation hashing) — driver rows-only check."""

@@ -921,6 +921,58 @@ def _expand_pairs_broadcast(
     )
 
 
+def resolve_duplicate_families(
+    pairs: ray.data.Dataset,
+    max_pairs: int = 10_000_000,
+) -> ray.data.Dataset:
+    """Near-dup pairs → duplicate FAMILIES: connected components with
+    ``family_id = min(doc_id in component)`` — the keep/drop decision
+    step that turns pair lists into an actionable dedup plan (keep the
+    family id, drop the rest).
+
+    The pair graph is output-linear by construction (every upstream
+    generator star-caps degenerate buckets), so union-find runs on the
+    driver over the collected edge list (``max_pairs`` guards the
+    assumption); the result is a tiny (doc_id, family_id) table.
+    """
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n > max_pairs:
+        raise ValueError(
+            f"{n} pairs exceed max_pairs={max_pairs}; raise the cap or "
+            "pre-shard the graph by component-stable keys"
+        )
+    rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    a = np.array([r["id_a"] for r in rows])
+    b = np.array([r["id_b"] for r in rows])
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(ea, eb):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            # union by smaller ORIGINAL id so the root IS the family min
+            if ids[rx] <= ids[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.array([find(int(i)) for i in range(len(ids))])
+    fam = ids[roots]
+    out = pa.table(
+        {"doc_id": pa.array(ids, from_pandas=True), "family_id": pa.array(fam, from_pandas=True)}
+    )
+    return ray.data.from_arrow(out)
+
+
 def _cap_members(
     mem: ray.data.Dataset, bc: list[str], cap: int, num_buckets: int
 ) -> ray.data.Dataset:

@@ -433,3 +433,23 @@ def test_asof_join_forward_direction():
     # lid 0 (t=10) -> first right t>=10 for k=1 is t=20 (rid 100)
     # lid 1 (t=50) -> t=60 (rid 101); lid 2 (k=2, t=10) -> none (t=5 < 10)
     assert sorted(zip(got["lid"], got["rid"])) == [(0, 100), (1, 101)]
+
+
+def test_resolve_duplicate_families_transitive():
+    from fupi_ray.stages.dedup import resolve_duplicate_families
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 10, 30], pa.int64()),
+            "id_b": pa.array([2, 3, 11, 31], pa.int64()),
+        }
+    )
+    out = (
+        resolve_duplicate_families(ray.data.from_arrow(pairs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    fam = dict(zip(out["doc_id"], out["family_id"]))
+    # transitivity: 1-2 and 2-3 merge into family 1
+    assert fam == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30}
