@@ -25,6 +25,34 @@ def _combined(arr) -> pa.Array:
     return arr
 
 
+def string_byte_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy ``(offsets int64 (n+1,), bytes uint8)`` view of a
+    string/large_string Array's value buffer.
+
+    Branches on the physical offset width (string = int32,
+    large_string = int64 — Arrow promotes when a block exceeds 2 GiB)
+    and asserts the buffer width matches, so a silent garbage-offset
+    read is impossible (ADVICE r2: hardcoded ``.view(np.int32)``).
+    """
+    arr = _combined(arr)
+    n = len(arr)
+    if pa.types.is_large_string(arr.type):
+        width, odt = 8, np.int64
+    elif pa.types.is_string(arr.type):
+        width, odt = 4, np.int32
+    else:
+        raise TypeError(f"expected string/large_string, got {arr.type}")
+    buf = arr.buffers()[1]
+    if len(buf) < (arr.offset + n + 1) * width:
+        raise AssertionError(
+            f"offset buffer too small for {arr.type}: {len(buf)} bytes, "
+            f"need {(arr.offset + n + 1) * width}"
+        )
+    offsets = np.frombuffer(buf, dtype=odt)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return offsets.astype(np.int64), data
+
+
 def flat_words(
     texts, split_pattern: str = r"[^a-z0-9_]+"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -179,12 +207,9 @@ def charset_bitmask(texts) -> tuple[np.ndarray, np.ndarray]:
     arr = _combined(texts)
     n = len(arr)
     lower = _combined(pc.utf8_lower(pc.fill_null(arr, "")))
-    offsets = np.asarray(lower.buffers()[1], dtype=np.uint8).view(np.int32)[
-        lower.offset : lower.offset + n + 1
-    ]
-    data = np.frombuffer(lower.buffers()[2], dtype=np.uint8)
+    offsets, data = string_byte_view(lower)
     codes = data[offsets[0] : offsets[-1]]
-    lengths = np.diff(offsets.astype(np.int64))
+    lengths = np.diff(offsets)
     doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
     # unique (doc, byte) pairs via one combined-key unique
     key = (doc_idx.astype(np.uint64) << np.uint64(8)) | codes.astype(np.uint64)
@@ -220,12 +245,9 @@ def rolling_min_hashes(texts, k: int, pows: np.ndarray) -> np.ndarray:
     arr = _combined(texts)
     n = len(arr)
     lower = _combined(pc.utf8_lower(pc.fill_null(arr, "")))
-    offsets = np.asarray(lower.buffers()[1], dtype=np.uint8).view(np.int32)[
-        lower.offset : lower.offset + n + 1
-    ]
-    data = np.frombuffer(lower.buffers()[2], dtype=np.uint8)
+    offsets, data = string_byte_view(lower)
     codes = data[offsets[0] : offsets[-1]].astype(np.uint64)
-    lengths = np.diff(offsets.astype(np.int64))
+    lengths = np.diff(offsets)
     starts = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=starts[1:])
     doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)

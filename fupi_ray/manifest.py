@@ -47,6 +47,12 @@ class FragmentMeta:
     # know which declared columns a pre-evolution fragment lacks
     # without a footer read); None for metas recorded before this field
     cols: list[str] | None = None
+    # field ids of the physical columns at the commit that introduced
+    # this fragment (name -> manifest column id). Iceberg-style: a
+    # dropped-then-re-added column gets a NEW id, so scans don't
+    # resurrect the stale physical values from pre-drop fragments.
+    # None for metas recorded before this field (name-based fallback).
+    col_ids: dict[str, int] | None = None
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -60,7 +66,19 @@ class FragmentMeta:
             sum_n_tok=int(d.get("sum_n_tok", 0)),
             zone_map=d.get("zone_map", {}),
             cols=d.get("cols"),
+            col_ids=d.get("col_ids"),
         )
+
+    def has_column(self, name: str, manifest_ids: dict[str, int]) -> bool:
+        """Does this fragment physically carry the CURRENT incarnation
+        of declared column ``name``? Id-aware when both sides have ids;
+        name-based for legacy metas; True (conservative: a footer read
+        will settle it) when the meta predates the ``cols`` field."""
+        if self.col_ids is not None and name in manifest_ids:
+            return self.col_ids.get(name) == manifest_ids[name]
+        if self.cols is not None:
+            return name in self.cols
+        return True
 
 
 @dataclass
@@ -76,6 +94,11 @@ class Manifest:
     # schema-evolution fill values: column -> scalar used when a
     # fragment written before the column existed is scanned
     column_defaults: dict[str, Any] = field(default_factory=dict)
+    # Iceberg-style field ids: declared column name -> stable id.
+    # A re-added name gets a fresh id (never reused), so fragments
+    # written before the drop don't satisfy the new column by name.
+    column_ids: dict[str, int] = field(default_factory=dict)
+    next_column_id: int = 0
 
     @property
     def total_rows(self) -> int:
@@ -100,6 +123,8 @@ class Manifest:
             "properties": self.properties,
             "created_unix": self.created_unix,
             "column_defaults": self.column_defaults,
+            "column_ids": self.column_ids,
+            "next_column_id": self.next_column_id,
         }
         return json.dumps(d, indent=1, default=str)
 
@@ -116,6 +141,8 @@ class Manifest:
             properties=d.get("properties", {}),
             created_unix=d.get("created_unix", 0.0),
             column_defaults=d.get("column_defaults", {}),
+            column_ids=d.get("column_ids", {}),
+            next_column_id=d.get("next_column_id", 0),
         )
 
 

@@ -46,9 +46,12 @@ def add_column(
         [(n, mf.type_from_str(t)) for n, t in zip(m.schema_names, m.schema_types)]
         + [(name, typ)]
     )
+    # record the column even with default=None: presence in
+    # column_defaults is what marks it EVOLUTION-ADDED — only such
+    # columns may be null/default-padded when a MERGE source lacks
+    # them; a source missing a core column must still raise
     defaults = dict(m.column_defaults)
-    if default is not None:
-        defaults[name] = default
+    defaults[name] = default
     return table.commit_fragment_swap(
         set(),
         [],

@@ -284,9 +284,14 @@ def asof_join(
         # arrival order); frame stays sorted by `on` for merge_asof
         rt = rt.sort_values([on] + rpay_out, kind="mergesort")
         rt = rt.drop_duplicates(subset=[by, on], keep="last")
+        # explicit match marker: a payload column can be legitimately
+        # null on a matched row (and the right side may have no payload
+        # at all), so inner-match detection must not read payloads
+        rt["__asof_matched"] = np.int8(1)
         out = pd.merge_asof(lt, rt, on=on, by=by, direction=direction)
-        if how == "inner" and rpay_out:
-            out = out[out[rpay_out[0]].notna()]
+        if how == "inner":
+            out = out[out["__asof_matched"].notna()]
+        out = out.drop(columns=["__asof_matched"])
         # restore right payload dtypes (merge_asof floats them when any
         # left row was unmatched)
         for orig, c in zip(rpayload, rpay_out):
@@ -324,10 +329,16 @@ def broadcast_join(
         def __call__(self, batch: pa.Table) -> pa.Table:
             probe = batch[on].to_numpy(zero_copy_only=False)
             if len(self.keys) == 0:
-                hit = np.zeros(len(probe), dtype=bool)
-                idx_c = np.zeros(len(probe), dtype=np.int64)
                 if how == "inner":
                     return batch.slice(0, 0)
+                # left join vs an empty small side: every value column
+                # is all-null (fancy-indexing the empty vals arrays
+                # would raise IndexError)
+                for c in value_cols:
+                    dt = self.vals[c].dtype
+                    typ = pa.string() if dt.kind in ("O", "U") else pa.from_numpy_dtype(dt)
+                    batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
+                return batch
             else:
                 idx = np.searchsorted(self.keys, probe)
                 idx_c = np.clip(idx, 0, len(self.keys) - 1)

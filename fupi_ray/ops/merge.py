@@ -329,13 +329,17 @@ def merge_into(
 
     # the TABLE's schema (not the canonical default) governs every
     # projection below: user tables with extra columns round-trip.
-    # fill_missing lets a source written before an add-column merge
-    # cleanly (padded with the column default / null); the key column
-    # is deliberately NOT fillable.
+    # fill_missing covers ONLY evolution-added columns (those recorded
+    # in column_defaults by add_column): a source written before an
+    # add-column merges cleanly (padded with the default / null), but
+    # a source missing a CORE column still trips normalize_batch's
+    # missing-column guard instead of being silently null-padded.
     tbl_schema = table.schema(parent)
     _defaults = table.manifest(parent).column_defaults
     fill_missing = {
-        n: _defaults.get(n) for n in tbl_schema.names if n != "doc_id"
+        n: _defaults.get(n)
+        for n in tbl_schema.names
+        if n != "doc_id" and n in _defaults
     }
 
     # Pack the source-side fragments to target size instead of one tiny

@@ -180,12 +180,11 @@ class FeatureHashEmbedder:
         if isinstance(lower, pa.ChunkedArray):
             lower = lower.combine_chunks()
         n = batch.num_rows
-        offsets = np.asarray(lower.buffers()[1], dtype=np.uint8).view(np.int32)[
-            lower.offset : lower.offset + n + 1
-        ]
-        data = np.frombuffer(lower.buffers()[2], dtype=np.uint8)
+        from fupi_ray.functions.textkernels import string_byte_view
+
+        offsets, data = string_byte_view(lower)
         codes = data[offsets[0] : offsets[-1]].astype(np.uint64)
-        lengths = np.diff(offsets.astype(np.int64))
+        lengths = np.diff(offsets)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
         M = np.zeros((n, self.dim), dtype=np.float64)
         L = len(codes)

@@ -214,7 +214,17 @@ class Table:
         m = self.manifest(version)
         frags = m.fragments
         if predicate:
-            frags = [f for f in frags if mf.fragment_may_match(f, predicate)]
+            # zone-map prune — but a fragment whose physical incarnation
+            # of a predicate column is stale (dropped + re-added name:
+            # field-id mismatch) must not be pruned by that column's
+            # stale stats; its rows carry the new default instead
+            frags = [
+                f
+                for f in frags
+                if mf.fragment_may_match(
+                    f, [p for p in predicate if f.has_column(p[0], m.column_ids)]
+                )
+            ]
         if not frags:
             schema = self.schema(version)
             if columns:
@@ -225,20 +235,26 @@ class Table:
         read_cols = list(columns) if columns is not None else (
             list(declared.names) if declared is not None else None
         )
+        pred_cols = sorted({c for c, _, _ in predicate}) if predicate else []
 
-        # schema evolution: partition fragments by which requested
-        # columns their FILE is missing (per-fragment `cols` from the
-        # manifest; footer read only for pre-evolution metas)
+        # schema evolution: partition fragments by which needed columns
+        # (requested + predicate) their FILE is missing or stale — per
+        # fragment `col_ids`/`cols` from the manifest; footer read only
+        # for pre-evolution metas. A stale column (re-added name, old
+        # field id) counts as missing so its old values are never read.
         groups: dict[frozenset, list[str]] = {}
         if declared is not None and read_cols is not None:
-            need = set(read_cols) & set(declared.names)
+            need = (set(read_cols) | set(pred_cols)) & set(declared.names)
             for f in frags:
-                cols = f.cols
-                if cols is None:
-                    cols = list(
+                if f.cols is None and f.col_ids is None:
+                    have = set(
                         pq.read_schema(os.path.join(self.table_dir, f.path)).names
                     )
-                missing = frozenset(need - set(cols))
+                    missing = frozenset(need - have)
+                else:
+                    missing = frozenset(
+                        c for c in need if not f.has_column(c, m.column_ids)
+                    )
                 groups.setdefault(missing, []).append(
                     os.path.join(self.table_dir, f.path)
                 )
@@ -247,9 +263,22 @@ class Table:
 
         def build(paths: list[str], missing: frozenset) -> ray.data.Dataset:
             kwargs: dict[str, Any] = dict(read_kwargs)
-            if read_cols is not None:
-                kwargs["columns"] = [c for c in read_cols if c not in missing]
             pushdown = predicate and not any(c in missing for c, _, _ in predicate)
+            # predicate columns the pad/mask step needs that weren't
+            # requested: read them (when present) so the mask can be
+            # evaluated in-memory, then drop them from the output
+            mask_cols: list[str] = []
+            if predicate and not pushdown:
+                mask_cols = [
+                    c
+                    for c in pred_cols
+                    if c not in set(read_cols or []) and declared is not None
+                    and c in declared.names
+                ]
+            if read_cols is not None:
+                kwargs["columns"] = [
+                    c for c in read_cols + mask_cols if c not in missing
+                ]
             if pushdown:
                 kwargs["filter"] = mf.predicate_to_arrow(predicate)
             if "override_num_blocks" not in kwargs:
@@ -267,7 +296,8 @@ class Table:
             if missing:
                 defaults = dict(m.column_defaults)
                 fields = [
-                    (c, declared.field(c).type, defaults.get(c)) for c in read_cols
+                    (c, declared.field(c).type, defaults.get(c))
+                    for c in read_cols + mask_cols
                 ]
                 pred = list(predicate) if (predicate and not pushdown) else None
 
@@ -285,7 +315,7 @@ class Table:
                     out = pa.table(cols_out)
                     if pred:
                         out = out.filter(mf.predicate_mask(out, pred))
-                    return out
+                    return out.select(read_cols) if mask_cols else out
 
                 ds = ds.map_batches(pad, batch_format="pyarrow")
             return ds
@@ -310,6 +340,23 @@ class Table:
         names, types, defaults = self._next_schema(operation, fragments, schema_override)
         if column_defaults is not None:
             defaults = column_defaults
+        # Iceberg-style field ids: carry the parent's ids for surviving
+        # names, retire dropped ones, mint fresh ids for new names (a
+        # re-added name therefore gets a NEW id and pre-drop fragments
+        # no longer satisfy it by name).
+        ids: dict[str, int] = {}
+        next_id = 0
+        if mf.read_latest_version(self.table_dir) is not None:
+            pm = self.manifest()
+            ids = {n: i for n, i in pm.column_ids.items() if n in names}
+            next_id = max([pm.next_column_id] + [i + 1 for i in pm.column_ids.values()])
+        for n in names:
+            if n not in ids:
+                ids[n] = next_id
+                next_id += 1
+        for f in fragments:
+            if f.col_ids is None and f.cols is not None:
+                f.col_ids = {c: ids[c] for c in f.cols if c in ids}
         m = Manifest(
             version=-1,
             parent_version=None,
@@ -319,6 +366,8 @@ class Table:
             fragments=fragments,
             properties=properties or {},
             column_defaults=defaults,
+            column_ids=ids,
+            next_column_id=next_id,
         )
         return commit_mod.commit(self.table_dir, m, expected_parent)
 
