@@ -58,6 +58,12 @@ class EngineConfig:
     # buckets made a 150k-row dedup cost 9x the fragment rewrite).
     merge_num_buckets: int = 8
 
+    # Enrichment joins: a dimension side at most this big (measured
+    # column-pruned Arrow bytes) is broadcast via ray.put; above it
+    # ops/join.enrich_join falls back to the distributed hash_join so
+    # an oversized "small" side can never blow the driver heap.
+    broadcast_max_bytes: int = 256 * 1024 * 1024
+
     # Snapshot expiry: keep at least this many trailing versions.
     expire_keep_last: int = 2
 

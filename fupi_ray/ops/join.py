@@ -91,6 +91,8 @@ def hash_join(
     num_buckets: int = 64,
     left_suffix: str = "",
     right_suffix: str = "_r",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> ray.data.Dataset:
     """Hash-shuffle equi-join of two Datasets.
 
@@ -101,6 +103,12 @@ def hash_join(
 
     Key columns keep the LEFT names in the output (SQL USING
     semantics). Same-named non-key columns get ``right_suffix``.
+
+    ``left_schema`` / ``right_schema``: pass the side's schema when it
+    is statically known to skip ``Dataset.schema()`` — on a LAZY input
+    that call executes the upstream pipeline just for metadata, which
+    turns chained joins (e.g. connected-components rounds) into
+    quadratic re-execution or forces a materialize barrier per hop.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
@@ -110,8 +118,8 @@ def hash_join(
         raise ValueError(f"how={how!r}; expected one of {sorted(_JOIN_TYPES)}")
     join_type = _JOIN_TYPES[how]
 
-    lschema = _arrow_schema(left)
-    rschema = _arrow_schema(right)
+    lschema = left_schema if left_schema is not None else _arrow_schema(left)
+    rschema = right_schema if right_schema is not None else _arrow_schema(right)
     lschema, rschema = _reconcile_key_types(lschema, rschema, on, right_on)
     lcols = list(lschema.names)
     rcols = list(rschema.names)
@@ -368,3 +376,57 @@ def prepare_broadcast_side(df, on: str, value_cols: list[str]):
     for c in value_cols:
         payload[c] = df[c].to_numpy()
     return ray.put(payload)
+
+
+def enrich_join(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    on: str,
+    value_cols: list[str],
+    right_on: str | None = None,
+    how: str = "inner",
+    broadcast_max_bytes: int | None = None,
+    num_buckets: int = 64,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Size-guarded enrichment join: broadcast when the small side fits
+    a byte budget, hash-shuffle join otherwise.
+
+    The broadcast plan (``prepare_broadcast_side`` + ``broadcast_join``)
+    is the right call for dimension tables — but an UNCONDITIONAL
+    ``.to_pandas()`` of the "small" side is a driver-heap time bomb at
+    100×. This wrapper measures the (materialized, column-pruned) small
+    side with ``size_bytes()`` and only collects it when it is under
+    ``broadcast_max_bytes`` (default ``EngineConfig.broadcast_max_bytes``);
+    above the budget it falls back to :func:`hash_join` — same output
+    columns (key keeps the LEFT name, value columns appended), one
+    bucket exchange per side, nothing on the driver. Mirrors the
+    strategy dispatch MERGE already does (``merge_broadcast_max_keys``).
+
+    Contract: ``small`` must be unique on ``right_on`` (an enrichment
+    dimension) — the broadcast probe is a searchsorted lookup and keeps
+    exactly one match per key. Row ORDER of the output differs between
+    the two plans (broadcast preserves the big side's order, hash_join
+    shuffles); callers must not rely on it.
+    """
+    right_on = on if right_on is None else right_on
+    if broadcast_max_bytes is None:
+        from fupi_ray.config import DEFAULT_CONFIG
+
+        broadcast_max_bytes = DEFAULT_CONFIG.broadcast_max_bytes
+    # materialize the pruned small side ONCE into the object store (not
+    # driver heap): size_bytes() is then exact and free, and whichever
+    # plan wins reads the same blocks instead of re-executing upstream
+    small = small.select_columns([right_on] + list(value_cols)).materialize()
+    if small.size_bytes() <= broadcast_max_bytes:
+        df = small.to_pandas()
+        if right_on != on:
+            df = df.rename(columns={right_on: on})
+        ref = prepare_broadcast_side(df, on=on, value_cols=list(value_cols))
+        return broadcast_join(
+            big, ref, on=on, value_cols=list(value_cols), how=how,
+            concurrency=concurrency,
+        )
+    return hash_join(
+        big, small, on=on, right_on=right_on, how=how, num_buckets=num_buckets
+    )

@@ -278,22 +278,44 @@ def build_ivf_table(
     )
     from fupi_ray.manifest import FragmentMeta
 
-    frags = [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows]
-    t.commit_fragment_swap(set(), frags, operation="ivf-build", properties={
+    version = t.commit_fragment_swap(set(), frags := [
+        FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows
+    ], operation="ivf-build", properties={
         "n_centroids": int(len(index.centroids)),
+        # the manifest references its index artifact so maintenance ops
+        # (and readers) can tell whether the sidecar is current
+        "ivf_index": {"path": "index/ivf.json"},
     })
     ip = _index_path(table_dir)
     os.makedirs(os.path.dirname(ip), exist_ok=True)
     with open(ip, "w") as f:
-        json.dump({"centroids": index.centroids.tolist()}, f)
+        # table_version pins the snapshot whose bucket layout the
+        # centroid sidecar describes; any later commit (merge, compact,
+        # overwrite) invalidates it (fupi delegates this to Lance's
+        # versioned index storage, fupi/utils.py:149-161 — here the
+        # sidecar carries its own version stamp)
+        json.dump(
+            {"centroids": index.centroids.tolist(), "table_version": int(version)},
+            f,
+        )
     return t, index
 
 
-def load_ivf_index(table_dir: str) -> IvfIndex:
+class StaleIvfIndexError(RuntimeError):
+    """The persisted IVF sidecar was built against an older table
+    version: a commit since then (merge/compact/overwrite) may have
+    changed the bucket layout, so probing with the stale centroids
+    could silently miss rows. Rebuild with ``build_ivf_table``."""
+
+
+def load_ivf_index(table_dir: str) -> tuple[IvfIndex, int | None]:
     import json
 
     with open(_index_path(table_dir)) as f:
-        return IvfIndex(np.asarray(json.load(f)["centroids"], dtype=np.float64))
+        d = json.load(f)
+    idx = IvfIndex(np.asarray(d["centroids"], dtype=np.float64))
+    v = d.get("table_version")
+    return idx, (int(v) if v is not None else None)
 
 
 def topk_ivf_persisted(
@@ -303,12 +325,25 @@ def topk_ivf_persisted(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_stale: bool = False,
 ) -> ray.data.Dataset:
     """Query a persisted IVF table: pick the ``nprobe`` nearest buckets
     from the stored centroids, scan ONLY their fragments (zone-map
     prune on the ``bucket`` column — no full-table pass, unlike the
-    ephemeral ``topk_ivf``), then exact top-k inside them."""
-    index = load_ivf_index(table.table_dir)
+    ephemeral ``topk_ivf``), then exact top-k inside them.
+
+    Staleness gate: the sidecar records the table version it was built
+    at; if the table has committed past it the query REFUSES
+    (``StaleIvfIndexError``) rather than silently probing a layout the
+    centroids no longer describe — pass ``allow_stale=True`` only for
+    diagnostics."""
+    index, built_at = load_ivf_index(table.table_dir)
+    current = table.latest_version()
+    if not allow_stale and built_at is not None and current != built_at:
+        raise StaleIvfIndexError(
+            f"IVF index built at table version {built_at}, table is now at "
+            f"{current}; rebuild with build_ivf_table() or pass allow_stale=True"
+        )
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     probes = [int(b) for b in np.argsort(-(index.centroids @ qn))[:nprobe]]

@@ -271,7 +271,8 @@ def test_ivf_persisted_prunes_to_nprobe_fragments(tmp_path):
     )
     # probes scan exactly nprobe fragments
     q = vecs[0]
-    idx = load_ivf_index(tdir)
+    idx, built_at = load_ivf_index(tdir)
+    assert built_at == t.latest_version()
     qn = q / np.linalg.norm(q)
     probes = [int(b) for b in np.argsort(-(idx.centroids @ qn))[:2]]
     assert len(t.fragment_paths(predicate=[("bucket", "in", probes)])) == 2
