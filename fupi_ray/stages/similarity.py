@@ -164,8 +164,28 @@ class FeatureHashEmbedder:
     buffer (functions/textkernels machinery), one ``np.add.at``
     scatter per batch — no per-document Python."""
 
-    def __init__(self, text_col: str = "text", dim: int = 64, k: int = 3, base: int = 257):
+    def __init__(
+        self,
+        text_col: str = "text",
+        dim: int = 64,
+        k: int = 3,
+        base: int = 257,
+        model_path: str | None = None,
+    ):
+        """``model_path``: probe for onnxruntime ONCE per actor and
+        build an ``InferenceSession`` when both the package and the
+        model file are present (the reference's load-once contract,
+        fupi/embedders.py:35-63 / fupi/utils.py:83-105); without them
+        the deterministic feature-hashing kernel runs instead."""
         self.text_col, self.dim, self.k = text_col, dim, k
+        self.session = None
+        if model_path is not None:
+            try:
+                import onnxruntime  # not in this container
+
+                self.session = onnxruntime.InferenceSession(model_path)
+            except ImportError:
+                pass
         self.pows = np.array(
             [pow(base, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
         )

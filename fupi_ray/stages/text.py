@@ -136,17 +136,45 @@ class TranslateStub:
     "translation"); the Ray shape — lazy heavy init in ``__init__``,
     batched ``generate`` in ``__call__`` — is the real pattern."""
 
-    def __init__(self, src_lang: str = "xx", tgt_lang: str = "en", real: bool = False):
+    def __init__(
+        self,
+        src_lang: str = "xx",
+        tgt_lang: str = "en",
+        real: bool | str = False,
+        model_dir: str | None = None,
+    ):
+        """``real='auto'``: probe for ctranslate2 ONCE per actor and
+        load the model when both the package and ``model_dir`` are
+        present (the reference's lazy load-once contract,
+        searcher.py:112-135); otherwise fall back to the deterministic
+        stub. ``real=True`` requires the backend (raises without it);
+        ``real=False`` (default) always runs the stub so oracle
+        results stay reproducible in this container."""
         self.src, self.tgt = src_lang, tgt_lang
+        self.translator = None
         if real:
-            raise NotImplementedError(
-                "real translation requires ctranslate2; not in this environment"
-            )
+            try:
+                import ctranslate2  # not in this container
+
+                if model_dir is not None:
+                    self.translator = ctranslate2.Translator(model_dir)
+            except ImportError:
+                if real is True:
+                    raise NotImplementedError(
+                        "real translation requires ctranslate2; not in this "
+                        "environment — run with real='auto' or False"
+                    )
         self.word_re = re.compile(r"\S+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        out = [" ".join(reversed(self.word_re.findall(t or ""))) for t in texts]
+        if self.translator is not None:
+            res = self.translator.translate_batch(
+                [[w] for w in texts], target_prefix=[[self.tgt]] * len(texts)
+            )
+            out = [" ".join(r.hypotheses[0]) for r in res]
+        else:
+            out = [" ".join(reversed(self.word_re.findall(t or ""))) for t in texts]
         return batch.append_column("translated", pa.array(out, pa.string()))
 
 
