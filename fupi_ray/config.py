@@ -40,8 +40,15 @@ class EngineConfig:
     # Grouped clustering: cluster fragment groups of ~this many bytes
     # independently (each group = one bounded sort job + one lineage
     # record → resumable, and no single 100 TB global exchange).
-    # None = one global sort (small tables / strict total order).
-    cluster_group_bytes: int | None = None
+    # "auto" (default) = groups of ``cluster_auto_group_bytes``; a
+    # table smaller than one group budget still compiles to a single
+    # global sort, so small tables keep strict total curve order while
+    # the 100 TB path can never become one all-to-all exchange.
+    # None = force one global sort regardless of size (strict order).
+    cluster_group_bytes: int | str | None = "auto"
+    # Group byte budget used by the "auto" mode. 64 GiB ≈ 256 fragments
+    # at the 256 MiB target: one bounded sort job per group.
+    cluster_auto_group_bytes: int = 64 * 1024 * 1024 * 1024
     # Grouped clustering: how many group sort jobs run concurrently
     # (each is an independent bounded Dataset pipeline; overlapping
     # them keeps the cluster busy while one group's write drains).

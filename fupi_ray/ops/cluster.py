@@ -210,7 +210,7 @@ def cluster(
     curve: str = "zorder",
     version: int | None = None,
     job_id: str | None = None,
-    group_bytes: int | None = None,
+    group_bytes: int | str | None = "auto",
 ) -> int:
     """Rewrite the table clustered by the interleaved key; new version.
 
@@ -221,8 +221,12 @@ def cluster(
     completed groups, and no exchange ever spans more than one group
     (at 10^12-sequence scale a single global sort would be one 100 TB
     all-to-all; grouped clustering is how OPTIMIZE/Z-order works in
-    production lakehouses). ``group_bytes=None`` with no config default
-    keeps the single global sort (total curve order).
+    production lakehouses). The default ``"auto"`` resolves through
+    ``EngineConfig``: groups of ``cluster_auto_group_bytes`` (64 GiB),
+    which still compiles a smaller-than-one-group table to a single
+    global sort. Pass ``group_bytes=None`` (or set the config field to
+    None) to force the single global sort — strict total curve order —
+    at any size.
     """
     import time
 
@@ -244,8 +248,10 @@ def cluster(
     enc_ref = ray.put(_column_stats(table, parent))
     mark("stats")
 
-    if group_bytes is None:
+    if group_bytes == "auto":
         group_bytes = cfg.cluster_group_bytes
+    if group_bytes == "auto":
+        group_bytes = cfg.cluster_auto_group_bytes
     groups = _plan_groups(m.fragments, group_bytes)
 
     import os
