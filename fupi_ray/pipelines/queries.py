@@ -466,18 +466,36 @@ def q_segment_sentences(sf_dir: str):
 
 _SEG_SQL_ABBREV = r"\b(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Inc|Jr|Sr|No|Fig|approx)\."
 
-SQL_SEGMENT_SENTENCES = rf"""
-WITH p AS (
-  SELECT doc_id,
-    replace(
+# The paren-protection passes (×2, mirroring text._SEG_PAREN_PASSES)
+# neutralize up to two interior terminators of each kind per
+# parenthetical; chr(2)/chr(3)/chr(4) stand in for . ! ? exactly as in
+# stages/text.segment_sentences.
+_SEG_SQL_PAREN_PASS = r"""
       regexp_replace(
+        regexp_replace(
+          regexp_replace({inner},
+            '\(([^()]*)\.([^()]+)\)', '(\1' || chr(2) || '\2)', 'g'),
+          '\(([^()]*)!([^()]+)\)', '(\1' || chr(3) || '\2)', 'g'),
+        '\(([^()]*)\?([^()]+)\)', '(\1' || chr(4) || '\2)', 'g')
+"""
+
+_SEG_SQL_PROTECTED = r"""
         regexp_replace(
           regexp_replace(
             regexp_replace(text, '(\d)\.(\d)', '\1' || chr(2) || '\2', 'g'),
-            '{_SEG_SQL_ABBREV}', '\1' || chr(2), 'g'),
-          '\b([A-Z])\.', '\1' || chr(2), 'g'),
-        '([.!?])\s+', '\1' || chr(1), 'g'),
-      chr(2), '.') AS s
+            '{abbrev}', '\1' || chr(2), 'g'),
+          '\b([A-Z])\.', '\1' || chr(2), 'g')
+""".format(abbrev=_SEG_SQL_ABBREV)
+for _ in range(2):
+    _SEG_SQL_PROTECTED = _SEG_SQL_PAREN_PASS.format(inner=_SEG_SQL_PROTECTED)
+
+SQL_SEGMENT_SENTENCES = rf"""
+WITH p AS (
+  SELECT doc_id,
+    replace(replace(replace(
+      regexp_replace({_SEG_SQL_PROTECTED},
+        '([.!?]["'')\]]*)\s+', '\1' || chr(1), 'g'),
+      chr(2), '.'), chr(3), '!'), chr(4), '?') AS s
   FROM documents)
 SELECT doc_id, CAST(i AS BIGINT) AS sentence_id, parts[i] AS sentence
 FROM (SELECT doc_id, string_split(s, chr(1)) parts FROM p),

@@ -189,17 +189,31 @@ class TranslateStub:
 
 _SEG_PROTECT = "\x02"  # stands in for a non-boundary '.'
 _SEG_BREAK = "\x01"  # inserted sentence separator
+_SEG_PROTECT_BANG = "\x03"  # non-boundary '!'
+_SEG_PROTECT_QM = "\x04"  # non-boundary '?'
 _SEG_ABBREVS = r"(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Inc|Jr|Sr|No|Fig|approx)"
+# Closing quotes/parens that stay attached to the sentence terminator
+# (pysbd "boundary after closing punctuation" rule).
+_SEG_CLOSERS = "[\"')\\]]"
+# Passes of the parenthetical protection: each pass neutralizes one
+# terminator of each kind per (...) group, so N passes handle up to N
+# interior terminators per parenthetical — bounded, vectorized, and
+# reproducible in SQL (full paired-delimiter parsing is not).
+_SEG_PAREN_PASSES = 2
 
 
 def segment_sentences(batch: pa.Table, text_col: str = "text", min_chars: int = 4) -> pa.Table:
     """Explode docs into sentences with linguistic boundary rules.
 
-    Protect decimals (``3.14``), common abbreviations (``Dr.``) and
-    single-capital initials (``J.``); break after ``[.!?]`` runs
-    followed by whitespace (terminator kept with its sentence); restore
-    protected dots. Emits ``(row order of input) × (sentence_id,
-    sentence)`` keeping all other columns of the doc row.
+    Protect decimals (``3.14``), common abbreviations (``Dr.``),
+    single-capital initials (``J.``) and terminators INSIDE a
+    parenthetical (``(see fig. 3! below)`` does not break — unless the
+    terminator is the parenthetical's last char, so a standalone
+    ``(He left.)`` still ends a sentence); break after ``[.!?]`` runs
+    and any closing quotes/parens glued to them (``he said." Next`` —
+    the quote stays with its sentence); restore protected marks.
+    Emits ``(row order of input) × (sentence_id, sentence)`` keeping
+    all other columns of the doc row.
     """
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
@@ -208,8 +222,20 @@ def segment_sentences(batch: pa.Table, text_col: str = "text", min_chars: int = 
     s = pc.replace_substring_regex(s, r"(\d)\.(\d)", rf"\1{_SEG_PROTECT}\2")
     s = pc.replace_substring_regex(s, rf"\b{_SEG_ABBREVS}\.", rf"\1{_SEG_PROTECT}")
     s = pc.replace_substring_regex(s, r"\b([A-Z])\.", rf"\1{_SEG_PROTECT}")
-    s = pc.replace_substring_regex(s, r"([.!?])\s+", f"\\1{_SEG_BREAK}")
+    for _ in range(_SEG_PAREN_PASSES):
+        s = pc.replace_substring_regex(
+            s, r"\(([^()]*)\.([^()]+)\)", rf"(\1{_SEG_PROTECT}\2)"
+        )
+        s = pc.replace_substring_regex(
+            s, r"\(([^()]*)!([^()]+)\)", rf"(\1{_SEG_PROTECT_BANG}\2)"
+        )
+        s = pc.replace_substring_regex(
+            s, r"\(([^()]*)\?([^()]+)\)", rf"(\1{_SEG_PROTECT_QM}\2)"
+        )
+    s = pc.replace_substring_regex(s, rf"([.!?]{_SEG_CLOSERS}*)\s+", f"\\1{_SEG_BREAK}")
     s = pc.replace_substring(s, _SEG_PROTECT, ".")
+    s = pc.replace_substring(s, _SEG_PROTECT_BANG, "!")
+    s = pc.replace_substring(s, _SEG_PROTECT_QM, "?")
     lst = pc.split_pattern(s, _SEG_BREAK)
     if isinstance(lst, pa.ChunkedArray):
         lst = lst.combine_chunks()

@@ -405,3 +405,78 @@ def test_enrich_join_fallback_matches_broadcast():
     pd.testing.assert_frame_equal(bc, hj)
     assert set(bc["k"]) == {1, 2, 3, 5}
     assert len(bc) == 5  # duplicate big-side key keeps both rows
+
+
+# -- Round-3 judge item #9: quote/paren-aware segmentation tier ------------
+
+
+def test_segment_sentences_quotes_parens():
+    from fupi_ray.stages.text import segment_sentences
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                # closing quote stays glued to its sentence terminator
+                'He said "stop now." Then he left. "Why?" she asked.',
+                # interior terminators inside a parenthetical never break;
+                # a terminator that closes the parenthetical still does
+                "Results improved (see fig. 3! below) overall. (He left.) Done now.",
+                "Nested close after bracket.] Next one.",
+            ],
+        }
+    )
+    out = segment_sentences(batch, "text").to_pydict()
+    assert out["sentence"] == [
+        'He said "stop now."',
+        "Then he left.",
+        '"Why?"',
+        "she asked.",
+        "Results improved (see fig. 3! below) overall.",
+        "(He left.)",
+        "Done now.",
+        "Nested close after bracket.]",
+        "Next one.",
+    ]
+
+
+def test_segment_sentences_sql_twin_on_adversarial_text():
+    """The duckdb SQL twin must reproduce the engine chain byte-for-byte
+    on text that exercises every new rule (quotes, parens, interior
+    ! / ? / . protection, two terminators per parenthetical)."""
+    import duckdb
+
+    from fupi_ray.pipelines.queries import SQL_SEGMENT_SENTENCES
+    from fupi_ray.stages.text import segment_sentences
+
+    texts = [
+        'He said "stop now." Then he left. "Why?" she asked.',
+        "Results improved (see fig. 3! below) overall. (He left.) Done now.",
+        "Two inside (first. second? kept) here. Tail sentence!",
+        "Dr. Smith paid 3.14 dollars. (J. Doe agreed. Fully!) The end.",
+        "Unbalanced (open paren. still splits here. Next part.",
+        "Quotes then parens.\") After both. Final'] one.",
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": texts,
+        }
+    )
+    got = (
+        segment_sentences(batch, "text")
+        .to_pandas()
+        .sort_values(["doc_id", "sentence_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", batch)
+    want = (
+        con.execute(SQL_SEGMENT_SENTENCES)
+        .df()
+        .sort_values(["doc_id", "sentence_id"])
+        .reset_index(drop=True)
+    )
+    assert got["sentence"].tolist() == want["sentence"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["sentence_id"].tolist() == want["sentence_id"].tolist()
