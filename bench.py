@@ -220,6 +220,45 @@ def run_bench() -> dict:
     return result
 
 
+def run_bench_repeated(reps: int) -> dict:
+    """Median-of-N bench (round-2 judge item #5): this sandbox is a
+    shared host with documented 2-4x wall-time swings, so a single run
+    can record an outlier as THE number. Each rep is a fresh process
+    (own Ray session); the artifact reports per-query MEDIANS plus
+    every rep's total so cross-host comparisons can see the variance
+    they are up against."""
+    import statistics
+
+    runs = []
+    for _ in range(reps):
+        env = dict(os.environ, GRAFT_BENCH_REPS="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        runs.append(json.loads(out.strip().splitlines()[-1]))
+    med_q = {
+        k: round(statistics.median(r["queries"][k] for r in runs), 3)
+        for k in runs[0]["queries"]
+    }
+    result = dict(runs[-1])
+    result["queries"] = med_q
+    result["value"] = round(sum(med_q.values()), 3)
+    result["scan_tokens_per_sec"] = round(
+        statistics.median(r["scan_tokens_per_sec"] for r in runs), 1
+    )
+    result["merge_sec"] = med_q["merge"]
+    totals = [r["value"] for r in runs]
+    result["reps"] = reps
+    result["rep_totals_sec"] = totals
+    result["rep_scan_tokens_per_sec"] = [r["scan_tokens_per_sec"] for r in runs]
+    result["host_variance_max_over_min"] = round(max(totals) / min(totals), 2)
+    return result
+
+
 def _spin_alu(args):
     n_iter, elems = args
     import numpy as np
@@ -277,7 +316,7 @@ def run_scaling(lo_cpus: int = 8, hi_cpus: int = 32) -> dict:
     for adding whole machines — run both via --scaling-pairs."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPS="1")
         env.setdefault("GRAFT_BENCH_ROWS", "9600000")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -339,4 +378,5 @@ if __name__ == "__main__":
         print(json.dumps(results[0] if len(results) == 1 else
                          {**results[-1], "all_pairs": results}))
     else:
-        print(json.dumps(run_bench()))
+        reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+        print(json.dumps(run_bench() if reps <= 1 else run_bench_repeated(reps)))

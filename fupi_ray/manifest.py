@@ -214,29 +214,37 @@ def schema_from_manifest(m: "Manifest") -> pa.Schema | None:
 
 
 # ---------------------------------------------------------------------------
-# Filesystem layout helpers (local FS or any fsspec-mountable path; on a
-# real cluster this directory lives on shared storage, e.g. s3/NFS).
+# Filesystem layout helpers. Local paths use plain os I/O (tmp-file +
+# rename atomicity); any scheme:// table_dir routes through state/fs
+# (fsspec) so the same layout lives on s3/gs/memory — SURVEY §2.1 S8.
 # ---------------------------------------------------------------------------
+
+from fupi_ray.state import fs as _fs
 
 
 def manifest_dir(table_dir: str) -> str:
-    return os.path.join(table_dir, "manifest")
+    return _fs.join(table_dir, "manifest")
 
 
 def data_dir(table_dir: str) -> str:
-    return os.path.join(table_dir, "data")
+    return _fs.join(table_dir, "data")
 
 
 def lineage_dir(table_dir: str) -> str:
-    return os.path.join(table_dir, "lineage")
+    return _fs.join(table_dir, "lineage")
 
 
 def manifest_path(table_dir: str, version: int) -> str:
-    return os.path.join(manifest_dir(table_dir), f"v{version:08d}.json")
+    return _fs.join(manifest_dir(table_dir), f"v{version:08d}.json")
 
 
 def _atomic_write(path: str, content: str) -> None:
-    """Write via temp file + rename so readers never see partial JSON."""
+    """Write via temp file + rename so readers never see partial JSON;
+    a scheme:// path becomes one whole-object put (atomic on object
+    stores by definition)."""
+    if _fs.is_uri(path):
+        _fs.write_text(path, content)
+        return
     d = os.path.dirname(path)
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
@@ -250,19 +258,24 @@ def _atomic_write(path: str, content: str) -> None:
 
 
 def read_latest_version(table_dir: str) -> int | None:
-    p = os.path.join(manifest_dir(table_dir), "_latest")
-    if not os.path.exists(p):
+    p = _fs.join(manifest_dir(table_dir), "_latest")
+    if not _fs.exists(p):
         return None
+    if _fs.is_uri(p):
+        return int(_fs.read_text(p).strip())
     with open(p) as f:
         return int(f.read().strip())
 
 
 def write_latest_version(table_dir: str, version: int) -> None:
-    _atomic_write(os.path.join(manifest_dir(table_dir), "_latest"), str(version))
+    _atomic_write(_fs.join(manifest_dir(table_dir), "_latest"), str(version))
 
 
 def read_manifest(table_dir: str, version: int) -> Manifest:
-    with open(manifest_path(table_dir, version)) as f:
+    p = manifest_path(table_dir, version)
+    if _fs.is_uri(p):
+        return Manifest.from_json(_fs.read_text(p))
+    with open(p) as f:
         return Manifest.from_json(f.read())
 
 
@@ -272,10 +285,8 @@ def write_manifest(table_dir: str, m: Manifest) -> None:
 
 def list_versions(table_dir: str) -> list[int]:
     md = manifest_dir(table_dir)
-    if not os.path.isdir(md):
-        return []
     out = []
-    for name in os.listdir(md):
+    for name in _fs.ls_names(md):
         if name.startswith("v") and name.endswith(".json"):
             out.append(int(name[1:-5]))
     return sorted(out)
@@ -285,31 +296,32 @@ def list_versions(table_dir: str) -> list[int]:
 
 
 def pins_dir(table_dir: str) -> str:
-    return os.path.join(manifest_dir(table_dir), "pins")
+    return _fs.join(manifest_dir(table_dir), "pins")
 
 
 def read_pins(table_dir: str) -> dict[str, int]:
     pd_ = pins_dir(table_dir)
     pins: dict[str, int] = {}
-    if os.path.isdir(pd_):
-        for name in os.listdir(pd_):
-            if name.endswith(".json"):
-                with open(os.path.join(pd_, name)) as f:
-                    d = json.load(f)
-                pins[d["name"]] = int(d["version"])
+    for name in _fs.ls_names(pd_):
+        if name.endswith(".json"):
+            p = _fs.join(pd_, name)
+            d = json.loads(_fs.read_text(p) if _fs.is_uri(p) else open(p).read())
+            pins[d["name"]] = int(d["version"])
     return pins
 
 
 def write_pin(table_dir: str, name: str, version: int) -> None:
     _atomic_write(
-        os.path.join(pins_dir(table_dir), f"{name}.json"),
+        _fs.join(pins_dir(table_dir), f"{name}.json"),
         json.dumps({"name": name, "version": version, "created_unix": time.time()}),
     )
 
 
 def remove_pin(table_dir: str, name: str) -> None:
-    p = os.path.join(pins_dir(table_dir), f"{name}.json")
-    if os.path.exists(p):
+    p = _fs.join(pins_dir(table_dir), f"{name}.json")
+    if _fs.is_uri(p):
+        _fs.rm(p)
+    elif os.path.exists(p):
         os.unlink(p)
 
 
@@ -343,7 +355,7 @@ def fragment_meta_from_table(
     return FragmentMeta(
         path=rel_path,
         rows=tbl.num_rows,
-        bytes=os.path.getsize(path_abs),
+        bytes=_fs.size(path_abs),
         sum_n_tok=sum_n_tok,
         zone_map=zone,
         cols=list(tbl.column_names),
@@ -381,7 +393,7 @@ def fragment_meta_from_footer(path_abs: str, rel_path: str) -> FragmentMeta:
     return FragmentMeta(
         path=rel_path,
         rows=md.num_rows,
-        bytes=os.path.getsize(path_abs),
+        bytes=_fs.size(path_abs),
         sum_n_tok=sum_n_tok,
         zone_map=zone,
         cols=list(names),

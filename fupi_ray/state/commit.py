@@ -18,6 +18,7 @@ import time
 import ray
 
 from fupi_ray import manifest as mf
+from fupi_ray.state import fs
 
 
 class CommitError(RuntimeError):
@@ -44,10 +45,24 @@ class _Committer:
         # O_CREAT|O_EXCL on the version file makes the second
         # concurrent writer of v{N} fail loudly instead of clobbering.
         path = mf.manifest_path(table_dir, new_version)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
         m.version = new_version
         m.parent_version = latest
         m.created_unix = time.time()
+        if fs.is_uri(path):
+            # Object stores have no link(2); exists-then-put is the
+            # guard (the commit actor already serializes writers within
+            # a cluster — this only weakens the cross-cluster race,
+            # which conditional puts close on real object stores).
+            if fs.exists(path):
+                raise CommitError(
+                    f"concurrent commit detected: v{new_version} manifest "
+                    "already exists (another writer won the race) — rebase "
+                    "and retry"
+                )
+            fs.write_text(path, m.to_json())
+            mf.write_latest_version(table_dir, new_version)
+            return new_version
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = path + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             f.write(m.to_json())
@@ -84,6 +99,10 @@ def get_commit_actor(table_dir: str):
 
 
 def commit(table_dir: str, m: mf.Manifest, expected_parent: int | None) -> int:
-    """Serialize a commit through the table's commit actor."""
+    """Serialize a commit through the table's commit actor. A
+    process-local protocol (memory://) is invisible to the actor's
+    process, so its critical section runs inline instead."""
+    if fs.is_process_local(table_dir):
+        return _Committer().commit(table_dir, m.to_json(), expected_parent)
     actor = get_commit_actor(table_dir)
     return ray.get(actor.commit.remote(table_dir, m.to_json(), expected_parent))

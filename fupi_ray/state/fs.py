@@ -1,0 +1,129 @@
+"""URI-aware path + filesystem helpers (SURVEY.md §2.1 S8).
+
+The reference reads its table from object storage through Lance's
+filesystem layer (fupi/utils.py:15-33 opens a LanceDB uri that may be
+s3); the engine's equivalent protocol surface is fsspec. Plain local
+paths take the untouched ``os`` fast path (atomic rename + link(2)
+commit guards); any ``scheme://`` path routes through fsspec, and
+scans wrap the fsspec instance in a pyarrow ``PyFileSystem`` so Ray
+Data *worker processes* read fragments through the same protocol
+(``file://``, ``s3://``, ``gs://``, ``memory://``, ...).
+
+Two deliberate protocol differences from the local path, both
+documented at the call sites:
+
+- manifest writes are single ``pipe_file`` puts (atomic on object
+  stores) instead of tmp-file + ``rename``;
+- the duplicate-version commit guard is exists-then-put instead of
+  ``link(2)`` — object stores have no hard links; the commit actor
+  already serializes writers within a cluster, so the guard only
+  weakens for two *independent clusters* racing on one table.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def is_uri(path: str) -> bool:
+    return "://" in str(path)
+
+
+def is_process_local(path: str) -> bool:
+    """memory:// lives inside the calling process only — Ray actors and
+    workers cannot see its files, so commit serialization (and any
+    worker-side I/O) must stay in-process for it. Every shared
+    protocol (file, s3, gs, ...) returns False."""
+    return str(path).startswith("memory://")
+
+
+def join(base: str, *parts: str) -> str:
+    """Path join that never corrupts a URI (``os.path.join`` would
+    backslash it on Windows and can swallow the scheme)."""
+    if is_uri(base):
+        out = str(base).rstrip("/")
+        for p in parts:
+            out += "/" + str(p).strip("/")
+        return out
+    return os.path.join(base, *parts)
+
+
+def dirname(path: str) -> str:
+    if is_uri(path):
+        return str(path).rstrip("/").rsplit("/", 1)[0]
+    return os.path.dirname(path)
+
+
+def get_fs(path: str):
+    """``(fsspec filesystem, protocol-stripped path)``."""
+    import fsspec
+
+    return fsspec.core.url_to_fs(path)
+
+
+def arrow_fs(path: str):
+    """``(pyarrow FileSystem, stripped path)`` — the wrapper pickles
+    into Ray Data read tasks so workers resolve the same protocol."""
+    from pyarrow import fs as pafs
+
+    f, stripped = get_fs(path)
+    return pafs.PyFileSystem(pafs.FSSpecHandler(f)), stripped
+
+
+def exists(path: str) -> bool:
+    if is_uri(path):
+        f, p = get_fs(path)
+        return f.exists(p)
+    return os.path.exists(path)
+
+
+def makedirs(path: str) -> None:
+    if is_uri(path):
+        f, p = get_fs(path)
+        f.makedirs(p, exist_ok=True)
+    else:
+        os.makedirs(path, exist_ok=True)
+
+
+def write_text(path: str, content: str) -> None:
+    """Whole-file put. On object stores a put IS atomic; local callers
+    that need rename-atomicity use manifest._atomic_write instead."""
+    f, p = get_fs(path)
+    parent = p.rsplit("/", 1)[0] if "/" in p else ""
+    if parent:
+        f.makedirs(parent, exist_ok=True)
+    f.pipe_file(p, content.encode("utf-8"))
+
+
+def read_text(path: str) -> str:
+    f, p = get_fs(path)
+    return f.cat_file(p).decode("utf-8")
+
+
+def ls_names(dir_path: str) -> list[str]:
+    """Basenames in a directory; [] when absent."""
+    f, p = get_fs(dir_path)
+    if not f.exists(p):
+        return []
+    return [str(e).rstrip("/").rsplit("/", 1)[-1] for e in f.ls(p, detail=False)]
+
+
+def rm(path: str) -> None:
+    f, p = get_fs(path)
+    if f.exists(p):
+        f.rm_file(p)
+
+
+def size(path: str) -> int:
+    if is_uri(path):
+        f, p = get_fs(path)
+        return f.size(p)
+    return os.path.getsize(path)
+
+
+def open_write(path: str):
+    """Binary write handle through the path's protocol."""
+    import fsspec
+
+    makedirs(dirname(path))
+    return fsspec.open(path, "wb").open()

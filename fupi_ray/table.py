@@ -23,6 +23,7 @@ from fupi_ray.config import DEFAULT_CONFIG, EngineConfig
 from fupi_ray.manifest import FragmentMeta, Manifest
 from fupi_ray.schema import SEQUENCES_SCHEMA
 from fupi_ray.state import commit as commit_mod
+from fupi_ray.state import fs as _fs
 
 
 class SnapshotPinnedError(RuntimeError):
@@ -49,10 +50,14 @@ class _FragmentWriter:
         if batch.num_rows == 0:
             return pa.table({"meta_json": pa.array([], type=pa.string())})
         name = f"{self.prefix}-{uuid.uuid4().hex}.parquet"
-        rel = os.path.join("data", name)
-        abs_path = os.path.join(self.table_dir, rel)
-        os.makedirs(os.path.dirname(abs_path), exist_ok=True)
-        pq.write_table(batch, abs_path, row_group_size=self.row_group_rows)
+        rel = "data/" + name
+        abs_path = _fs.join(self.table_dir, rel)
+        if _fs.is_uri(abs_path):
+            with _fs.open_write(abs_path) as f:
+                pq.write_table(batch, f, row_group_size=self.row_group_rows)
+        else:
+            os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+            pq.write_table(batch, abs_path, row_group_size=self.row_group_rows)
         meta = mf.fragment_meta_from_table(batch, abs_path, rel)
         import json
 
@@ -129,6 +134,13 @@ class Table:
             raise FileNotFoundError(f"no table at {self.table_dir}")
         return v
 
+    def _read_fragment_schema(self, rel_path: str) -> pa.Schema:
+        full = _fs.join(self.table_dir, rel_path)
+        if _fs.is_uri(full):
+            filesystem, stripped = _fs.arrow_fs(full)
+            return pq.read_schema(stripped, filesystem=filesystem)
+        return pq.read_schema(full)
+
     def manifest(self, version: int | None = None) -> Manifest:
         return mf.read_manifest(self.table_dir, self.latest_version() if version is None else version)
 
@@ -144,7 +156,7 @@ class Table:
         if declared is not None and m.fragments:
             return declared
         if m.fragments:
-            return pq.read_schema(os.path.join(self.table_dir, m.fragments[0].path))
+            return self._read_fragment_schema(m.fragments[0].path)
         if declared is not None:
             return declared
         return SEQUENCES_SCHEMA
@@ -195,7 +207,7 @@ class Table:
         frags = m.fragments
         if predicate:
             frags = [f for f in frags if mf.fragment_may_match(f, predicate)]
-        return [os.path.join(self.table_dir, f.path) for f in frags]
+        return [_fs.join(self.table_dir, f.path) for f in frags]
 
     def scan(
         self,
@@ -247,19 +259,17 @@ class Table:
             need = (set(read_cols) | set(pred_cols)) & set(declared.names)
             for f in frags:
                 if f.cols is None and f.col_ids is None:
-                    have = set(
-                        pq.read_schema(os.path.join(self.table_dir, f.path)).names
-                    )
+                    have = set(self._read_fragment_schema(f.path).names)
                     missing = frozenset(need - have)
                 else:
                     missing = frozenset(
                         c for c in need if not f.has_column(c, m.column_ids)
                     )
                 groups.setdefault(missing, []).append(
-                    os.path.join(self.table_dir, f.path)
+                    _fs.join(self.table_dir, f.path)
                 )
         else:
-            groups[frozenset()] = [os.path.join(self.table_dir, f.path) for f in frags]
+            groups[frozenset()] = [_fs.join(self.table_dir, f.path) for f in frags]
 
         def build(paths: list[str], missing: frozenset) -> ray.data.Dataset:
             kwargs: dict[str, Any] = dict(read_kwargs)
@@ -292,6 +302,13 @@ class Table:
                     # target-sized fragment keeps the read fused with the
                     # consumer and makes the fragment the parallelism unit
                     kwargs["override_num_blocks"] = len(paths)
+            if _fs.is_uri(self.table_dir):
+                # route every scheme through one fsspec-backed pyarrow
+                # filesystem; the wrapper pickles into the read tasks so
+                # worker processes resolve the same protocol (S8)
+                filesystem, _ = _fs.arrow_fs(self.table_dir)
+                kwargs["filesystem"] = filesystem
+                paths = [_fs.get_fs(p)[1] for p in paths]
             ds = ray.data.read_parquet(paths, **kwargs)
             if missing:
                 defaults = dict(m.column_defaults)
@@ -400,7 +417,7 @@ class Table:
                 dict(parent_m.column_defaults),
             )
         if fragments:
-            s = pq.read_schema(os.path.join(self.table_dir, fragments[0].path))
+            s = self._read_fragment_schema(fragments[0].path)
             n, t = _schema_lists(s)
             return n, t, {}
         if parent_m is not None and parent_m.schema_names:
