@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "ivf_topk": q.q_ivf_topk,
         "rolling_fp": q.q_rolling_fp,
+        "range_join": q.q_range_join,
+        "mix_sources": q.q_mix_sources,
+        "group_topk": q.q_group_topk,
         # lakehouse maintenance ops (north star)
         "lake_compact": lake.q_lake_compact,
         "lake_cluster": lake.q_lake_cluster,
@@ -119,6 +122,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": q.SQL_EMBEDDING_NEARDUP,
         "char_jaccard": q.SQL_CHAR_JACCARD,
         "dedup_families": q.SQL_DEDUP_FAMILIES,
+        "range_join": q.SQL_RANGE_JOIN,
+        "mix_sources": q.SQL_MIX_SOURCES,
+        "group_topk": q.SQL_GROUP_TOPK,
         "lake_compact": lake.SQL_LAKE_COMPACT,
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,

@@ -430,3 +430,120 @@ def enrich_join(
     return hash_join(
         big, small, on=on, right_on=right_on, how=how, num_buckets=num_buckets
     )
+
+
+def range_join(
+    left: ray.data.Dataset,
+    bands,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Interval (range) join: one output row per (left row, band) pair
+    with ``lo <= value < hi``.
+
+    Neither the reference nor Ray Data has a range operator; this is
+    the custom-operator extension point (SURVEY.md §2.10) built the
+    broadcast way: the band side is tiny by contract, shipped ONCE via
+    ``ray.put`` as flat numpy arrays, probed vectorized per batch.
+
+    - Non-overlapping bands (sorted by ``lo``) → one ``np.searchsorted``
+      per batch, O(rows·log bands).
+    - Overlapping bands → one boolean mask per band, O(rows·bands),
+      emitting EVERY matching pair (fan-out). The loop is over bands,
+      never rows.
+
+    ``how='left'`` keeps unmatched left rows with null band payload.
+    A band side above the broadcast byte budget raises: a big×big
+    interval join needs a partitioned algorithm (sort both sides on the
+    value/lo key and merge per range bucket) — out of contract here.
+    """
+    import pandas as pd
+
+    if isinstance(bands, ray.data.Dataset):
+        from fupi_ray.config import DEFAULT_CONFIG
+
+        bands = bands.materialize()
+        if bands.size_bytes() > DEFAULT_CONFIG.broadcast_max_bytes:
+            raise ValueError(
+                "range_join band side exceeds the broadcast budget "
+                f"({bands.size_bytes()} bytes): partition it or raise "
+                "EngineConfig.broadcast_max_bytes"
+            )
+        bands = bands.to_pandas()
+    elif isinstance(bands, pa.Table):
+        bands = bands.to_pandas()
+    payload_cols = [c for c in bands.columns if c not in (lo_col, hi_col)]
+    lo = bands[lo_col].to_numpy()
+    hi = bands[hi_col].to_numpy()
+    order = np.argsort(lo, kind="mergesort")
+    lo, hi = lo[order], hi[order]
+    payload = {c: bands[c].to_numpy()[order] for c in payload_cols}
+    overlap = bool(len(lo) > 1 and np.any(hi[:-1] > lo[1:]))
+    ref = ray.put({"lo": lo, "hi": hi, **payload})
+
+    class RangeProbe:
+        def __init__(self):
+            side = ray.get(ref)
+            self.lo, self.hi = side["lo"], side["hi"]
+            self.vals = {c: side[c] for c in payload_cols}
+
+        def _null_padded(self, batch: pa.Table) -> pa.Table:
+            for c in payload_cols:
+                dt = self.vals[c].dtype
+                typ = pa.string() if dt.kind in ("O", "U") else pa.from_numpy_dtype(dt)
+                batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
+            return batch
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch[value_col].to_numpy(zero_copy_only=False)
+            if len(self.lo) == 0:
+                return batch.slice(0, 0) if how == "inner" else self._null_padded(batch)
+            if not overlap:
+                idx = np.searchsorted(self.lo, v, side="right") - 1
+                idx_c = np.clip(idx, 0, len(self.lo) - 1)
+                hit = (idx >= 0) & (v < self.hi[idx_c])
+                if how == "inner":
+                    batch = batch.filter(pa.array(hit))
+                    idx_c = idx_c[hit]
+                    hit = np.ones(len(idx_c), dtype=bool)
+                for c in payload_cols:
+                    vals = self.vals[c][idx_c]
+                    col = (
+                        pa.array(vals, mask=~hit, from_pandas=True)
+                        if how == "left"
+                        else pa.array(vals, from_pandas=True)
+                    )
+                    batch = batch.append_column(c, col)
+                return batch
+            rows_parts, band_parts = [], []
+            for j in range(len(self.lo)):
+                nz = np.nonzero((v >= self.lo[j]) & (v < self.hi[j]))[0]
+                rows_parts.append(nz)
+                band_parts.append(np.full(len(nz), j, dtype=np.int64))
+            rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+            bidx = np.concatenate(band_parts) if band_parts else np.empty(0, np.int64)
+            if how == "left":
+                matched = np.zeros(len(v), dtype=bool)
+                matched[rows] = True
+                un = np.nonzero(~matched)[0]
+                rows = np.concatenate([rows, un])
+                bidx = np.concatenate([bidx, np.full(len(un), -1, dtype=np.int64)])
+            o = np.lexsort((bidx, rows))  # stable (row, band) output order
+            rows, bidx = rows[o], bidx[o]
+            out = batch.take(pa.array(rows, pa.int64()))
+            miss = bidx < 0
+            bidx_c = np.where(miss, 0, bidx)
+            for c in payload_cols:
+                vals = self.vals[c][bidx_c]
+                col = (
+                    pa.array(vals, mask=miss, from_pandas=True)
+                    if miss.any()
+                    else pa.array(vals, from_pandas=True)
+                )
+                out = out.append_column(c, col)
+            return out
+
+    return left.map_batches(RangeProbe, batch_format="pyarrow", concurrency=concurrency)

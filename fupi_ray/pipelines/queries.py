@@ -1528,3 +1528,132 @@ SELECT doc_id,
          AS translated
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: range join, weighted source mixing, grouped top-k
+# ---------------------------------------------------------------------------
+
+
+def q_range_join(sf_dir: str):
+    """Range (interval) join: every event row matched to the value band
+    containing it (custom operator — neither the reference nor Ray Data
+    has one; ops/join.range_join, broadcast bands + one searchsorted
+    per batch)."""
+    from fupi_ray.ops.join import range_join
+
+    ev = read(sf_dir, "events", columns=["event_id", "value"])
+    bands = pa.table(
+        {
+            "lo": pa.array([0.0, 10.0, 100.0], pa.float64()),
+            "hi": pa.array([10.0, 100.0, 1e18], pa.float64()),
+            "band": pa.array(["low", "mid", "high"], pa.string()),
+        }
+    )
+    out = range_join(ev, bands, value_col="value", how="inner")
+    return out.select_columns(["event_id", "band"])
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, b.band
+FROM events e
+JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'), (100.0, 1e18, 'high'))
+     b(lo, hi, band)
+  ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0}
+_MIX_DEFAULT_W = 1.0
+
+
+def q_mix_sources(sf_dir: str):
+    """Weighted source mixing — the training-data op that downsamples
+    each source to hit target mixture proportions at the maximum
+    feasible corpus size. Relative weights w_s (default 1.0); target
+    proportion p_s = w_s/ΣW; cap T = min_s(n_s/p_s); keep-rate
+    r_s = T·p_s/n_s. Phase 1 is a tiny per-source count aggregate
+    (driver-safe: #sources rows), phase 2 a content-addressed filter —
+    same md5 keep rule as sample_stratified, so the same doc survives
+    re-runs and cluster-size changes, and duckdb reproduces the exact
+    corpus."""
+    import hashlib
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "source"])
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupby("source").aggregate(Count(alias_name="n")).take_all()
+    }
+    wts = {s: _MIX_WEIGHTS.get(s, _MIX_DEFAULT_W) for s in counts}
+    w_total = sum(wts.values())
+    cap = min(counts[s] / (wts[s] / w_total) for s in counts)
+    rates = {s: min(1.0, cap * (wts[s] / w_total) / counts[s]) for s in counts}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        )
+        u = h / float(0x100000000)
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        rate = np.array([rates.get(s, 0.0) for s in src.tolist()], dtype=np.float64)
+        return batch.filter(pa.array(u < rate))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_MIX_SOURCES = """
+WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+w AS (SELECT source, n,
+        CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END AS wt
+      FROM counts),
+tot AS (SELECT SUM(wt) AS w_total FROM w),
+cap AS (SELECT MIN(n / (wt / w_total)) AS t FROM w, tot),
+r AS (SELECT source, LEAST(1.0, t * (wt / w_total) / n) AS rate FROM w, tot, cap)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DOUBLE)
+        / 4294967296.0 < r.rate
+"""
+
+
+def q_group_topk(sf_dir: str):
+    """Top-k per group (k=3 longest docs per source, doc_id
+    tie-break): per-batch PARTIAL top-k inside map_batches shrinks the
+    exchange to ≤k rows per (group, block) before the groupby —
+    the combiner pattern; final exact top-k per group in map_groups."""
+    k = 3
+    docs = read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return pa.Table.from_pandas(df.groupby("source").head(k), preserve_index=False)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return df.head(k)
+
+    return (
+        docs.map_batches(partial_topk, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+SQL_GROUP_TOPK = """
+SELECT doc_id, source, n_chars
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents)
+WHERE rn <= 3
+"""

@@ -571,3 +571,81 @@ def test_table_scan_roundtrip_on_file_uri(tmp_path):
     t2.pin("snap")
     assert t2.pins() == {"snap": 1}
     assert t2.scan(version=1).count() == 300
+
+
+# -- Round-3 new operators: range join --------------------------------------
+
+
+def _bands(rows):
+    import pyarrow as _pa
+
+    lo, hi, band = zip(*rows) if rows else ((), (), ())
+    return pa.table(
+        {
+            "lo": pa.array(list(lo), _pa.float64()),
+            "hi": pa.array(list(hi), _pa.float64()),
+            "band": pa.array(list(band), _pa.string()),
+        }
+    )
+
+
+def test_range_join_inner_and_left():
+    from fupi_ray.ops.join import range_join
+
+    left = ray.data.from_pandas(
+        pd.DataFrame({"id": [1, 2, 3, 4], "v": [5.0, 50.0, 500.0, -1.0]})
+    )
+    bands = _bands([(0.0, 10.0, "low"), (10.0, 100.0, "mid")])
+    got = (
+        range_join(left, bands, "v", how="inner")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [1, 2]
+    assert got["band"].tolist() == ["low", "mid"]
+
+    got = (
+        range_join(left, bands, "v", how="left")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [1, 2, 3, 4]
+    assert got["band"].tolist() == ["low", "mid", None, None]
+
+
+def test_range_join_overlapping_fanout():
+    from fupi_ray.ops.join import range_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"id": [1, 2], "v": [5.0, 20.0]}))
+    bands = _bands([(0.0, 10.0, "a"), (3.0, 30.0, "b"), (15.0, 25.0, "c")])
+    got = (
+        range_join(left, bands, "v", how="inner")
+        .to_pandas()
+        .sort_values(["id", "band"])
+        .reset_index(drop=True)
+    )
+    # v=5 hits a+b; v=20 hits b+c
+    assert list(zip(got["id"], got["band"])) == [(1, "a"), (1, "b"), (2, "b"), (2, "c")]
+
+    # left join keeps an unmatched row exactly once with null band
+    left2 = ray.data.from_pandas(pd.DataFrame({"id": [1, 9], "v": [5.0, 99.0]}))
+    got = (
+        range_join(left2, bands, "v", how="left")
+        .to_pandas()
+        .sort_values(["id", "band"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert got["id"].tolist() == [1, 1, 9]
+    assert got["band"].tolist() == ["a", "b", None]
+
+
+def test_range_join_empty_bands():
+    from fupi_ray.ops.join import range_join
+
+    left = ray.data.from_pandas(pd.DataFrame({"id": [1], "v": [5.0]}))
+    bands = _bands([])
+    assert range_join(left, bands, "v", how="inner").count() == 0
+    got = range_join(left, bands, "v", how="left").to_pandas()
+    assert got["id"].tolist() == [1] and got["band"].isna().all()
