@@ -966,6 +966,43 @@ FROM documents
 """
 
 
+def content_keep_mask(
+    batch: pa.Table,
+    rate_for_source,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    hash_fn: str = "md5",
+) -> pa.Array:
+    """Content-addressed keep mask: row survives iff
+    ``hash(id)/2^32 < rate(source)`` — the same doc lands in the same
+    split across runs AND cluster sizes (never ``ds.random_sample``).
+
+    ``hash_fn='md5'`` (hashlib, per-row C call) exists so duckdb's
+    ``md5()`` reproduces the exact corpus — the oracle-conformance
+    path. ``hash_fn='siphash'`` is the PRODUCTION path: vectorized
+    ``functions.hashing.stable_hash`` (pandas SipHash-1-3, fixed key),
+    zero per-row Python — same determinism contract, not
+    SQL-reproducible.
+    """
+    import hashlib
+
+    if hash_fn == "siphash":
+        from fupi_ray.functions.hashing import stable_hash
+
+        h = stable_hash(batch[id_col])
+        u = (h >> np.uint64(32)).astype(np.float64) / float(0x100000000)
+    else:
+        ids = batch[id_col].to_pylist()
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        )
+        u = h / float(0x100000000)
+    src = batch[source_col].to_numpy(zero_copy_only=False)
+    rate = np.array([rate_for_source(s) for s in src.tolist()], dtype=np.float64)
+    return pa.array(u < rate)
+
+
 def q_sample_stratified(sf_dir: str):
     """Deterministic stratified sampling — the reproducible
     train/validation split a corpus pipeline needs: keep a doc iff the
@@ -973,23 +1010,13 @@ def q_sample_stratified(sf_dir: str):
     Content-addressed (NOT ds.random_sample: same doc always lands in
     the same split, across runs and cluster sizes). md5 is identical in
     hashlib and duckdb, so the oracle reproduces the exact sample."""
-    import hashlib
-
     rates = {"wiki": 0.5, "cc": 0.2}  # everything else: 0.1
     docs = read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
 
     def sample(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        h = np.array(
-            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
-            dtype=np.float64,
+        return batch.filter(
+            content_keep_mask(batch, lambda s: rates.get(s, 0.1), hash_fn="md5")
         )
-        u = h / float(0x100000000)
-        src = batch["source"].to_numpy(zero_copy_only=False)
-        rate = np.full(len(ids), 0.1)
-        for s, r in rates.items():
-            rate[src == s] = r
-        return batch.filter(pa.array(u < rate))
 
     return docs.map_batches(sample, batch_format="pyarrow")
 
@@ -1576,9 +1603,8 @@ def q_mix_sources(sf_dir: str):
     (driver-safe: #sources rows), phase 2 a content-addressed filter —
     same md5 keep rule as sample_stratified, so the same doc survives
     re-runs and cluster-size changes, and duckdb reproduces the exact
-    corpus."""
-    import hashlib
-
+    corpus (content_keep_mask(hash_fn='siphash') is the vectorized
+    production rule)."""
     docs = read(sf_dir, "documents", columns=["doc_id", "source"])
     counts = {
         r["source"]: r["n"]
@@ -1590,15 +1616,9 @@ def q_mix_sources(sf_dir: str):
     rates = {s: min(1.0, cap * (wts[s] / w_total) / counts[s]) for s in counts}
 
     def keep(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        h = np.array(
-            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
-            dtype=np.float64,
+        return batch.filter(
+            content_keep_mask(batch, lambda s: rates.get(s, 0.0), hash_fn="md5")
         )
-        u = h / float(0x100000000)
-        src = batch["source"].to_numpy(zero_copy_only=False)
-        rate = np.array([rates.get(s, 0.0) for s in src.tolist()], dtype=np.float64)
-        return batch.filter(pa.array(u < rate))
 
     return docs.map_batches(keep, batch_format="pyarrow")
 

@@ -241,6 +241,35 @@ def _index_path(table_dir: str) -> str:
     return os.path.join(table_dir, "index", "ivf.json")
 
 
+def _make_assign(idx_ref, vec_col: str):
+    """Actor-pool bucket assignment: centroids read from the object
+    store ONCE per actor (broadcast, never re-shipped per batch)."""
+
+    class Assign:
+        def __init__(self):
+            self.index = IvfIndex(ray.get(idx_ref))
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch.append_column("bucket", pa.array([], pa.int32()))
+            a = self.index.assign_batch(batch, vec_col).astype(np.int32)
+            return batch.append_column("bucket", pa.array(a))
+
+    return Assign
+
+
+def _write_sidecar(table_dir: str, centroids: np.ndarray, version: int) -> None:
+    import json
+    import os
+
+    ip = _index_path(table_dir)
+    os.makedirs(os.path.dirname(ip), exist_ok=True)
+    with open(ip, "w") as f:
+        json.dump(
+            {"centroids": centroids.tolist(), "table_version": int(version)}, f
+        )
+
+
 def build_ivf_table(
     ds: ray.data.Dataset,
     table_dir: str,
@@ -272,18 +301,9 @@ def build_ivf_table(
         ds, n_centroids=n_centroids, sample_rows=sample_rows, vec_col=vec_col, id_col=id_col
     )
     idx_ref = ray.put(index.centroids)
-
-    class Assign:
-        def __init__(self):
-            self.index = IvfIndex(ray.get(idx_ref))
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return batch.append_column("bucket", pa.array([], pa.int32()))
-            a = self.index.assign_batch(batch, vec_col).astype(np.int32)
-            return batch.append_column("bucket", pa.array(a))
-
-    bucketed = ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    bucketed = ds.map_batches(
+        _make_assign(idx_ref, vec_col), batch_format="pyarrow", concurrency=(1, 8)
+    )
 
     t = Table.create(table_dir, config=config)
     writer = _FragmentWriter(table_dir, "ivf")
@@ -306,19 +326,77 @@ def build_ivf_table(
         # (and readers) can tell whether the sidecar is current
         "ivf_index": {"path": "index/ivf.json"},
     })
-    ip = _index_path(table_dir)
-    os.makedirs(os.path.dirname(ip), exist_ok=True)
-    with open(ip, "w") as f:
-        # table_version pins the snapshot whose bucket layout the
-        # centroid sidecar describes; any later commit (merge, compact,
-        # overwrite) invalidates it (fupi delegates this to Lance's
-        # versioned index storage, fupi/utils.py:149-161 — here the
-        # sidecar carries its own version stamp)
-        json.dump(
-            {"centroids": index.centroids.tolist(), "table_version": int(version)},
-            f,
-        )
+    # table_version pins the snapshot whose bucket layout the centroid
+    # sidecar describes; any commit NOT made through ivf_append
+    # (merge, compact, overwrite) invalidates it (fupi delegates this
+    # to Lance's versioned index storage, fupi/utils.py:149-161 — here
+    # the sidecar carries its own version stamp)
+    _write_sidecar(table_dir, index.centroids, version)
     return t, index
+
+
+def ivf_append(
+    table,
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Index MAINTENANCE under ingestion: append new vectors to a
+    persisted IVF table WITHOUT retraining or rebuilding.
+
+    New rows are bucket-assigned with the EXISTING centroids (actor
+    pool, centroids broadcast once), grouped, and written one fragment
+    per touched bucket; the commit then advances the sidecar's version
+    stamp, so the staleness gate (``topk_ivf_persisted``) stays closed
+    through ingestion — the lakehouse equivalent of Lance keeping its
+    ANN index valid across ``table.add`` (fupi/embedders.py:124-125,
+    fupi/utils.py:149-161). An nprobe query afterwards scans
+    base + delta fragments of exactly the probed buckets (zone maps
+    carry per-fragment bucket ranges).
+
+    Contract: ``ds`` carries NEW ids only (an id upsert needs
+    ``merge_into``, which rewrites fragments and correctly re-opens the
+    staleness gate until the next ``build_ivf_table``). Recall for the
+    appended rows equals assignment quality under the frozen
+    centroids; retrain (rebuild) when drift accumulates.
+    """
+    import json
+
+    from fupi_ray.manifest import FragmentMeta
+    from fupi_ray.table import _FragmentWriter
+
+    index, built_at = load_ivf_index(table.table_dir)
+    current = table.latest_version()
+    if built_at is not None and current != built_at:
+        raise StaleIvfIndexError(
+            f"IVF sidecar is at table version {built_at} but the table is at "
+            f"{current}: a non-IVF commit intervened — rebuild with "
+            "build_ivf_table() before appending"
+        )
+    idx_ref = ray.put(index.centroids)
+    bucketed = ds.map_batches(
+        _make_assign(idx_ref, vec_col), batch_format="pyarrow", concurrency=(1, 8)
+    )
+    writer = _FragmentWriter(table.table_dir, "ivfd")
+
+    def write_group(g: pa.Table) -> pa.Table:
+        return writer(g)
+
+    meta_rows = (
+        bucketed.groupby("bucket").map_groups(write_group, batch_format="pyarrow").take_all()
+    )
+    frags = [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows]
+    version = table.commit_fragment_swap(
+        set(),
+        frags,
+        operation="ivf-append",
+        properties={
+            "n_centroids": int(len(index.centroids)),
+            "ivf_index": {"path": "index/ivf.json"},
+        },
+    )
+    _write_sidecar(table.table_dir, index.centroids, version)
+    return version
 
 
 class StaleIvfIndexError(RuntimeError):

@@ -649,3 +649,89 @@ def test_range_join_empty_bands():
     assert range_join(left, bands, "v", how="inner").count() == 0
     got = range_join(left, bands, "v", how="left").to_pandas()
     assert got["id"].tolist() == [1] and got["band"].isna().all()
+
+
+def test_ivf_append_keeps_index_valid(tmp_path):
+    """IVF maintenance under ingestion: ivf_append assigns new vectors
+    with the frozen centroids, commits per-bucket delta fragments, and
+    advances the sidecar stamp — the staleness gate stays closed and
+    the appended vector is retrievable; a NON-ivf commit afterwards
+    re-opens the gate, and ivf_append itself then refuses."""
+    from fupi_ray.stages.similarity import (
+        StaleIvfIndexError,
+        ivf_append,
+        topk_ivf_persisted,
+    )
+
+    t, tbl, vecs = _ivf_fixture(tmp_path)
+    frags_before = len(t.manifest().fragments)
+
+    # append a vector pointing in a direction none of the clusters has
+    # (cluster members are cosine-tied at ~1.0 with each other, so a
+    # same-cluster probe would tie-break away from the new id)
+    new_vec = np.random.default_rng(123).normal(size=8) * 6.0
+    extra = pa.table(
+        {
+            "vec_id": pa.array([99_001, 99_002], pa.int64()),
+            "embedding": pa.array(
+                [list(new_vec), list(np.asarray(vecs[11]) * 1.01)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    v = ivf_append(t, ray.data.from_arrow(extra))
+    assert t.latest_version() == v
+
+    # no staleness error, and the new id is found by its own query
+    got = topk_ivf_persisted(t, new_vec, k=3, nprobe=2).to_pandas()
+    assert 99_001 in set(got["vec_id"])
+    # delta fragments carry bucket zone maps → still bucket-prunable
+    assert len(t.manifest().fragments) > frags_before
+    for f in t.manifest().fragments:
+        assert "bucket" in f.zone_map
+
+    # a commit NOT made through ivf_append re-opens the gate...
+    rogue = pa.table(
+        {
+            "vec_id": pa.array([99_003], pa.int64()),
+            "embedding": pa.array([list(np.zeros(8))], pa.list_(pa.float64())),
+            "bucket": pa.array([0], pa.int32()),
+        }
+    )
+    t.commit_append(ray.data.from_arrow(rogue))
+    with pytest.raises(StaleIvfIndexError):
+        topk_ivf_persisted(t, new_vec, k=3, nprobe=2)
+    # ...and ivf_append refuses to index on top of the unknown layout
+    with pytest.raises(StaleIvfIndexError, match="rebuild"):
+        ivf_append(t, ray.data.from_arrow(extra))
+
+
+def test_content_keep_mask_siphash_production_path():
+    """The vectorized siphash path must be deterministic across calls,
+    a strict subset selection matching the rate (statistically), and
+    independent of batch partitioning (content-addressed)."""
+    from fupi_ray.pipelines.queries import content_keep_mask
+
+    n = 20_000
+    batch = pa.table(
+        {
+            "doc_id": pa.array([f"doc-{i}" for i in range(n)], pa.string()),
+            "source": pa.array(["a" if i % 2 else "b" for i in range(n)], pa.string()),
+        }
+    )
+    rate = lambda s: 0.5 if s == "a" else 0.1  # noqa: E731
+    m1 = content_keep_mask(batch, rate, hash_fn="siphash").to_numpy(
+        zero_copy_only=False
+    )
+    m2 = content_keep_mask(batch, rate, hash_fn="siphash").to_numpy(
+        zero_copy_only=False
+    )
+    assert (m1 == m2).all()
+    # split into two halves: same rows must be kept (partition-invariant)
+    top = content_keep_mask(batch.slice(0, n // 2), rate, hash_fn="siphash")
+    bot = content_keep_mask(batch.slice(n // 2), rate, hash_fn="siphash")
+    assert (np.concatenate([top.to_numpy(False), bot.to_numpy(False)]) == m1).all()
+    src = batch["source"].to_numpy(zero_copy_only=False)
+    for s, r in (("a", 0.5), ("b", 0.1)):
+        got = m1[src == s].mean()
+        assert abs(got - r) < 0.03, (s, got)
