@@ -74,6 +74,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q.q_range_join,
         "mix_sources": q.q_mix_sources,
         "group_topk": q.q_group_topk,
+        "sample_exact_n": q.q_sample_exact_n,
+        "group_quantiles": q.q_group_quantiles,
+        "decontaminate": q.q_decontaminate,
         # lakehouse maintenance ops (north star)
         "lake_compact": lake.q_lake_compact,
         "lake_cluster": lake.q_lake_cluster,
@@ -125,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         "range_join": q.SQL_RANGE_JOIN,
         "mix_sources": q.SQL_MIX_SOURCES,
         "group_topk": q.SQL_GROUP_TOPK,
+        "sample_exact_n": q.SQL_SAMPLE_EXACT_N,
+        "group_quantiles": q.SQL_GROUP_QUANTILES,
+        "decontaminate": q.SQL_DECONTAMINATE,
         "lake_compact": lake.SQL_LAKE_COMPACT,
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,

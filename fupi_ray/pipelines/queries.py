@@ -1677,3 +1677,201 @@ FROM (
   FROM documents)
 WHERE rn <= 3
 """
+
+
+def q_sample_exact_n(sf_dir: str):
+    """Exact-N deterministic sample: the N docs with the smallest
+    md5(doc_id) digest (doc_id tie-break). Content-addressed like
+    sample_stratified — the SAME N docs are chosen regardless of
+    cluster size, block layout, or rerun; ``ds.limit`` /
+    ``random_sample`` are layout-dependent and never qualify as a
+    reproducible split. Per-batch PARTIAL top-N prunes each block to
+    <=N rows before the global sort+limit, so the exchange carries
+    <= N x blocks rows, never the corpus. md5 is the oracle-parity
+    key; the production key is the vectorized siphash
+    (functions.hashing.stable_hash) with the identical contract."""
+    import hashlib
+
+    n = 100
+    docs = read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        h = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype=object
+        )
+        batch = batch.append_column("h", pa.array(h, type=pa.string()))
+        if batch.num_rows <= n:
+            return batch
+        keep = np.argsort(h, kind="stable")[:n]
+        return batch.take(pa.array(np.sort(keep)))
+
+    return docs.map_batches(partial, batch_format="pyarrow").sort(
+        ["h", "doc_id"]
+    ).limit(n)
+
+
+SQL_SAMPLE_EXACT_N = """
+SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h
+FROM documents
+ORDER BY h, doc_id
+LIMIT 100
+"""
+
+
+def q_group_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p25/p50/p75/p90 of n_chars per
+    lang) via the HISTOGRAM COMBINER: map_batches collapses each block
+    to (lang, n_chars) value counts, the groupby exchanges only
+    distinct (group, value) pairs — bounded by the value domain, not
+    the row count — and map_groups interpolates order statistics from
+    the cumulative histogram. Never sorts or collects raw rows: the
+    100 TB path moves a few thousand histogram buckets per group.
+    Interpolation reproduces duckdb ``quantile_cont`` bit-exactly
+    (convex form ``a*(1-t)+b*t``, verified against the oracle)."""
+    qs = (0.25, 0.5, 0.75, 0.9)
+    docs = read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return t.rename_columns(["lang", "n_chars", "cnt"])
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_chars")
+        cum = df["cnt"].to_numpy().cumsum()
+        v = df["n_chars"].to_numpy().astype(np.float64)
+        ntot = int(cum[-1])
+        row = {"lang": df["lang"].iloc[0], "n": ntot}
+        for qq, name in zip(qs, ("p25", "p50", "p75", "p90")):
+            h = (ntot - 1) * qq
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            t = h - lo
+            a, b = v[np.searchsorted(cum, lo + 1)], v[np.searchsorted(cum, hi + 1)]
+            row[name] = a * (1 - t) + b * t
+        return pd.DataFrame([row])
+
+    return hist.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+SQL_GROUP_QUANTILES = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5)  AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.9)  AS p90
+FROM documents GROUP BY lang
+"""
+
+
+def _doc_gram_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Word-trigram hashes for a batch of docs: one Arrow tokenize
+    pass (flat_words contract: lower + split [^a-z0-9_]+, drop
+    empties), trigram STRINGS built zero-loop from three zero-copy
+    slices of the flat word array via binary_join_element_wise, then
+    one vectorized stable_hash. Docs with <3 words emit no grams
+    (strict windows — matches the SQL twin's generate_series bound).
+
+    Returns (gram_hashes uint64, doc_idx int64), unsorted."""
+    from fupi_ray.functions import textkernels as tk
+    from fupi_ray.functions.hashing import stable_hash
+
+    words, doc_idx, _ = tk.flat_words(texts)
+    m = len(words) - 2
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    valid = doc_idx[:m] == doc_idx[2 : 2 + m]
+    wa = pa.array(words, type=pa.string())
+    grams = pc.binary_join_element_wise(
+        wa.slice(0, m), wa.slice(1, m), wa.slice(2, m), " "
+    )
+    g = grams.filter(pa.array(valid))
+    if len(g) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return stable_hash(g), doc_idx[:m][valid]
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the GPT-3/PaLM n-gram rule): flag
+    every training doc sharing a word trigram with the held-out eval
+    set (source='src0' here). Eval grams are a SMALL side: one
+    map_batches pass emits per-block distinct gram hashes, the driver
+    unions them (bounded by the eval set's distinct grams) and
+    broadcasts ONE sorted uint64 array via ray.put — read once per
+    task, never re-shipped per batch. Train docs then stream through a
+    searchsorted membership filter; the exchange-free output is
+    (doc_id, n distinct contaminated grams). A benchmark set too big
+    to broadcast would flip to the bucket hash-join (ops/join) on gram
+    hash — same kernel, one exchange. 64-bit gram hashing stands in
+    for string equality (collision odds ~1e-9 at 1e5 grams; the SQL
+    twin compares the strings themselves)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ev = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["source"], "src0")), batch_format="pyarrow"
+    )
+
+    def ev_grams(batch: pa.Table) -> pa.Table:
+        g, _ = _doc_gram_hashes(batch["text"])
+        return pa.table({"g": pa.array(np.unique(g), type=pa.uint64())})
+
+    parts = ev.map_batches(ev_grams, batch_format="pyarrow").take_all()
+    eval_set = np.unique(
+        np.fromiter((p["g"] for p in parts), dtype=np.uint64, count=len(parts))
+    )
+    ref = ray.put(eval_set)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        ev_sorted = ray.get(ref)
+        g, di = _doc_gram_hashes(batch["text"])
+        if len(g) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+            )
+        # distinct (doc, gram) then membership
+        order = np.lexsort((g, di))
+        g, di = g[order], di[order]
+        first = np.ones(len(g), bool)
+        first[1:] = (di[1:] != di[:-1]) | (g[1:] != g[:-1])
+        g, di = g[first], di[first]
+        pos = np.searchsorted(ev_sorted, g)
+        hit = (pos < len(ev_sorted)) & (ev_sorted[np.minimum(pos, len(ev_sorted) - 1)] == g)
+        n_hits = np.bincount(di[hit], minlength=batch.num_rows)
+        keep = np.nonzero(n_hits > 0)[0]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(keep)),
+                "n_hits": pa.array(n_hits[keep], type=pa.int64()),
+            }
+        )
+
+    train = docs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["source"], "src0")), batch_format="pyarrow"
+    )
+    return train.map_batches(hits, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest([array_to_string(ws[i:i+2], ' ')
+                 for i in generate_series(1, greatest(len(ws)-2, 0))]) AS gram
+  FROM tok
+),
+ev AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0')
+SELECT g.doc_id, CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_hits
+FROM grams g JOIN ev USING (gram)
+WHERE g.source <> 'src0'
+GROUP BY g.doc_id
+"""

@@ -735,3 +735,73 @@ def test_content_keep_mask_siphash_production_path():
     for s, r in (("a", 0.5), ("b", 0.1)):
         got = m1[src == s].mean()
         assert abs(got - r) < 0.03, (s, got)
+
+
+# -- round-3 new ops: exact-N sampling, histogram quantiles, decontamination -
+
+
+def test_sample_exact_n_partition_invariant():
+    """Exact-N must select the SAME docs whatever the block layout —
+    the content-addressed contract (never limit/random_sample)."""
+    from fupi_ray.pipelines.queries import q_sample_exact_n
+
+    sf = "/root/testdata/sf0.001"
+    got = q_sample_exact_n(sf).to_pandas()
+    assert len(got) == 100
+    assert got["doc_id"].is_unique
+    # independently recompute the winners on the driver
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id"])
+    ids = t["doc_id"].to_pylist()
+    expect = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:100]
+    assert sorted(got["doc_id"]) == sorted(expect)
+
+
+def test_group_quantiles_histogram_matches_numpy_order_stats():
+    from fupi_ray.pipelines.queries import q_group_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = q_group_quantiles(sf).to_pandas().set_index("lang")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["lang", "n_chars"])
+    df = t.to_pandas()
+    for lang, grp in df.groupby("lang"):
+        v = np.sort(grp["n_chars"].to_numpy().astype(np.float64))
+        n = len(v)
+        assert got.loc[lang, "n"] == n
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90")):
+            h = (n - 1) * q
+            lo, hi = int(np.floor(h)), int(np.ceil(h))
+            t_ = h - lo
+            expect = v[lo] * (1 - t_) + v[hi] * t_
+            assert got.loc[lang, name] == expect, (lang, name)
+
+
+def test_decontaminate_gram_kernel_strict_windows():
+    """Docs with <3 words emit no grams; grams never span docs; the
+    count is per-doc DISTINCT contaminated grams."""
+    from fupi_ray.pipelines.queries import _doc_gram_hashes
+
+    texts = pa.chunked_array(
+        [pa.array(["a b c d", "x y", "", "a b c a b c"], pa.string())]
+    )
+    g, di = _doc_gram_hashes(texts)
+    # doc0: 'a b c','b c d'; doc1/2: none; doc3: 'a b c','b c a','c a b','a b c'
+    assert np.bincount(di, minlength=4).tolist() == [2, 0, 0, 4]
+    # doc0's 'a b c' hash equals doc3's 'a b c' hash (content-addressed)
+    assert g[0] in g[di == 3]
+
+
+def test_decontaminate_flags_overlap_docs():
+    from fupi_ray.pipelines.queries import q_decontaminate
+
+    got = q_decontaminate("/root/testdata/sf0.001").to_pandas()
+    assert len(got) > 0
+    assert (got["n_hits"] >= 1).all()
+    assert got["doc_id"].is_unique
