@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_n": q.q_sample_exact_n,
         "group_quantiles": q.q_group_quantiles,
         "decontaminate": q.q_decontaminate,
+        "pivot_status": q.q_pivot_status,
+        "rollup_priority": q.q_rollup_priority,
+        "keyword_search": q.q_keyword_search,
         # lakehouse maintenance ops (north star)
         "lake_compact": lake.q_lake_compact,
         "lake_cluster": lake.q_lake_cluster,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_exact_n": q.SQL_SAMPLE_EXACT_N,
         "group_quantiles": q.SQL_GROUP_QUANTILES,
         "decontaminate": q.SQL_DECONTAMINATE,
+        "pivot_status": q.SQL_PIVOT_STATUS,
+        "rollup_priority": q.SQL_ROLLUP_PRIORITY,
+        "keyword_search": q.SQL_KEYWORD_SEARCH,
         "lake_compact": lake.SQL_LAKE_COMPACT,
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,

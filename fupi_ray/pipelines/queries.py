@@ -1875,3 +1875,210 @@ FROM grams g JOIN ev USING (gram)
 WHERE g.source <> 'src0'
 GROUP BY g.doc_id
 """
+
+
+def q_pivot_status(sf_dir: str):
+    """Pivot (long → wide): order revenue per year, one column per
+    orderstatus. The pivot is pushed INTO the combiner — each batch
+    emits one row per year with conditional cent-sums per status, so
+    the groupby exchange is years x blocks rows with the wide columns
+    already split; no second pass, no per-status shuffle. Cent-scaled
+    int64 keeps both sides exact."""
+    orders = read(
+        sf_dir, "orders", columns=["o_orderdate", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = pc.year(batch["o_orderdate"]).to_numpy(zero_copy_only=False)
+        st = batch["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch["o_totalprice"]).to_numpy()
+        years, inv = np.unique(yr, return_inverse=True)
+        cols = {"o_year": pa.array(years.astype(np.int64))}
+        for s in ("F", "O", "P"):
+            m = st == s
+            cols[f"cents_{s.lower()}"] = pa.array(
+                np.bincount(inv[m], weights=cents[m], minlength=len(years)).astype(
+                    np.int64
+                )
+            )
+        cols["n_orders"] = pa.array(np.bincount(inv, minlength=len(years)).astype(np.int64))
+        return pa.table(cols)
+
+    agg = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("cents_f", alias_name="cents_f"),
+            Sum("cents_o", alias_name="cents_o"),
+            Sum("cents_p", alias_name="cents_p"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: pa.table({c: pc.cast(t[c], pa.int64()) for c in t.column_names}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PIVOT_STATUS = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_f,
+       CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_o,
+       CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(floor(o_totalprice*100+0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents_p,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+def q_rollup_priority(sf_dir: str):
+    """ROLLUP hierarchy (priority, status) → (priority) → (): ONE
+    full-data exchange produces the finest-grain aggregate; both
+    super-aggregate levels re-aggregate that tiny result — never the
+    fact table (the classic rollup-from-base optimization). NULL marks
+    the rolled-up dimension, as in SQL ROLLUP."""
+    orders = read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "o_orderstatus": batch["o_orderstatus"],
+                "cents": _cents(batch["o_totalprice"]),
+            }
+        ).group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ([], "count_all")]
+        ).rename_columns(["o_orderpriority", "o_orderstatus", "cents", "n"])
+
+    base = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .materialize()
+    )
+    lvl1 = base.groupby("o_orderpriority").aggregate(
+        Sum("cents", alias_name="cents"), Sum("n", alias_name="n")
+    )
+
+    def _with_status_null(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": pa.nulls(t.num_rows, pa.string()),
+                "cents": pc.cast(t["cents"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    def _grand(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": pa.nulls(1, pa.string()),
+                "o_orderstatus": pa.nulls(1, pa.string()),
+                "cents": pa.array([pc.sum(t["cents"]).as_py()], pa.int64()),
+                "n": pa.array([pc.sum(t["n"]).as_py()], pa.int64()),
+            }
+        )
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": pc.cast(t["cents"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    fine = base.map_batches(_norm, batch_format="pyarrow")
+    mid = lvl1.map_batches(_with_status_null, batch_format="pyarrow")
+    top = base.repartition(1).map_batches(_grand, batch_format="pyarrow", batch_size=None)
+    return fine.union(mid).union(top)
+
+
+SQL_ROLLUP_PRIORITY = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+_KEYWORD_QUERY = ("merge", "window", "hash")
+
+
+def q_keyword_search(sf_dir: str):
+    """Lexical keyword retrieval (the exact-match half of the
+    reference's search surface, fupi/searcher.py semantic search's
+    lexical complement): rank docs by (#distinct query terms present,
+    total query-term frequency, doc_id) — an all-integer rank, so the
+    oracle is exact where tf-idf's log would drift. Query terms are a
+    broadcast hash set; each batch scores via one flat tokenize +
+    searchsorted membership, then prunes to a per-block partial top-k
+    before the tiny global sort+limit (combiner pattern: k x blocks
+    rows move, never the corpus)."""
+    from fupi_ray.functions import textkernels as tk
+    from fupi_ray.functions.hashing import stable_hash
+
+    k = 20
+    qh = np.sort(stable_hash(np.array(_KEYWORD_QUERY, dtype=object)))
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        W, di, _ = tk.flat_word_hashes(batch["text"])
+        n = batch.num_rows
+        if len(W):
+            pos = np.searchsorted(qh, W)
+            hit = (pos < len(qh)) & (qh[np.minimum(pos, len(qh) - 1)] == W)
+            tf = np.bincount(di[hit], minlength=n).astype(np.int64)
+            # distinct terms per doc: unique (doc, term) pairs among hits
+            dh, wh = di[hit], W[hit]
+            order = np.lexsort((wh, dh))
+            dh, wh = dh[order], wh[order]
+            first = np.ones(len(dh), bool)
+            first[1:] = (dh[1:] != dh[:-1]) | (wh[1:] != wh[:-1])
+            nm = np.bincount(dh[first], minlength=n).astype(np.int64)
+        else:
+            tf = np.zeros(n, np.int64)
+            nm = np.zeros(n, np.int64)
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_match": pa.array(nm),
+                "tf": pa.array(tf),
+            }
+        ).filter(pa.array(nm > 0))
+        if t.num_rows > k:
+            df = t.to_pandas().sort_values(
+                ["n_match", "tf", "doc_id"],
+                ascending=[False, False, True],
+                kind="mergesort",
+            )
+            t = pa.Table.from_pandas(df.head(k), preserve_index=False)
+        return t
+
+    return (
+        docs.map_batches(score, batch_format="pyarrow")
+        .sort(["n_match", "tf", "doc_id"], descending=[True, True, False])
+        .limit(k)
+    )
+
+
+SQL_KEYWORD_SEARCH = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> len(x) > 0)) AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_match,
+         CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words WHERE w IN ('merge', 'window', 'hash')
+  GROUP BY doc_id
+)
+SELECT doc_id, n_match, tf FROM m
+ORDER BY n_match DESC, tf DESC, doc_id LIMIT 20
+"""

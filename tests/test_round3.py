@@ -805,3 +805,61 @@ def test_decontaminate_flags_overlap_docs():
     assert len(got) > 0
     assert (got["n_hits"] >= 1).all()
     assert got["doc_id"].is_unique
+
+
+# -- round-3 relational breadth: pivot, rollup, keyword search -----------
+
+
+def test_pivot_status_matches_driver_side_recompute():
+    from fupi_ray.pipelines.queries import q_pivot_status
+
+    sf = "/root/testdata/sf0.001"
+    got = q_pivot_status(sf).to_pandas().set_index("o_year").sort_index()
+    import pyarrow.parquet as pq
+
+    df = pq.read_table(sf + "/orders.parquet").to_pandas()
+    df["y"] = df["o_orderdate"].dt.year
+    df["cents"] = np.floor(df["o_totalprice"] * 100 + 0.5).astype(np.int64)
+    for y, grp in df.groupby("y"):
+        assert got.loc[y, "n_orders"] == len(grp)
+        for s in ("F", "O", "P"):
+            assert got.loc[y, f"cents_{s.lower()}"] == grp.loc[
+                grp["o_orderstatus"] == s, "cents"
+            ].sum()
+
+
+def test_rollup_levels_are_consistent():
+    from fupi_ray.pipelines.queries import q_rollup_priority
+
+    got = q_rollup_priority("/root/testdata/sf0.001").to_pandas()
+    fine = got[got["o_orderstatus"].notna()]
+    mid = got[got["o_orderstatus"].isna() & got["o_orderpriority"].notna()]
+    top = got[got["o_orderpriority"].isna()]
+    assert len(top) == 1
+    assert top["cents"].iloc[0] == fine["cents"].sum() == mid["cents"].sum()
+    assert top["n"].iloc[0] == fine["n"].sum() == mid["n"].sum()
+    by_p = fine.groupby("o_orderpriority")[["cents", "n"]].sum()
+    m = mid.set_index("o_orderpriority")[["cents", "n"]]
+    assert by_p.sort_index().equals(m.sort_index())
+
+
+def test_keyword_search_rank_is_integer_exact():
+    from fupi_ray.pipelines.queries import _KEYWORD_QUERY, q_keyword_search
+
+    sf = "/root/testdata/sf0.001"
+    got = q_keyword_search(sf).to_pandas()
+    assert len(got) == 20
+    # ranks must be non-increasing on (n_match, tf)
+    keys = list(zip(-got["n_match"], -got["tf"], got["doc_id"]))
+    assert keys == sorted(keys)
+    # spot-check one doc's counts against a pure-python recompute
+    import re
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    d = int(got["doc_id"].iloc[0])
+    words = [w for w in re.split(r"[^a-z0-9_]+", texts[d].lower()) if w]
+    assert got["tf"].iloc[0] == sum(w in _KEYWORD_QUERY for w in words)
+    assert got["n_match"].iloc[0] == len({w for w in words if w in _KEYWORD_QUERY})
