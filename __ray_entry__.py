@@ -80,6 +80,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_status": q.q_pivot_status,
         "rollup_priority": q.q_rollup_priority,
         "keyword_search": q.q_keyword_search,
+        "distinct_count": q.q_distinct_count,
+        "approx_distinct": q.q_approx_distinct,
+        "heavy_hitters": q.q_heavy_hitters,
         # lakehouse maintenance ops (north star)
         "lake_compact": lake.q_lake_compact,
         "lake_cluster": lake.q_lake_cluster,
@@ -137,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "pivot_status": q.SQL_PIVOT_STATUS,
         "rollup_priority": q.SQL_ROLLUP_PRIORITY,
         "keyword_search": q.SQL_KEYWORD_SEARCH,
+        "distinct_count": q.SQL_DISTINCT_COUNT,
+        "heavy_hitters": q.SQL_HEAVY_HITTERS,
         "lake_compact": lake.SQL_LAKE_COMPACT,
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,

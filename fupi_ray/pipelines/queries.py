@@ -2082,3 +2082,112 @@ m AS (
 SELECT doc_id, n_match, tf FROM m
 ORDER BY n_match DESC, tf DESC, doc_id LIMIT 20
 """
+
+
+def q_distinct_count(sf_dir: str):
+    """Exact distinct-text count per source, two-stage: per-batch
+    local (source, hash) dedup shrinks the exchange to distinct pairs,
+    the groupby dedups globally, a second tiny aggregate counts rows
+    per source. 64-bit stable_hash stands in for string equality (the
+    SQL twin compares strings; collision odds negligible). At corpus
+    scale the exchange still carries every distinct key — that is the
+    cost of exactness; ``q_approx_distinct`` is the constant-state
+    sketch alternative."""
+    docs = read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions.hashing import stable_hash
+
+        h = stable_hash(batch["text"])
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"), h.astype(str))
+        _, first = np.unique(key, return_index=True)
+        # int64 VIEW of the uint64 hash: Ray's sort-based shuffle samples
+        # boundary values as Python ints and re-infers int64 — a raw
+        # uint64 >= 2^63 would overflow there. Two's-complement relabel
+        # preserves distinctness (equality is all the groupby needs).
+        return pa.table(
+            {
+                "source": batch["source"].take(pa.array(first)),
+                "h": pa.array(h[first].view(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "h"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("source")
+        .aggregate(Count(alias_name="n_distinct"))
+        .map_batches(
+            lambda t: pa.table(
+                {"source": t["source"], "n_distinct": pc.cast(t["n_distinct"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+FROM documents GROUP BY source
+"""
+
+
+def q_approx_distinct(sf_dir: str):
+    """HLL distinct-text estimate per source (p=14, 16 KiB mergeable
+    register state per group x block — never a distinct-key exchange;
+    functions/sketches.py). Deterministic across cluster sizes
+    (register-max merge is associative/commutative), so rows-only
+    checking is still reproducible; accuracy vs the exact count is
+    asserted in tests (<3% at these cardinalities)."""
+    from fupi_ray.functions.sketches import hll_aggregate_fn
+
+    docs = read(sf_dir, "documents", columns=["source", "text"])
+    return (
+        docs.groupby("source")
+        .aggregate(hll_aggregate_fn("text", p=14, name="approx_distinct"))
+    )
+
+
+_HEAVY_K = 20
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Corpus-wide heavy hitters: the K most frequent words. Per-batch
+    partial word counts (flat tokenize + one np.unique) bound the
+    exchange by the vocabulary, not the token count; the final top-K
+    is a tiny sort. Words carried as strings so the SQL twin is exact;
+    tie-break on the word itself makes the cut deterministic."""
+    from fupi_ray.functions import textkernels as tk
+
+    docs = read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words, _, _ = tk.flat_words(batch["text"])
+        u, c = np.unique(words.astype(str), return_counts=True)
+        return pa.table(
+            {"word": pa.array(u, pa.string()), "n": pa.array(c.astype(np.int64))}
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table({"word": t["word"], "n": pc.cast(t["n"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "word"], descending=[True, False])
+        .limit(_HEAVY_K)
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'),
+                            x -> len(x) > 0)) AS w
+  FROM documents)
+GROUP BY w ORDER BY n DESC, w LIMIT 20
+"""

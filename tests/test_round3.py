@@ -863,3 +863,52 @@ def test_keyword_search_rank_is_integer_exact():
     words = [w for w in re.split(r"[^a-z0-9_]+", texts[d].lower()) if w]
     assert got["tf"].iloc[0] == sum(w in _KEYWORD_QUERY for w in words)
     assert got["n_match"].iloc[0] == len({w for w in words if w in _KEYWORD_QUERY})
+
+
+# -- round-3 sketches: HLL distinct, heavy hitters ------------------------
+
+
+def test_hll_accuracy_and_merge_invariance():
+    from fupi_ray.functions.sketches import hll_estimate, hll_merge, hll_partial
+
+    vals = np.array([f"key-{i}" for i in range(30_000)], dtype=object)
+    whole = hll_partial(vals)
+    # merge of arbitrary splits must equal the one-shot registers
+    split = hll_merge(
+        hll_merge(hll_partial(vals[:7_000]), hll_partial(vals[7_000:21_000])),
+        hll_partial(vals[21_000:]),
+    )
+    assert (whole == split).all()
+    est = hll_estimate(whole)
+    assert abs(est - 30_000) / 30_000 < 0.03
+    # duplicates must not move the estimate
+    dup = hll_merge(whole, hll_partial(vals[:5_000]))
+    assert (dup == whole).all()
+
+
+def test_approx_distinct_close_to_exact():
+    from fupi_ray.pipelines.queries import q_approx_distinct, q_distinct_count
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_distinct_count(sf).to_pandas().set_index("source")["n_distinct"]
+    approx = q_approx_distinct(sf).to_pandas().set_index("source")["approx_distinct"]
+    for src in exact.index:
+        err = abs(approx[src] - exact[src]) / exact[src]
+        assert err < 0.03, (src, exact[src], approx[src])
+
+
+def test_heavy_hitters_matches_collections_counter():
+    from collections import Counter
+    import re
+
+    import pyarrow.parquet as pq
+
+    from fupi_ray.pipelines.queries import _HEAVY_K, q_heavy_hitters
+
+    sf = "/root/testdata/sf0.001"
+    got = q_heavy_hitters(sf).to_pandas()
+    c = Counter()
+    for txt in pq.read_table(sf + "/documents.parquet", columns=["text"])["text"].to_pylist():
+        c.update(w for w in re.split(r"[^a-z0-9_]+", txt.lower()) if w)
+    expect = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_HEAVY_K]
+    assert list(zip(got["word"], got["n"])) == expect
