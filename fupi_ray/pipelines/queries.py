@@ -887,7 +887,7 @@ def q_langid(sf_dir: str):
     """Language-ID heuristic (stopword argmax, actor-pool stage) →
     confusion counts against the labeled lang column."""
     docs = read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
-    pred = docs.map_batches(tx.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    pred = docs.map_batches(tx.langid_batch, batch_format="pyarrow")
     return (
         pred.groupby(["lang", "pred_lang"])
         .aggregate(Count(alias_name="n"))

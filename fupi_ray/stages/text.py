@@ -85,6 +85,22 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "de", "fr", "es")
 
 
+_LANGID: "LangIdStage | None" = None
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of LangIdStage: state build is microseconds
+    (regex + frozensets), so an actor pool buys nothing and costs
+    ~1-2 s spawn per session AND breaks ReadParquet<->MapBatches
+    fusion. Module-level cache keeps the load-once contract per worker
+    process; heavy-state stages (embedders, translators) stay actor
+    pools."""
+    global _LANGID
+    if _LANGID is None:
+        _LANGID = LangIdStage()
+    return _LANGID(batch)
+
+
 class LangIdStage:
     """Stateful stage (actor pool): compiles the word regex and builds
     the lexicon sets once per actor (the reference's load-once pattern,
