@@ -236,9 +236,9 @@ class FeatureHashEmbedder:
 
 
 def _index_path(table_dir: str) -> str:
-    import os
+    from fupi_ray.state import fs as _fs
 
-    return os.path.join(table_dir, "index", "ivf.json")
+    return _fs.join(table_dir, "index", "ivf.json")
 
 
 def _make_assign(idx_ref, vec_col: str):
@@ -260,14 +260,15 @@ def _make_assign(idx_ref, vec_col: str):
 
 def _write_sidecar(table_dir: str, centroids: np.ndarray, version: int) -> None:
     import json
-    import os
 
-    ip = _index_path(table_dir)
-    os.makedirs(os.path.dirname(ip), exist_ok=True)
-    with open(ip, "w") as f:
-        json.dump(
-            {"centroids": centroids.tolist(), "table_version": int(version)}, f
-        )
+    from fupi_ray.state import fs as _fs
+
+    # write_text routes any path (local or scheme://) through fsspec
+    # and creates the parent directory itself.
+    _fs.write_text(
+        _index_path(table_dir),
+        json.dumps({"centroids": centroids.tolist(), "table_version": int(version)}),
+    )
 
 
 def build_ivf_table(
@@ -409,8 +410,9 @@ class StaleIvfIndexError(RuntimeError):
 def load_ivf_index(table_dir: str) -> tuple[IvfIndex, int | None]:
     import json
 
-    with open(_index_path(table_dir)) as f:
-        d = json.load(f)
+    from fupi_ray.state import fs as _fs
+
+    d = json.loads(_fs.read_text(_index_path(table_dir)))
     idx = IvfIndex(np.asarray(d["centroids"], dtype=np.float64))
     v = d.get("table_version")
     return idx, (int(v) if v is not None else None)

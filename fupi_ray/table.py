@@ -106,7 +106,9 @@ class Table:
         config: EngineConfig | None = None,
     ) -> "Table":
         """Create an empty table (manifest v0, no fragments)."""
-        os.makedirs(mf.data_dir(table_dir), exist_ok=True)
+        # URI-safe: os.makedirs on a scheme:// path would create a
+        # literal "file:" directory relative to the cwd.
+        _fs.makedirs(mf.data_dir(table_dir))
         names, types = _schema_lists(schema)
         if mf.read_latest_version(table_dir) is None:
             m = Manifest(
