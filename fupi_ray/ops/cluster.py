@@ -202,7 +202,21 @@ def _sort_and_write(
     clustered = keyed.sort("_ckey").map_batches(
         lambda t: t.drop_columns(["_ckey"]), batch_format="pyarrow"
     )
-    return write_dataset_fragments(clustered, table.table_dir, prefix)
+    # Output fragment size must be a function of DATA size, not sort
+    # parallelism: the sort emits ~nb blocks, so writing one fragment
+    # per block would fragment the layout 2-4x at high CPU counts
+    # (measured: 74 vs 37 fragments for the same 9.6M rows at 32 vs 8
+    # CPUs, and the post-cluster pruned scan paid 2x the per-fragment
+    # overhead). Rebatch the sorted stream to target_fragment_bytes —
+    # consecutive sorted rows coalesce, so zone maps stay tight.
+    rows_per_frag = None
+    if total_bytes > 0 and total_rows > 0:
+        rows_per_frag = max(
+            1, int(total_rows * cfg.target_fragment_bytes / total_bytes)
+        )
+    return write_dataset_fragments(
+        clustered, table.table_dir, prefix, target_fragment_rows=rows_per_frag
+    )
 
 
 def cluster(
