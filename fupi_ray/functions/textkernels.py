@@ -25,32 +25,44 @@ def _combined(arr) -> pa.Array:
     return arr
 
 
-def string_byte_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy ``(offsets int64 (n+1,), bytes uint8)`` view of a
-    string/large_string Array's value buffer.
+def arrow_offsets(arr: pa.Array) -> np.ndarray:
+    """Zero-copy int64 offsets ``(n+1,)`` of a varlen Arrow array
+    (string/binary and their large_ variants).
 
-    Branches on the physical offset width (string = int32,
-    large_string = int64 — Arrow promotes when a block exceeds 2 GiB)
-    and asserts the buffer width matches, so a silent garbage-offset
-    read is impossible (ADVICE r2: hardcoded ``.view(np.int32)``).
+    THE single place that branches on the physical offset width
+    (string/binary = int32, large_ = int64 — Arrow promotes when a
+    block exceeds 2 GiB) and asserts the buffer is wide enough, so a
+    silent garbage-offset read is impossible (ADVICE r2: hardcoded
+    ``.view(np.int32)``). Both the text-signature kernels and the
+    multimodal byte path build on this.
     """
-    arr = _combined(arr)
     n = len(arr)
-    if pa.types.is_large_string(arr.type):
+    t = arr.type
+    if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         width, odt = 8, np.int64
-    elif pa.types.is_string(arr.type):
+    elif pa.types.is_string(t) or pa.types.is_binary(t):
         width, odt = 4, np.int32
     else:
-        raise TypeError(f"expected string/large_string, got {arr.type}")
+        raise TypeError(f"expected a string/binary varlen array, got {t}")
     buf = arr.buffers()[1]
     if len(buf) < (arr.offset + n + 1) * width:
         raise AssertionError(
-            f"offset buffer too small for {arr.type}: {len(buf)} bytes, "
+            f"offset buffer too small for {t}: {len(buf)} bytes, "
             f"need {(arr.offset + n + 1) * width}"
         )
     offsets = np.frombuffer(buf, dtype=odt)[arr.offset : arr.offset + n + 1]
+    return offsets.astype(np.int64)
+
+
+def string_byte_view(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy ``(offsets int64 (n+1,), bytes uint8)`` view of a
+    string/large_string Array's value buffer."""
+    arr = _combined(arr)
+    if not (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)):
+        raise TypeError(f"expected string/large_string, got {arr.type}")
+    offsets = arrow_offsets(arr)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return offsets.astype(np.int64), data
+    return offsets, data
 
 
 def flat_words(

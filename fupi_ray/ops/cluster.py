@@ -153,13 +153,11 @@ def _sort_and_write(
     """One bounded cluster job: read → key (actor pool) → sort → write
     one fragment per sorted output block (a contiguous curve-key range
     → tight zone map)."""
-    import os
-
-    import pyarrow.parquet as pq
+    from fupi_ray.state import fs as _fs
 
     cfg = table.config
-    total_bytes = sum(os.path.getsize(p) for p in paths)
-    total_rows = sum(pq.read_metadata(p).num_rows for p in paths)
+    total_bytes = sum(_fs.size(p) for p in paths)
+    total_rows = sum(_fs.parquet_file(p).metadata.num_rows for p in paths)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # parallelism floor is useless once blocks drop under ~8 MiB — the
     # per-partition sort/exchange overhead then outweighs the extra
@@ -173,7 +171,15 @@ def _sort_and_write(
     # ImportError when aiohttp is absent (failed imports aren't cached,
     # so every thread retries the import simultaneously)
     with _READ_LOCK:
-        ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+        if _fs.is_uri(table.table_dir):
+            filesystem, _ = _fs.arrow_fs(table.table_dir)
+            ds = ray.data.read_parquet(
+                [_fs.get_fs(p)[1] for p in paths],
+                filesystem=filesystem,
+                override_num_blocks=int(nb),
+            )
+        else:
+            ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
     if schema_info is not None:
         # schema evolution: groups can mix pre/post-evolution files —
         # normalize every batch to the declared schema before keying
@@ -244,8 +250,15 @@ def cluster(
     """
     import time
 
+    from fupi_ray.state import fs as _lfs
     from fupi_ray.state import lineage
 
+    if _lfs.is_process_local(table.table_dir):
+        raise ValueError(
+            "cluster reads/writes fragments from Ray worker processes; "
+            "memory:// is process-local — use a shared protocol "
+            "(local path, file://, s3://)"
+        )
     cfg = table.config
     parent = table.latest_version() if version is None else version
     m = table.manifest(parent)
@@ -268,7 +281,6 @@ def cluster(
         group_bytes = cfg.cluster_auto_group_bytes
     groups = _plan_groups(m.fragments, group_bytes)
 
-    import os
     from concurrent.futures import ThreadPoolExecutor
 
     def run_group(gi: int, group) -> list:
@@ -280,7 +292,7 @@ def cluster(
         if rec is not None and rec.get("input_fragments") == inputs:
             return lineage.output_fragments(rec)
         t0 = time.perf_counter()
-        paths = [os.path.join(table.table_dir, f.path) for f in group]
+        paths = [_lfs.join(table.table_dir, f.path) for f in group]
         # normalize only when the group's files disagree with the
         # declared schema (zero overhead on the homogeneous fast path)
         schema_info = None

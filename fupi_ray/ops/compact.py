@@ -35,6 +35,7 @@ import ray
 
 from fupi_ray import manifest as mf
 from fupi_ray.manifest import FragmentMeta
+from fupi_ray.state import fs as _fs
 from fupi_ray.state import lineage
 from fupi_ray.table import Table
 
@@ -84,8 +85,7 @@ def plan_compaction(
     return CompactionPlan(packs=packs, untouched=untouched)
 
 
-@ray.remote(num_cpus=1)
-def _repack_task(
+def _repack(
     table_dir: str,
     job_id: str,
     pack_idx: int,
@@ -112,13 +112,23 @@ def _repack_task(
         if existing.get("input_fragments") == input_rel_paths:
             return existing
 
-    rel_out = os.path.join("data", f"cp-{job_id}-{pack_idx:05d}.parquet")
-    abs_out = os.path.join(table_dir, rel_out)
+    rel_out = f"data/cp-{job_id}-{pack_idx:05d}.parquet"
+    abs_out = _fs.join(table_dir, rel_out)
     t0 = time.perf_counter()
     rows = 0
     writer = None
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(abs_out), suffix=".parquet.tmp")
-    os.close(fd)
+    uri = _fs.is_uri(abs_out)
+    if uri:
+        # object-store protocol: stream row groups into one put (the
+        # object appears atomically when the handle closes); no rename
+        sink = _fs.open_write(abs_out)
+        tmp = None
+    else:
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(abs_out), suffix=".parquet.tmp"
+        )
+        os.close(fd)
+        sink = tmp
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -154,12 +164,12 @@ def _repack_task(
                 return
             tbl = pa.concat_tables(buf)
             if writer is None:
-                writer = pq.ParquetWriter(tmp, tbl.schema)
+                writer = pq.ParquetWriter(sink, tbl.schema)
             writer.write_table(tbl, row_group_size=row_group_rows)
             buf, buf_rows = [], 0
 
         for rel in input_rel_paths:
-            pf = pq.ParquetFile(os.path.join(table_dir, rel))
+            pf = _fs.parquet_file(_fs.join(table_dir, rel))
             for rg in range(pf.metadata.num_row_groups):
                 tbl = pf.read_row_group(rg)
                 if declared is not None:
@@ -180,15 +190,18 @@ def _repack_task(
         flush()
         if writer is not None:
             writer.close()
-        os.replace(tmp, abs_out)
+        if uri:
+            sink.close()
+        else:
+            os.replace(tmp, abs_out)
     finally:
-        if os.path.exists(tmp):
+        if tmp is not None and os.path.exists(tmp):
             os.unlink(tmp)
 
     meta = FragmentMeta(
         path=rel_out,
         rows=rows,
-        bytes=os.path.getsize(abs_out),
+        bytes=_fs.size(abs_out),
         sum_n_tok=sum_n_tok,
         zone_map={c: {"min": mins[c], "max": maxs[c]} for c in mins},
     )
@@ -201,6 +214,10 @@ def _repack_task(
         metrics={"seconds": time.perf_counter() - t0, "rows": rows},
     )
     return lineage.read_record(table_dir, job_id, partition)
+
+
+# one repack per Ray task; shared protocols (local, file://, s3://) only
+_repack_task = ray.remote(num_cpus=1)(_repack)
 
 
 def compact(table: Table, job_id: str | None = None) -> int | None:
@@ -219,8 +236,8 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
         return None
     job_id = job_id or f"compact-v{parent}"
 
-    refs = [
-        _repack_task.remote(
+    task_args = [
+        (
             table.table_dir,
             job_id,
             i,
@@ -232,7 +249,12 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
         )
         for i, p in enumerate(plan.packs)
     ]
-    records = ray.get(refs)
+    if _fs.is_process_local(table.table_dir):
+        # memory:// lives only in THIS process — worker tasks could
+        # neither read the inputs nor make their outputs visible
+        records = [_repack(*a) for a in task_args]
+    else:
+        records = ray.get([_repack_task.remote(*a) for a in task_args])
     new_frags = [fm for rec in records for fm in lineage.output_fragments(rec)]
     removed = {f.path for p in plan.packs for f in p}
     stats = {

@@ -14,10 +14,10 @@ pinned to v must keep scanning v unchanged forever.
 
 from __future__ import annotations
 
-import os
 import time
 
 from fupi_ray import manifest as mf
+from fupi_ray.state import fs as _fs
 from fupi_ray.table import Table
 
 
@@ -66,29 +66,27 @@ def expire_snapshots(
         keep |= pins
         dead = set(all_versions) - keep
 
-    # drop dead manifests
+    # drop dead manifests (fs helpers route scheme:// through fsspec,
+    # plain local paths through os)
     for v in sorted(dead):
         p = mf.manifest_path(table.table_dir, v)
-        if os.path.exists(p):
-            os.unlink(p)
+        if _fs.exists(p):
+            _fs.rm(p)
+
+    from fupi_ray.state import lineage as lin
 
     cleared_jobs: list[str] = []
     if clear_stale_lineage_seconds is not None:
-        from fupi_ray.state import lineage as lin
-
-        ldir0 = mf.lineage_dir(table.table_dir)
         now0 = time.time()
-        if os.path.isdir(ldir0):
-            for job in os.listdir(ldir0):
-                jdir = os.path.join(ldir0, job)
-                if not os.path.isdir(jdir):
-                    continue
-                mtimes = [
-                    os.path.getmtime(os.path.join(jdir, n)) for n in os.listdir(jdir)
-                ] or [os.path.getmtime(jdir)]
-                if now0 - max(mtimes) > clear_stale_lineage_seconds:
-                    lin.clear_job(table.table_dir, job)
-                    cleared_jobs.append(job)
+        for job in lin.list_jobs(table.table_dir):
+            jdir = lin._job_dir(table.table_dir, job)
+            names = _fs.ls_names(jdir)
+            mtimes = [_fs.mtime(_fs.join(jdir, n)) for n in names] or [
+                _fs.mtime(jdir)
+            ]
+            if now0 - max(mtimes) > clear_stale_lineage_seconds:
+                lin.clear_job(table.table_dir, job)
+                cleared_jobs.append(job)
 
     # GC fragments unreachable from any surviving manifest
     live_paths: set[str] = set()
@@ -98,40 +96,29 @@ def expire_snapshots(
     # outputs recorded by lineage (an in-flight or crashed job awaiting
     # --job-id resume) are live too: deleting them would make a later
     # resume commit a manifest pointing at vanished files
-    ldir = mf.lineage_dir(table.table_dir)
-    if os.path.isdir(ldir):
-        import json
-
-        for job in os.listdir(ldir):
-            jdir = os.path.join(ldir, job)
-            if not os.path.isdir(jdir):
-                continue
-            for name in os.listdir(jdir):
-                if not name.endswith(".json"):
-                    continue
-                try:
-                    with open(os.path.join(jdir, name)) as f:
-                        rec = json.load(f)
-                except (OSError, ValueError):
-                    continue
-                for frag in rec.get("output_fragments", []):
-                    live_paths.add(frag.get("path"))
+    for job in lin.list_jobs(table.table_dir):
+        try:
+            recs = lin.completed_partitions(table.table_dir, job)
+        except (OSError, ValueError):
+            continue  # malformed record: keep the job's files (safe side)
+        for rec in recs.values():
+            for frag in rec.get("output_fragments", []):
+                live_paths.add(frag.get("path"))
     removed_files = 0
     freed = 0
     ddir = mf.data_dir(table.table_dir)
     now = time.time()
-    if os.path.isdir(ddir):
-        for name in os.listdir(ddir):
-            rel = os.path.join("data", name)
-            if rel in live_paths or not name.endswith(".parquet"):
-                continue
-            ap = os.path.join(ddir, name)
-            # grace period protects fragments of in-flight (uncommitted) jobs
-            if now - os.path.getmtime(ap) < gc_grace_seconds:
-                continue
-            freed += os.path.getsize(ap)
-            os.unlink(ap)
-            removed_files += 1
+    for name in _fs.ls_names(ddir):
+        rel = f"data/{name}"
+        if rel in live_paths or not name.endswith(".parquet"):
+            continue
+        ap = _fs.join(ddir, name)
+        # grace period protects fragments of in-flight (uncommitted) jobs
+        if now - _fs.mtime(ap) < gc_grace_seconds:
+            continue
+        freed += _fs.size(ap)
+        _fs.rm(ap)
+        removed_files += 1
 
     return {
         "expired_versions": sorted(dead),

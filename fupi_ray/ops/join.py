@@ -314,6 +314,17 @@ def asof_join(
     )
 
 
+def _append_null_columns(batch: pa.Table, vals: dict, cols) -> pa.Table:
+    """Append each value column as all-null with the dtype its numpy
+    broadcast array declares — keeps the output SCHEMA stable when a
+    probe has nothing to attach (empty small side / zero-row batch)."""
+    for c in cols:
+        dt = vals[c].dtype
+        typ = pa.string() if dt.kind in ("O", "U") else pa.from_numpy_dtype(dt)
+        batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
+    return batch
+
+
 def broadcast_join(
     big: ray.data.Dataset,
     small_ref,
@@ -337,16 +348,12 @@ def broadcast_join(
         def __call__(self, batch: pa.Table) -> pa.Table:
             probe = batch[on].to_numpy(zero_copy_only=False)
             if len(self.keys) == 0:
-                if how == "inner":
-                    return batch.slice(0, 0)
-                # left join vs an empty small side: every value column
-                # is all-null (fancy-indexing the empty vals arrays
-                # would raise IndexError)
-                for c in value_cols:
-                    dt = self.vals[c].dtype
-                    typ = pa.string() if dt.kind in ("O", "U") else pa.from_numpy_dtype(dt)
-                    batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
-                return batch
+                # empty small side: inner → zero rows, left → all rows;
+                # either way the value columns must still APPEAR (an
+                # output block without them breaks schema-strict
+                # consumers downstream)
+                out = batch.slice(0, 0) if how == "inner" else batch
+                return _append_null_columns(out, self.vals, value_cols)
             else:
                 idx = np.searchsorted(self.keys, probe)
                 idx_c = np.clip(idx, 0, len(self.keys) - 1)
@@ -403,11 +410,14 @@ def enrich_join(
     bucket exchange per side, nothing on the driver. Mirrors the
     strategy dispatch MERGE already does (``merge_broadcast_max_keys``).
 
-    Contract: ``small`` must be unique on ``right_on`` (an enrichment
-    dimension) — the broadcast probe is a searchsorted lookup and keeps
-    exactly one match per key. Row ORDER of the output differs between
-    the two plans (broadcast preserves the big side's order, hash_join
-    shuffles); callers must not rely on it.
+    The broadcast probe is a searchsorted lookup — it keeps exactly one
+    match per key, so it is only VALID when the small side is unique on
+    ``right_on``. That is checked, not assumed: a small side with
+    duplicate keys dispatches to :func:`hash_join` (which emits every
+    match) regardless of size, so the result never silently changes
+    when a "dimension" stops being one. Row ORDER of the output differs
+    between the two plans (broadcast preserves the big side's order,
+    hash_join shuffles); callers must not rely on it.
     """
     right_on = on if right_on is None else right_on
     if broadcast_max_bytes is None:
@@ -420,13 +430,33 @@ def enrich_join(
     small = small.select_columns([right_on] + list(value_cols)).materialize()
     if small.size_bytes() <= broadcast_max_bytes:
         df = small.to_pandas()
-        if right_on != on:
-            df = df.rename(columns={right_on: on})
-        ref = prepare_broadcast_side(df, on=on, value_cols=list(value_cols))
-        return broadcast_join(
-            big, ref, on=on, value_cols=list(value_cols), how=how,
-            concurrency=concurrency,
-        )
+        if right_on not in df.columns:
+            # Ray's to_pandas on an EMPTY dataset drops the columns —
+            # rebuild the typed empty frame from the dataset schema
+            # (pyarrow- or pandas-block-backed)
+            import pandas as _pd
+
+            sch = small.schema()
+            base = getattr(sch, "base_schema", None)
+            if isinstance(base, pa.Schema):
+                df = base.empty_table().to_pandas()
+            else:
+                df = _pd.DataFrame(
+                    {
+                        n: _pd.Series(dtype=t)
+                        for n, t in zip(sch.names, getattr(base, "types", []))
+                    }
+                )
+        if df[right_on].is_unique:
+            if right_on != on:
+                df = df.rename(columns={right_on: on})
+            ref = prepare_broadcast_side(df, on=on, value_cols=list(value_cols))
+            return broadcast_join(
+                big, ref, on=on, value_cols=list(value_cols), how=how,
+                concurrency=concurrency,
+            )
+        # duplicate keys: searchsorted would keep one arbitrary match —
+        # fall through to hash_join's every-match semantics
     return hash_join(
         big, small, on=on, right_on=right_on, how=how, num_buckets=num_buckets
     )
@@ -490,17 +520,12 @@ def range_join(
             self.lo, self.hi = side["lo"], side["hi"]
             self.vals = {c: side[c] for c in payload_cols}
 
-        def _null_padded(self, batch: pa.Table) -> pa.Table:
-            for c in payload_cols:
-                dt = self.vals[c].dtype
-                typ = pa.string() if dt.kind in ("O", "U") else pa.from_numpy_dtype(dt)
-                batch = batch.append_column(c, pa.nulls(batch.num_rows, typ))
-            return batch
-
         def __call__(self, batch: pa.Table) -> pa.Table:
             v = batch[value_col].to_numpy(zero_copy_only=False)
             if len(self.lo) == 0:
-                return batch.slice(0, 0) if how == "inner" else self._null_padded(batch)
+                # schema-stable empty-bands path (see _append_null_columns)
+                out = batch.slice(0, 0) if how == "inner" else batch
+                return _append_null_columns(out, self.vals, payload_cols)
             if not overlap:
                 idx = np.searchsorted(self.lo, v, side="right") - 1
                 idx_c = np.clip(idx, 0, len(self.lo) - 1)

@@ -44,6 +44,7 @@ import ray.data
 from fupi_ray.functions.hashing import stable_hash
 from fupi_ray.manifest import FragmentMeta, fragment_meta_from_table
 from fupi_ray.schema import SEQUENCE_COLUMNS, normalize_batch
+from fupi_ray.state import fs as _fs
 from fupi_ray.state import lineage
 from fupi_ray.table import Table, write_dataset_fragments
 
@@ -162,7 +163,7 @@ def _rewrite_fragment_task(
     # hits, so hash collisions cannot drop a wrong row.
     key_hashes, key_bytes = keys_ref  # ObjectRef args resolve before entry
     t0 = time.perf_counter()
-    tbl = pq.read_table(os.path.join(table_dir, rel_path))
+    tbl = _fs.read_parquet_table(_fs.join(table_dir, rel_path))
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     id_hashes = stable_hash(ids)
     lo = np.searchsorted(key_hashes, id_hashes, side="left")
@@ -189,11 +190,9 @@ def _rewrite_fragment_task(
 
     outputs: list[FragmentMeta] = []
     if out.num_rows:
-        rel_out = os.path.join("data", f"mg-{job_id}-{frag_idx:05d}.parquet")
-        abs_out = os.path.join(table_dir, rel_out)
-        tmp = abs_out + ".tmp"
-        pq.write_table(out, tmp, row_group_size=32 * 1024)
-        os.replace(tmp, abs_out)
+        rel_out = f"data/mg-{job_id}-{frag_idx:05d}.parquet"
+        abs_out = _fs.join(table_dir, rel_out)
+        _fs.write_parquet(out, abs_out, row_group_size=32 * 1024)
         outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
     lineage.write_record(
         table_dir,
@@ -224,9 +223,14 @@ def _merge_shuffle(
     """Scale path: both sides tagged + bucketed by hash(doc_id); a
     source row wins over the target row of the same key inside each
     bucket. One all-to-all exchange, vectorized resolution per bucket."""
-    target = ray.data.read_parquet(
-        [os.path.join(table.table_dir, p) for p in hit_frag_paths]
-    )
+    paths = [_fs.join(table.table_dir, p) for p in hit_frag_paths]
+    if _fs.is_uri(table.table_dir):
+        filesystem, _ = _fs.arrow_fs(table.table_dir)
+        target = ray.data.read_parquet(
+            [_fs.get_fs(p)[1] for p in paths], filesystem=filesystem
+        )
+    else:
+        target = ray.data.read_parquet(paths)
     # project to the TABLE's schema (not the hardcoded canonical one):
     # a user table with extra columns round-trips them through MERGE;
     # fragments/sources predating an add-column are padded
@@ -293,6 +297,12 @@ def merge_into(
 ) -> int:
     """Upsert ``source`` into ``table`` on ``doc_id``; returns the new
     version. ``strategy``: "broadcast", "shuffle" or "auto"."""
+    if _fs.is_process_local(table.table_dir):
+        raise ValueError(
+            "merge_into rewrites fragments from Ray worker processes; "
+            "memory:// is process-local — use a shared protocol "
+            "(local path, file://, s3://)"
+        )
     cfg = table.config
     parent = table.latest_version()
     job_id = job_id or f"merge-v{parent}"

@@ -998,8 +998,19 @@ def content_keep_mask(
             dtype=np.float64,
         )
         u = h / float(0x100000000)
-    src = batch[source_col].to_numpy(zero_copy_only=False)
-    rate = np.array([rate_for_source(s) for s in src.tolist()], dtype=np.float64)
+    # rate per DISTINCT source (dictionary-encode), then one fancy-index
+    # gather — rate_for_source runs O(distinct) per batch, never per row
+    src = batch[source_col]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    enc = pc.dictionary_encode(src)
+    uniq = enc.dictionary.to_pylist()
+    idx = enc.indices
+    if idx.null_count:
+        uniq.append(None)
+        idx = idx.fill_null(len(uniq) - 1)
+    per_code = np.array([rate_for_source(s) for s in uniq], dtype=np.float64)
+    rate = per_code[idx.to_numpy(zero_copy_only=False)]
     return pa.array(u < rate)
 
 
@@ -1733,8 +1744,12 @@ def q_group_quantiles(sf_dir: str):
     docs = read(sf_dir, "documents", columns=["lang", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # select by NAME: key-vs-aggregate column order is not a stable
+        # pyarrow contract across releases
         t = batch.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
-        return t.rename_columns(["lang", "n_chars", "cnt"])
+        return pa.table(
+            {"lang": t["lang"], "n_chars": t["n_chars"], "cnt": t["count_all"]}
+        )
 
     hist = (
         docs.map_batches(partial, batch_format="pyarrow")
@@ -1941,7 +1956,9 @@ def q_rollup_priority(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        return pa.table(
+        # select by NAME: key-vs-aggregate column order is not a stable
+        # pyarrow contract across releases
+        t = pa.table(
             {
                 "o_orderpriority": batch["o_orderpriority"],
                 "o_orderstatus": batch["o_orderstatus"],
@@ -1949,7 +1966,15 @@ def q_rollup_priority(sf_dir: str):
             }
         ).group_by(["o_orderpriority", "o_orderstatus"]).aggregate(
             [("cents", "sum"), ([], "count_all")]
-        ).rename_columns(["o_orderpriority", "o_orderstatus", "cents", "n"])
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": t["cents_sum"],
+                "n": t["count_all"],
+            }
+        )
 
     base = (
         orders.map_batches(partial, batch_format="pyarrow")

@@ -34,18 +34,12 @@ def _binary_view(col) -> tuple[memoryview, np.ndarray, np.ndarray]:
     array: offsets straight from the buffers (int32 for binary/string,
     int64 for the large_ variants — the round-2 large_string lesson),
     nulls mapped to empty slices. No ``to_pylist``, no bytes copies."""
+    from fupi_ray.functions.textkernels import arrow_offsets
+
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    t = col.type
-    if pa.types.is_large_binary(t) or pa.types.is_large_string(t):
-        off_dtype = np.int64
-    elif pa.types.is_binary(t) or pa.types.is_string(t):
-        off_dtype = np.int32
-    else:
-        raise TypeError(f"expected a binary/string column, got {t}")
+    off = arrow_offsets(col)  # the one offset-width branch + assert
     bufs = col.buffers()
-    off = np.frombuffer(bufs[1], dtype=off_dtype, count=len(col) + 1 + col.offset)
-    off = off[col.offset :].astype(np.int64)
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     starts, ends = off[:-1].copy(), off[1:].copy()
     if col.null_count:

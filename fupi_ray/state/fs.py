@@ -127,3 +127,101 @@ def open_write(path: str):
 
     makedirs(dirname(path))
     return fsspec.open(path, "wb").open()
+
+
+# ---------------------------------------------------------------------------
+# Parquet + directory primitives for the maintenance ops (compact /
+# merge / cluster / expire must run against scheme:// tables — on a
+# real deployment the lakehouse lives on object storage). Local paths
+# keep the plain-os fast path.
+# ---------------------------------------------------------------------------
+
+
+def parquet_file(path: str):
+    """``pyarrow.parquet.ParquetFile`` for any protocol."""
+    import pyarrow.parquet as pq
+
+    if is_uri(path):
+        from pyarrow import fs as pafs
+
+        f, p = get_fs(path)
+        return pq.ParquetFile(
+            pafs.PyFileSystem(pafs.FSSpecHandler(f)).open_input_file(p)
+        )
+    return pq.ParquetFile(path)
+
+
+def read_parquet_table(path: str, **kwargs):
+    import pyarrow.parquet as pq
+
+    if is_uri(path):
+        filesystem, p = arrow_fs(path)
+        return pq.read_table(p, filesystem=filesystem, **kwargs)
+    return pq.read_table(path, **kwargs)
+
+
+def write_parquet(tbl, path: str, row_group_size: int | None = None) -> None:
+    """Atomic-enough parquet write: local = tmp file + rename; URI =
+    one whole-object put through the protocol (atomic on object
+    stores by definition)."""
+    import pyarrow.parquet as pq
+
+    if is_uri(path):
+        with open_write(path) as f:
+            pq.write_table(tbl, f, row_group_size=row_group_size)
+        return
+    import os as _os
+
+    _os.makedirs(_os.path.dirname(path), exist_ok=True)
+    tmp = path + f".tmp-{_os.getpid()}"
+    try:
+        pq.write_table(tbl, tmp, row_group_size=row_group_size)
+        _os.replace(tmp, path)
+    finally:
+        if _os.path.exists(tmp):
+            _os.unlink(tmp)
+
+
+def isdir(path: str) -> bool:
+    if is_uri(path):
+        f, p = get_fs(path)
+        return f.isdir(p)
+    return os.path.isdir(path)
+
+
+def mtime(path: str) -> float:
+    """Modification time as a unix timestamp. Protocols that do not
+    expose one (or expose it oddly) report NOW — for the GC callers
+    that means "too young to delete", the safe direction."""
+    if not is_uri(path):
+        return os.path.getmtime(path)
+    import time as _time
+
+    f, p = get_fs(path)
+    try:
+        m = f.modified(p)
+        return m.timestamp() if hasattr(m, "timestamp") else float(m)
+    except Exception:
+        try:
+            info = f.info(p)
+            for k in ("mtime", "LastModified", "last_modified", "created"):
+                v = info.get(k)
+                if v is None:
+                    continue
+                return v.timestamp() if hasattr(v, "timestamp") else float(v)
+        except Exception:
+            pass
+        return _time.time()
+
+
+def rm_dir(path: str) -> None:
+    """Remove a directory (and its files) if it exists."""
+    if is_uri(path):
+        f, p = get_fs(path)
+        if f.exists(p):
+            f.rm(p, recursive=True)
+        return
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)

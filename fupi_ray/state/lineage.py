@@ -23,14 +23,15 @@ from typing import Any
 
 from fupi_ray import manifest as mf
 from fupi_ray.manifest import FragmentMeta, _atomic_write
+from fupi_ray.state import fs as _fs
 
 
 def _job_dir(table_dir: str, job_id: str) -> str:
-    return os.path.join(mf.lineage_dir(table_dir), job_id)
+    return _fs.join(mf.lineage_dir(table_dir), job_id)
 
 
 def record_path(table_dir: str, job_id: str, partition: str) -> str:
-    return os.path.join(_job_dir(table_dir, job_id), f"{partition}.json")
+    return _fs.join(_job_dir(table_dir, job_id), f"{partition}.json")
 
 
 def write_record(
@@ -54,15 +55,35 @@ def write_record(
 
 def read_record(table_dir: str, job_id: str, partition: str) -> dict | None:
     p = record_path(table_dir, job_id, partition)
+    if _fs.is_uri(p):
+        if not _fs.exists(p):
+            return None
+        return json.loads(_fs.read_text(p))
     if not os.path.exists(p):
         return None
     with open(p) as f:
         return json.load(f)
 
 
+def list_jobs(table_dir: str) -> list[str]:
+    """Job ids with at least one lineage record."""
+    d = mf.lineage_dir(table_dir)
+    if _fs.is_uri(d):
+        return [n for n in _fs.ls_names(d) if _fs.isdir(_fs.join(d, n))]
+    if not os.path.isdir(d):
+        return []
+    return [n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))]
+
+
 def completed_partitions(table_dir: str, job_id: str) -> dict[str, dict]:
     d = _job_dir(table_dir, job_id)
     out: dict[str, dict] = {}
+    if _fs.is_uri(d):
+        for name in _fs.ls_names(d):
+            if name.endswith(".json"):
+                rec = json.loads(_fs.read_text(_fs.join(d, name)))
+                out[rec["partition"]] = rec
+        return out
     if os.path.isdir(d):
         for name in os.listdir(d):
             if name.endswith(".json"):
@@ -78,6 +99,9 @@ def output_fragments(rec: dict) -> list[FragmentMeta]:
 
 def clear_job(table_dir: str, job_id: str) -> None:
     d = _job_dir(table_dir, job_id)
+    if _fs.is_uri(d):
+        _fs.rm_dir(d)
+        return
     if os.path.isdir(d):
         for name in os.listdir(d):
             os.unlink(os.path.join(d, name))

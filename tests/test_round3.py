@@ -2,6 +2,8 @@
 (asof inner-match marker, broadcast-left empty side, large_string
 offsets, field-id schema evolution, evolution-only fill_missing)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -571,6 +573,80 @@ def test_table_scan_roundtrip_on_file_uri(tmp_path):
     t2.pin("snap")
     assert t2.pins() == {"snap": 1}
     assert t2.scan(version=1).count() == 300
+
+
+def test_maintenance_cycle_on_file_uri(tmp_path):
+    """compact → cluster → merge → expire over a file:// URI must
+    produce byte-identical content to the same cycle on a plain local
+    path — the maintenance ops route ALL fragment/lineage I/O through
+    state/fs, never os.path (a lakehouse's maintenance runs against
+    object storage in production)."""
+    import numpy as np
+
+    from fupi_ray.config import EngineConfig
+    from fupi_ray.fixtures import generate_rows, write_fragmented_table
+    from fupi_ray.ops import cluster, compact, expire_snapshots, merge_into
+
+    cfg = EngineConfig(target_fragment_bytes=512 * 1024, compact_min_fill=0.5)
+
+    def cycle(table_dir: str):
+        t = write_fragmented_table(table_dir, 400, rows_per_fragment=50, config=cfg)
+        assert compact(t) is not None
+        cluster(t, curve="zorder")
+        src = generate_rows(0, 20, token_salt=3)
+        src = src.append_column(
+            "_src_order", pa.array(np.arange(20, dtype=np.int64))
+        )
+        merge_into(t, ray.data.from_arrow(src), strategy="broadcast")
+        res = expire_snapshots(t, keep_last=1, gc_grace_seconds=0.0)
+        assert res["gc_files"] > 0
+        rows = t.scan().sort("doc_id").take_all()
+        return [
+            (r["doc_id"], tuple(r["tokens"]), r["n_tok"], r["source"]) for r in rows
+        ]
+
+    got_local = cycle(str(tmp_path / "plain_tbl"))
+    got_uri = cycle("file://" + str(tmp_path / "uri_tbl"))
+    assert got_uri == got_local
+    # nothing leaked into the cwd as a literal "file:" directory
+    assert not [d for d in os.listdir(".") if ":" in d]
+
+
+def test_enrich_join_duplicate_keys_dispatch_to_hash_join():
+    """A small side with duplicate keys must emit EVERY match (hash
+    join semantics), not silently keep one per key because it happened
+    to fit the broadcast budget."""
+    from fupi_ray.ops.join import enrich_join
+
+    big = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    dup = ray.data.from_pandas(
+        pd.DataFrame({"k": [1, 1, 2], "v": ["a", "b", "c"]})
+    )
+    got = (
+        enrich_join(big, dup, on="k", value_cols=["v"])
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 1, 2]
+    assert got["v"].tolist() == ["a", "b", "c"]
+
+
+def test_broadcast_and_range_join_empty_small_side_keeps_schema():
+    """Inner join vs an EMPTY small side: zero rows, but the payload
+    columns must still appear in the output schema."""
+    from fupi_ray.ops.join import enrich_join, range_join
+
+    big = ray.data.from_pandas(pd.DataFrame({"k": [1, 2], "x": [1.0, 2.0]}))
+    empty = ray.data.from_pandas(pd.DataFrame({"k": pd.array([], dtype="int64"),
+                                               "v": pd.array([], dtype="string")}))
+    out = enrich_join(big, empty, on="k", value_cols=["v"])
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "x", "v"}
+
+    out2 = range_join(big, _bands([]), "x", how="inner")
+    assert out2.count() == 0
+    assert set(out2.schema().names) == {"k", "x", "band"}
 
 
 # -- Round-3 new operators: range join --------------------------------------
