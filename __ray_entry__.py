@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge": lake.q_lake_merge,
         "lake_evolve": lake.q_lake_evolve,
         "lake_expire": lake.q_lake_expire,
+        "lake_delete": lake.q_lake_delete,
+        "lake_update": lake.q_lake_update,
+        "lake_rollback": lake.q_lake_rollback,
+        "lake_changelog": lake.q_lake_changelog,
     }
 
 
@@ -147,6 +151,10 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge": lake.SQL_LAKE_MERGE,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,
         "lake_expire": lake.SQL_LAKE_EXPIRE,
+        "lake_delete": lake.SQL_LAKE_DELETE,
+        "lake_update": lake.SQL_LAKE_UPDATE,
+        "lake_rollback": lake.SQL_LAKE_ROLLBACK,
+        "lake_changelog": lake.SQL_LAKE_CHANGELOG,
         # minhash_pairs / simhash_pairs / ivf_topk / rolling_fp:
         # permutation-hash / approximate ops — rows-only by design
     }

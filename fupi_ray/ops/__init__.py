@@ -1,14 +1,20 @@
+from fupi_ray.ops.changelog import changelog
 from fupi_ray.ops.compact import compact
 from fupi_ray.ops.cluster import cluster
 from fupi_ray.ops.evolve import add_column, drop_column
 from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.merge import merge_into
+from fupi_ray.ops.mutate import delete_where, rollback, update_where
 
 __all__ = [
+    "changelog",
     "compact",
     "cluster",
     "add_column",
     "drop_column",
+    "delete_where",
     "expire_snapshots",
     "merge_into",
+    "rollback",
+    "update_where",
 ]

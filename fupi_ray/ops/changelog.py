@@ -1,0 +1,145 @@
+"""Changelog (CDC) scan: the rows that changed between two versions.
+
+The reference offers no incremental read — a consumer of fupi's table
+re-scans everything after each re-embedding (searcher.py:404-405 always
+opens the latest version). With explicit manifests the delta is a
+FRAGMENT-SET DIFF: fragments only ever enter or leave a manifest, so
+
+    inserts ⊆ rows of (to.fragments − from.fragments)
+    deletes ⊆ rows of (from.fragments − to.fragments)
+
+which costs O(changed fragments), never O(table) — the property that
+makes incremental consumers viable at 10^12 rows.
+
+Copy-on-write rewrites (compact / cluster / MERGE / delete / update)
+copy untouched rows into new files; those rows appear on both sides of
+the raw diff. ``net=True`` (default) cancels them by full-row content
+hash with a multiset difference, leaving only true inserts/deletes —
+an UPDATE surfaces as one delete (old row) + one insert (new row).
+Netting groups on a 64-bit content hash; rows colliding on it would
+cancel spuriously (~2^-64 per pair — accepted and documented).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from fupi_ray.table import Table
+
+CHANGE_COL = "change_type"
+
+
+def _content_key(batch: pa.Table, cols: list[str]) -> np.ndarray:
+    from fupi_ray.functions.hashing import stable_hash
+    from fupi_ray.ops.merge import _list_content_hash
+
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for i, name in enumerate(cols):
+        col = batch[name]
+        typ = col.type
+        ch = (
+            _list_content_hash(col)
+            if pa.types.is_list(typ) or pa.types.is_large_list(typ)
+            else stable_hash(col)
+        )
+        # rotate per column so (a, b) and (b, a) key differently
+        r = np.uint64((i * 21) % 64)
+        h ^= (ch << r) | (ch >> np.uint64(64) - r) if r else ch
+    return h
+
+
+def changelog(
+    table: Table,
+    from_version: int,
+    to_version: int | None = None,
+    net: bool = True,
+) -> ray.data.Dataset:
+    """Rows changed between two committed versions, as a Dataset with
+    the current declared columns plus ``change_type`` ('insert' |
+    'delete'). ``net=False`` returns the raw fragment-diff rows
+    (carried-over COW copies included) without any shuffle."""
+    to_version = table.latest_version() if to_version is None else to_version
+    from_m = table.manifest(from_version)
+    to_m = table.manifest(to_version)
+    out_cols = list(to_m.schema_names) or [
+        f.name for f in table.schema(to_version)
+    ]
+    from_cols = set(from_m.schema_names) or {
+        f.name for f in table.schema(from_version)
+    }
+    shared = [c for c in out_cols if c in from_cols]
+
+    from_paths = {f.path for f in from_m.fragments}
+    to_paths = {f.path for f in to_m.fragments}
+    added = to_paths - from_paths
+    removed = from_paths - to_paths
+
+    def tag(label: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in out_cols:  # pad columns evolved in after from_version
+                if c not in batch.column_names:
+                    dflt = to_m.column_defaults.get(c)
+                    typ = table.schema(to_version).field(c).type
+                    batch = batch.append_column(
+                        c,
+                        pa.nulls(batch.num_rows, typ)
+                        if dflt is None
+                        else pa.array([dflt] * batch.num_rows, type=typ),
+                    )
+            batch = batch.select(out_cols)
+            return batch.append_column(
+                CHANGE_COL, pa.array([label] * batch.num_rows, pa.string())
+            )
+
+        return fn
+
+    parts = []
+    if added:
+        parts.append(
+            table.scan(to_version, columns=out_cols, paths_subset=added).map_batches(
+                tag("insert"), batch_format="pyarrow"
+            )
+        )
+    if removed:
+        parts.append(
+            table.scan(
+                from_version, columns=shared, paths_subset=removed
+            ).map_batches(tag("delete"), batch_format="pyarrow")
+        )
+    if not parts:
+        schema = pa.schema(
+            [table.schema(to_version).field(c) for c in out_cols]
+            + [pa.field(CHANGE_COL, pa.string())]
+        )
+        return ray.data.from_arrow(schema.empty_table())
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    if not net:
+        return ds
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = _content_key(batch, out_cols).astype(np.int64) & np.int64(
+            0x7FFFFFFFFFFFFFFF
+        )
+        return batch.append_column("_row_key", pa.array(key, pa.int64()))
+
+    def net_group(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ct = g[CHANGE_COL]
+        n_ins = int(pc.sum(pc.equal(ct, "insert")).as_py() or 0)
+        n_del = g.num_rows - n_ins
+        keep_type = "insert" if n_ins > n_del else "delete"
+        k = abs(n_ins - n_del)
+        out = g.filter(pc.equal(ct, keep_type)).slice(0, k)
+        return out.drop_columns(["_row_key"])
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_row_key")
+        .map_groups(net_group, batch_format="pyarrow")
+    )

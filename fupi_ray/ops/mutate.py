@@ -1,0 +1,289 @@
+"""Row-level mutations: DELETE WHERE / UPDATE WHERE as zone-map-pruned
+copy-on-write fragment rewrites, plus version rollback.
+
+The reference can only mutate a table by full rebuild —
+``create_table(mode='overwrite')`` (/root/reference/fupi/utils.py:39-49)
+rewrites everything even to touch one row. The lakehouse layer gives
+the targeted forms: only fragments whose zone maps can contain a
+matching row are rewritten (copy-on-write, per-fragment Ray tasks with
+lineage records, so a crashed job resumes without recomputing finished
+fragments); everything else is carried by reference in the manifest
+swap. ``rollback`` restores an earlier version's fragment list as a
+NEW commit — history stays linear and pinned readers are unaffected.
+
+Scale shape: predicate pruning is metadata-only on the driver
+(fragment count, not row count); each hit fragment is one independent
+task reading/writing exactly one target-sized fragment. No shuffle,
+no driver data path.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from fupi_ray import manifest as mf
+from fupi_ray.manifest import FragmentMeta, Manifest, fragment_meta_from_table
+from fupi_ray.state import commit as commit_mod
+from fupi_ray.state import fs as _fs
+from fupi_ray.state import lineage
+from fupi_ray.table import Table
+
+
+def _fragment_hit(
+    m: Manifest, f: FragmentMeta, predicate: list[tuple], defaults: dict
+) -> bool:
+    """Can this fragment contain a matching row? Conjuncts on columns
+    the file physically carries use its zone map; conjuncts on
+    evolution-padded columns evaluate the table default (one scalar —
+    every row of the fragment shares it; null never matches)."""
+    physical = []
+    for col, op, val in predicate:
+        if f.has_column(col, m.column_ids):
+            physical.append((col, op, val))
+            continue
+        d = defaults.get(col)
+        if d is None:
+            return False
+        one = pa.table({col: pa.array([d])})
+        if not mf.predicate_mask(one, [(col, op, val)])[0].as_py():
+            return False
+    return mf.fragment_may_match(f, physical)
+
+
+def _pad_eval_table(tbl: pa.Table, pad_cols: list[tuple]) -> pa.Table:
+    """Attach evolution-padded columns so the predicate (and callable
+    assignments) see the same row view a scan would."""
+    for name, type_str, dflt in pad_cols:
+        if name in tbl.column_names:
+            continue
+        typ = mf.type_from_str(type_str)
+        col = (
+            pa.nulls(tbl.num_rows, typ)
+            if dflt is None
+            else pa.array([dflt] * tbl.num_rows, type=typ)
+        )
+        tbl = tbl.append_column(name, col)
+    return tbl
+
+
+@ray.remote(num_cpus=1)
+def _mutate_fragment_task(
+    table_dir: str,
+    job_id: str,
+    frag_idx: int,
+    rel_path: str,
+    predicate: list[tuple],
+    pad_cols: list[tuple],
+    assignments: dict[str, tuple] | None,
+) -> dict:
+    """COW rewrite of one hit fragment. ``assignments`` None = delete
+    matching rows; else = replace assigned columns on matching rows
+    (value spec ``("scalar", v, type_str)`` or ``("fn", callable,
+    type_str)`` — the callable sees the padded row view and returns
+    per-row values). Idempotent via lineage (resume skips it)."""
+    partition = f"frag-{frag_idx:05d}"
+    existing = lineage.read_record(table_dir, job_id, partition)
+    if existing is not None and existing.get("input_fragments") == [rel_path]:
+        return existing
+
+    t0 = time.perf_counter()
+    tbl = _fs.read_parquet_table(_fs.join(table_dir, rel_path))
+    ev = _pad_eval_table(tbl, pad_cols)
+    mask = mf.predicate_mask(ev, predicate)
+    n_match = int(pc.sum(mask).as_py() or 0)
+
+    outputs: list[FragmentMeta] = []
+    if n_match == 0:
+        out = tbl
+        unchanged = True
+    elif assignments is None:
+        out = tbl.filter(pc.invert(mask))
+        unchanged = False
+    else:
+        out = ev  # padded view: an assigned evolution column becomes physical
+        for col, (kind, spec, type_str) in assignments.items():
+            typ = mf.type_from_str(type_str)
+            if kind == "fn":
+                new_vals = spec(ev)
+                if not isinstance(new_vals, (pa.Array, pa.ChunkedArray)):
+                    new_vals = pa.array(new_vals)
+                new_vals = new_vals.cast(typ) if new_vals.type != typ else new_vals
+            else:
+                new_vals = pa.array([spec] * ev.num_rows, type=typ)
+            cur = out.column(col)
+            if isinstance(cur, pa.ChunkedArray):
+                cur = cur.combine_chunks()
+            if cur.type != typ:
+                cur = cur.cast(typ)
+            updated = pc.if_else(mask, new_vals, cur)
+            out = out.set_column(out.column_names.index(col), col, updated)
+        unchanged = False
+
+    if not unchanged and out.num_rows:
+        prefix = "dl" if assignments is None else "up"
+        rel_out = f"data/{prefix}-{job_id}-{frag_idx:05d}.parquet"
+        abs_out = _fs.join(table_dir, rel_out)
+        _fs.write_parquet(out, abs_out, row_group_size=32 * 1024)
+        outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
+    lineage.write_record(
+        table_dir,
+        job_id,
+        partition,
+        input_fragments=[rel_path],
+        output_fragments=outputs,
+        metrics={
+            "seconds": round(time.perf_counter() - t0, 4),
+            "rows_in": tbl.num_rows,
+            "rows_matched": n_match,
+            "unchanged": unchanged,
+        },
+    )
+    return lineage.read_record(table_dir, job_id, partition)
+
+
+def _run_mutation(
+    table: Table,
+    predicate: list[tuple],
+    assignments: dict[str, tuple] | None,
+    operation: str,
+    job_id: str | None,
+) -> int:
+    if _fs.is_process_local(table.table_dir):
+        raise ValueError(
+            f"{operation} rewrites fragments from Ray worker processes; "
+            "memory:// is process-local — use a shared protocol"
+        )
+    if not predicate:
+        raise ValueError(f"{operation} requires a predicate (refusing full-table match)")
+    parent = table.latest_version()
+    m = table.manifest(parent)
+    defaults = m.column_defaults
+    job_id = job_id or f"{operation}-v{parent}"
+
+    declared = {n: t for n, t in zip(m.schema_names, m.schema_types)}
+    for col, _, _ in predicate:
+        if declared and col not in declared:
+            raise ValueError(f"predicate column {col!r} is not in the table schema")
+    # columns the predicate / callable assignments may need that some
+    # fragment's FILE lacks (schema evolution): pad spec shipped to tasks
+    pad_cols = [
+        (c, declared[c], defaults.get(c))
+        for c in sorted({p[0] for p in predicate} | set(assignments or ()))
+        if c in declared
+    ]
+
+    hit = [f for f in m.fragments if _fragment_hit(m, f, predicate, defaults)]
+    if not hit:
+        return parent
+
+    t0 = time.perf_counter()
+    records = ray.get(
+        [
+            _mutate_fragment_task.remote(
+                table.table_dir, job_id, i, f.path, predicate, pad_cols, assignments
+            )
+            for i, f in enumerate(hit)
+        ]
+    )
+    changed = [r for r in records if not r["metrics"].get("unchanged")]
+    if not changed:
+        return parent
+    removed = {r["input_fragments"][0] for r in changed}
+    added = [fmeta for r in changed for fmeta in lineage.output_fragments(r)]
+    rows_matched = sum(r["metrics"].get("rows_matched", 0) for r in changed)
+    return table.commit_fragment_swap(
+        removed,
+        added,
+        operation=operation,
+        expected_parent=parent,
+        properties={
+            "predicate": [list(p) for p in predicate],
+            "rows_matched": int(rows_matched),
+            "fragments_hit": len(hit),
+            "fragments_rewritten": len(changed),
+            "fragments_untouched": len(m.fragments) - len(changed),
+            "seconds": round(time.perf_counter() - t0, 3),
+        },
+    )
+
+
+def delete_where(table: Table, predicate: list[tuple], job_id: str | None = None) -> int:
+    """DELETE FROM table WHERE <conjunction>; returns the new version
+    (parent if nothing matched). Only fragments whose zone map can
+    contain a match are rewritten."""
+    return _run_mutation(table, predicate, None, "delete", job_id)
+
+
+def update_where(
+    table: Table,
+    predicate: list[tuple],
+    assignments: dict[str, Any],
+    job_id: str | None = None,
+) -> int:
+    """UPDATE table SET <assignments> WHERE <conjunction>; returns the
+    new version. Assignment values are scalars, or callables
+    ``fn(batch: pa.Table) -> array`` evaluated per fragment over the
+    padded row view (for computed updates like ``n_tok + 7`` — the
+    callable returns values for EVERY row; only matching rows take
+    them). Assigned columns must already be in the table schema
+    (``add_column`` first — an UPDATE never evolves the schema)."""
+    m = table.manifest()
+    declared = {n: t for n, t in zip(m.schema_names, m.schema_types)}
+    specs: dict[str, tuple] = {}
+    for col, val in assignments.items():
+        if declared and col not in declared:
+            raise ValueError(
+                f"assigned column {col!r} is not in the table schema — "
+                "add_column first (UPDATE never evolves the schema)"
+            )
+        kind = "fn" if callable(val) else "scalar"
+        specs[col] = (kind, val, declared[col])
+    if not specs:
+        raise ValueError("update_where requires at least one assignment")
+    return _run_mutation(table, predicate, specs, "update", job_id)
+
+
+def rollback(table: Table, to_version: int) -> int:
+    """Restore ``to_version``'s state as a NEW commit (history stays
+    linear; nothing is deleted, so pinned readers of intermediate
+    versions are unaffected). Refused if any of the target's fragments
+    were already GC'd by snapshot expiry."""
+    parent = table.latest_version()
+    if to_version == parent:
+        return parent
+    if to_version not in table.versions():
+        raise ValueError(f"cannot roll back to missing version v{to_version}")
+    target = table.manifest(to_version)
+    gone = [
+        f.path
+        for f in target.fragments
+        if not _fs.exists(_fs.join(table.table_dir, f.path))
+    ]
+    if gone:
+        raise ValueError(
+            f"cannot roll back to v{to_version}: {len(gone)} fragment(s) "
+            f"already GC'd by expiry (first: {gone[0]})"
+        )
+    cur = table.manifest(parent)
+    m = Manifest(
+        version=-1,
+        parent_version=None,
+        operation="rollback",
+        schema_names=list(target.schema_names),
+        schema_types=list(target.schema_types),
+        fragments=list(target.fragments),
+        properties={"rollback_of": to_version},
+        column_defaults=dict(target.column_defaults),
+        # restore the target's field ids verbatim (its fragments carry
+        # them) but never rewind the id allocator: ids minted after
+        # to_version stay retired so a future add_column can't collide
+        # with a column that exists in some historical fragment
+        column_ids=dict(target.column_ids),
+        next_column_id=max(cur.next_column_id, target.next_column_id),
+    )
+    return commit_mod.commit(table.table_dir, m, expected_parent=parent)

@@ -25,7 +25,16 @@ import ray.data
 
 from fupi_ray.config import EngineConfig
 from fupi_ray.fixtures import gen_tokens_flat
-from fupi_ray.ops import cluster, compact, expire_snapshots, merge_into
+from fupi_ray.ops import (
+    changelog,
+    cluster,
+    compact,
+    delete_where,
+    expire_snapshots,
+    merge_into,
+    rollback,
+    update_where,
+)
 from fupi_ray.table import Table
 
 LAKE_CFG = EngineConfig(target_fragment_bytes=4 * 1024 * 1024)
@@ -251,6 +260,114 @@ def q_lake_expire(sf_dir: str):
 
 
 SQL_LAKE_EXPIRE = SQL_LAKE_COMPACT
+
+
+def q_lake_delete(sf_dir: str):
+    """DELETE WHERE as a query: zone-map-pruned COW rewrite of only
+    the fragments that can contain a match; oracle = the negated
+    predicate."""
+    t = _build(sf_dir, "delete")
+    delete_where(t, [("n_tok", "between", (150, 450))])
+    return canonical_scan(t)
+
+
+SQL_LAKE_DELETE = (
+    f"SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok "
+    "FROM documents WHERE n_chars < 150 OR n_chars > 450"
+)
+
+
+def q_lake_update(sf_dir: str):
+    """UPDATE WHERE as a query: conjunction predicate, scalar
+    assignment; untouched fragments carried by reference."""
+    t = _build(sf_dir, "update")
+    update_where(
+        t,
+        [("source", "==", "src7"), ("n_tok", "<", 300)],
+        {"source": "curated"},
+    )
+    return canonical_scan(t)
+
+
+SQL_LAKE_UPDATE = f"""
+SELECT {_DOC_SQL} AS doc_id,
+       CASE WHEN source = 'src7' AND n_chars < 300 THEN 'curated' ELSE source END AS source,
+       CAST(n_chars AS BIGINT) AS n_tok
+FROM documents
+"""
+
+
+def q_lake_rollback(sf_dir: str):
+    """Rollback as a query: delete + update, then restore the original
+    version as a new commit — the scan must be bit-identical to the
+    pre-mutation table (oracle = identity)."""
+    t = _build(sf_dir, "rollback")
+    v1 = t.latest_version()
+    delete_where(t, [("n_tok", ">", 300)])
+    update_where(t, [("n_tok", "<=", 300)], {"source": "scrambled"})
+    rollback(t, v1)
+    return canonical_scan(t)
+
+
+SQL_LAKE_ROLLBACK = SQL_LAKE_COMPACT
+
+
+def q_lake_changelog(sf_dir: str):
+    """CDC as a query: MERGE a batch of updates + inserts, then read
+    the netted changelog between the two versions — each update
+    surfaces as delete(old) + insert(new), each insert as one insert,
+    and every copy-on-write carried-over row cancels out."""
+    t = _build(sf_dir, "changelog")
+    v1 = t.latest_version()
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def mk_source(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        upd_m = ids % 4 == 0
+        ins_m = ids % 6 == 0
+        upd = sequences_batch(
+            ids[upd_m], n[upd_m] + 5, ["patched"] * int(upd_m.sum()), salt=105
+        )
+        ins = sequences_batch(
+            ids[ins_m] + 2_000_000, n[ins_m] + 11, ["added"] * int(ins_m.sum()), salt=106
+        )
+        both = pa.concat_tables([upd, ins])
+        order = pc.cast(pc.utf8_slice_codeunits(both["doc_id"], 4, 99), pa.int64())
+        return both.append_column("_src_order", order)
+
+    merge_into(t, docs.map_batches(mk_source, batch_format="pyarrow"), strategy="broadcast")
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+                "change_type": batch["change_type"],
+            }
+        )
+
+    return changelog(t, v1, net=True).map_batches(proj, batch_format="pyarrow")
+
+
+SQL_LAKE_CHANGELOG = f"""
+WITH upd AS (
+  SELECT {_DOC_SQL} AS doc_id, 'patched' AS source, CAST(n_chars + 5 AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 4 = 0),
+ins AS (
+  SELECT 'doc-' || lpad(CAST(doc_id + 2000000 AS VARCHAR), 12, '0') AS doc_id,
+         'added' AS source, CAST(n_chars + 11 AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 6 = 0),
+old AS (
+  SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 4 = 0)
+SELECT doc_id, source, n_tok, 'insert' AS change_type FROM upd
+UNION ALL SELECT doc_id, source, n_tok, 'insert' FROM ins
+UNION ALL SELECT doc_id, source, n_tok, 'delete' FROM old
+"""
 
 
 def flagship(sf_dir: str) -> ray.data.Dataset:

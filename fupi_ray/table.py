@@ -216,6 +216,7 @@ class Table:
         version: int | None = None,
         columns: Sequence[str] | None = None,
         predicate: list[tuple] | None = None,
+        paths_subset: set[str] | None = None,
         **read_kwargs: Any,
     ) -> ray.data.Dataset:
         """Snapshot-consistent scan → lazy ``ray.data.Dataset``.
@@ -224,9 +225,14 @@ class Table:
         only, driver-side, cheap) and the same predicate is pushed
         down to Parquet row groups (``filter=``) — the two-level prune
         Lance does implicitly for the reference (searcher.py:207-208).
+        ``paths_subset`` restricts the scan to the named fragment rel
+        paths (changelog's fragment-diff read) with the same schema
+        reconciliation as a full scan.
         """
         m = self.manifest(version)
         frags = m.fragments
+        if paths_subset is not None:
+            frags = [f for f in frags if f.path in paths_subset]
         if predicate:
             # zone-map prune — but a fragment whose physical incarnation
             # of a predicate column is stale (dropped + re-added name:
@@ -432,10 +438,11 @@ class Table:
     def commit_overwrite(self, ds: ray.data.Dataset, properties: dict | None = None) -> int:
         """Replace the table contents (reference: create_table
         mode='overwrite', fupi/utils.py:39-49). Old fragments stay on
-        disk for pinned readers until expiry GCs them."""
-        parent = self.latest_version()
+        disk for pinned readers until expiry GCs them. An overwrite's
+        outcome is independent of the parent's contents, so a
+        concurrent-commit conflict is auto-rebased like an append."""
         frags = write_dataset_fragments(ds, self.table_dir, "ow")
-        return self._commit("overwrite", frags, parent, properties)
+        return self._commit_rebasing("overwrite", lambda _parent: frags, properties)
 
     def commit_append(
         self,
@@ -447,12 +454,39 @@ class Table:
         fupi/embedders.py:124-125); manifest v+1 = parent ∪ new.
         ``target_fragment_rows`` forces small fragments (test fixtures
         mimicking post-ingest small-file state)."""
-        parent = self.latest_version()
         new = write_dataset_fragments(
             ds, self.table_dir, "ap", target_fragment_rows=target_fragment_rows
         )
-        frags = self.manifest(parent).fragments + new
-        return self._commit("append", frags, parent, properties)
+        return self._commit_rebasing(
+            "append", lambda parent: self.manifest(parent).fragments + new, properties
+        )
+
+    def _commit_rebasing(
+        self,
+        operation: str,
+        fragments_for_parent,
+        properties: dict | None = None,
+        max_retries: int = 8,
+    ) -> int:
+        """Commit with automatic rebase on optimistic-concurrency
+        conflicts. Safe ONLY for ops whose new fragments don't depend
+        on the parent's fragment CONTENTS (append: union with whatever
+        the latest fragment list is; overwrite: replaces it outright).
+        Swap ops (compact/cluster/merge/delete) must NOT auto-rebase —
+        their rewrites were computed against a specific snapshot, so a
+        conflict there correctly surfaces as CommitError."""
+        last_err: Exception | None = None
+        for _ in range(max_retries + 1):
+            parent = self.latest_version()
+            try:
+                return self._commit(
+                    operation, fragments_for_parent(parent), parent, properties
+                )
+            except commit_mod.CommitError as e:
+                last_err = e  # another writer advanced _latest: rebase
+        raise commit_mod.CommitError(
+            f"{operation} lost the commit race {max_retries + 1} times"
+        ) from last_err
 
     def commit_fragment_swap(
         self,
