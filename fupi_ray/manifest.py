@@ -99,6 +99,15 @@ class Manifest:
     # written before the drop don't satisfy the new column by name.
     column_ids: dict[str, int] = field(default_factory=dict)
     next_column_id: int = 0
+    # two-level manifests (set by the commit path for big tables):
+    # the fragment list lives in immutable shard files under
+    # manifest/shards/, and the manifest JSON stores only shard refs
+    # ``{path, count, rows, bytes, sum_n_tok, zone_map, col_ids}`` —
+    # an append rewrites O(new fragments) JSON, not O(table), and a
+    # predicate scan prunes whole shards by their aggregate zone map
+    # before loading a single member. None = inline fragments (small
+    # tables; unchanged layout).
+    fragment_shards: list[dict] | None = None
 
     @property
     def total_rows(self) -> int:
@@ -119,13 +128,19 @@ class Manifest:
             "operation": self.operation,
             "schema_names": self.schema_names,
             "schema_types": self.schema_types,
-            "fragments": [f.to_dict() for f in self.fragments],
+            # sharded: members live in the (already written) shard
+            # files; the manifest itself stays O(shards) bytes
+            "fragments": []
+            if self.fragment_shards is not None
+            else [f.to_dict() for f in self.fragments],
             "properties": self.properties,
             "created_unix": self.created_unix,
             "column_defaults": self.column_defaults,
             "column_ids": self.column_ids,
             "next_column_id": self.next_column_id,
         }
+        if self.fragment_shards is not None:
+            d["fragment_shards"] = self.fragment_shards
         return json.dumps(d, indent=1, default=str)
 
     @staticmethod
@@ -143,6 +158,7 @@ class Manifest:
             column_defaults=d.get("column_defaults", {}),
             column_ids=d.get("column_ids", {}),
             next_column_id=d.get("next_column_id", 0),
+            fragment_shards=d.get("fragment_shards"),
         )
 
 
@@ -274,9 +290,178 @@ def write_latest_version(table_dir: str, version: int) -> None:
 def read_manifest(table_dir: str, version: int) -> Manifest:
     p = manifest_path(table_dir, version)
     if _fs.is_uri(p):
-        return Manifest.from_json(_fs.read_text(p))
-    with open(p) as f:
-        return Manifest.from_json(f.read())
+        m = Manifest.from_json(_fs.read_text(p))
+    else:
+        with open(p) as f:
+            m = Manifest.from_json(f.read())
+    if m.fragment_shards is not None:
+        m.fragments = [
+            f for ref in m.fragment_shards for f in load_shard(table_dir, ref["path"])
+        ]
+    return m
+
+
+def read_manifest_pruned(
+    table_dir: str, version: int, predicate: list[tuple]
+) -> Manifest:
+    """Manifest with only the shards whose AGGREGATE zone map may
+    contain a predicate match loaded — a scan-planning fast path that
+    never reads the member lists of provably-empty shards. The result
+    is PARTIAL (fragments restricted): scan-only, never commit from it.
+
+    A shard ref's aggregate zone entry is trusted only for columns
+    whose recorded field id still matches the reading manifest's
+    (``ref['col_ids']``): after a drop + re-add the stale aggregate
+    must not prune the new incarnation."""
+    p = manifest_path(table_dir, version)
+    raw = _fs.read_text(p) if _fs.is_uri(p) else open(p).read()
+    m = Manifest.from_json(raw)
+    if m.fragment_shards is None:
+        return m  # inline manifest: fragments already parsed
+    frags: list[FragmentMeta] = []
+    for ref in m.fragment_shards:
+        ref_ids = ref.get("col_ids", {})
+        zone = {
+            c: v
+            for c, v in (ref.get("zone_map") or {}).items()
+            if ref_ids.get(c) is not None and ref_ids.get(c) == m.column_ids.get(c)
+        }
+        agg = FragmentMeta(path=ref["path"], rows=0, bytes=0, sum_n_tok=0, zone_map=zone)
+        if fragment_may_match(agg, predicate):
+            frags.extend(load_shard(table_dir, ref["path"]))
+    m.fragments = frags
+    return m
+
+
+# --- fragment-list shards ----------------------------------------------------
+#
+# Above SHARD_MIN_FRAGMENTS fragments, the commit path stores the
+# fragment list as immutable shard files (SHARD_TARGET_FRAGMENTS
+# members each) and the manifest keeps only shard refs: an append
+# commit writes O(new fragments) metadata bytes instead of rewriting
+# the full list (at 10^12 sequences / ~10^5-10^6 fragments a single
+# inline JSON would be rewritten wholesale on every commit), and
+# predicate scans drop whole shards by aggregate zone map. Shard files
+# are content-immutable (uuid names): safe to cache per process and to
+# share between manifest versions; unreferenced ones are GC'd by
+# snapshot expiry alongside data fragments.
+
+SHARD_MIN_FRAGMENTS = 512
+SHARD_TARGET_FRAGMENTS = 1024
+
+_SHARD_CACHE: dict[tuple[str, str], list[FragmentMeta]] = {}
+_SHARD_CACHE_MAX = 4096
+
+
+def shards_dir(table_dir: str) -> str:
+    return _fs.join(manifest_dir(table_dir), "shards")
+
+
+def load_shard(table_dir: str, rel_path: str) -> list[FragmentMeta]:
+    key = (table_dir, rel_path)
+    hit = _SHARD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    p = _fs.join(table_dir, rel_path)
+    raw = _fs.read_text(p) if _fs.is_uri(p) else open(p).read()
+    frags = [FragmentMeta.from_dict(d) for d in json.loads(raw)]
+    if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
+        _SHARD_CACHE.clear()  # immutable entries: dropping them only costs re-reads
+    _SHARD_CACHE[key] = frags
+    return frags
+
+
+def _shard_ref(
+    rel_path: str, members: list[FragmentMeta], column_ids: dict[str, int]
+) -> dict:
+    """Aggregate stats of one shard: per-column min/max over members
+    that ALL carry the column's current incarnation (else the column
+    is omitted → that shard is never pruned on it)."""
+    zone: dict[str, dict[str, Any]] = {}
+    ids: dict[str, int] = {}
+    for col in ZONE_MAP_COLUMNS:
+        if col not in column_ids:
+            continue
+        entries = []
+        ok = True
+        for f in members:
+            zm = f.zone_map.get(col)
+            if zm is None or zm["min"] is None or not f.has_column(col, column_ids):
+                ok = False
+                break
+            entries.append(zm)
+        if ok and entries:
+            zone[col] = {
+                "min": min(e["min"] for e in entries),
+                "max": max(e["max"] for e in entries),
+            }
+            ids[col] = column_ids[col]
+    return {
+        "path": rel_path,
+        "count": len(members),
+        "rows": sum(f.rows for f in members),
+        "bytes": sum(f.bytes for f in members),
+        "sum_n_tok": sum(f.sum_n_tok for f in members),
+        "zone_map": zone,
+        "col_ids": ids,
+    }
+
+
+def write_shard(
+    table_dir: str, members: list[FragmentMeta], column_ids: dict[str, int]
+) -> dict:
+    import uuid
+
+    name = f"sh-{uuid.uuid4().hex}.json"
+    rel = f"manifest/shards/{name}"
+    _atomic_write(
+        _fs.join(table_dir, rel),
+        json.dumps([f.to_dict() for f in members], default=str),
+    )
+    _SHARD_CACHE[(table_dir, rel)] = list(members)
+    return _shard_ref(rel, members, column_ids)
+
+
+def plan_shards(table_dir: str, m: Manifest) -> None:
+    """Assign ``m.fragment_shards`` before the manifest is committed.
+
+    Small fragment lists stay inline (None). Big ones reuse every
+    parent shard whose members appear UNCHANGED in the new list (meta
+    equality, not just path — a backfilled field id must invalidate
+    the shard) and pack the remainder into fresh shard files; the
+    written JSON delta is proportional to what the commit changed."""
+    if len(m.fragments) < SHARD_MIN_FRAGMENTS:
+        m.fragment_shards = None
+        return
+    by_path = {f.path: f.to_dict() for f in m.fragments}
+    kept_refs: list[dict] = []
+    covered: set[str] = set()
+    latest = read_latest_version(table_dir)
+    if latest is not None:
+        try:
+            parent = read_manifest(table_dir, latest)
+        except FileNotFoundError:
+            parent = None
+        if parent is not None and parent.fragment_shards:
+            for ref in parent.fragment_shards:
+                members = load_shard(table_dir, ref["path"])
+                if any(f.path in covered for f in members):
+                    continue
+                if all(by_path.get(f.path) == f.to_dict() for f in members):
+                    # field ids may have moved (drop/re-add): refresh
+                    # the ref's aggregate against the NEW manifest ids
+                    kept_refs.append(_shard_ref(ref["path"], members, m.column_ids))
+                    covered.update(f.path for f in members)
+    rest = [f for f in m.fragments if f.path not in covered]
+    for i in range(0, len(rest), SHARD_TARGET_FRAGMENTS):
+        chunk = rest[i : i + SHARD_TARGET_FRAGMENTS]
+        kept_refs.append(write_shard(table_dir, chunk, m.column_ids))
+    m.fragment_shards = kept_refs
+    # canonical member order = shard order (scan plans and shard reuse
+    # both become order-stable across commits)
+    m.fragments = [
+        f for ref in kept_refs for f in load_shard(table_dir, ref["path"])
+    ]
 
 
 def write_manifest(table_dir: str, m: Manifest) -> None:

@@ -120,10 +120,30 @@ def expire_snapshots(
         _fs.rm(ap)
         removed_files += 1
 
+    # GC manifest shard files unreferenced by any surviving manifest
+    # (orphans of failed commits + shards of expired versions); same
+    # grace period protects in-flight commits
+    live_shards: set[str] = set()
+    for v in table.versions():
+        for ref in table.manifest(v).fragment_shards or []:
+            live_shards.add(ref["path"].rsplit("/", 1)[-1])
+    removed_shards = 0
+    sdir = mf.shards_dir(table.table_dir)
+    for name in _fs.ls_names(sdir):
+        if name in live_shards or not name.endswith(".json"):
+            continue
+        ap = _fs.join(sdir, name)
+        if now - _fs.mtime(ap) < gc_grace_seconds:
+            continue
+        freed += _fs.size(ap)
+        _fs.rm(ap)
+        removed_shards += 1
+
     return {
         "expired_versions": sorted(dead),
         "surviving_versions": table.versions(),
         "gc_files": removed_files,
+        "gc_shards": removed_shards,
         "gc_bytes": freed,
         "cleared_lineage_jobs": cleared_jobs,
     }

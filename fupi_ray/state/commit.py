@@ -101,7 +101,14 @@ def get_commit_actor(table_dir: str):
 def commit(table_dir: str, m: mf.Manifest, expected_parent: int | None) -> int:
     """Serialize a commit through the table's commit actor. A
     process-local protocol (memory://) is invisible to the actor's
-    process, so its critical section runs inline instead."""
+    process, so its critical section runs inline instead.
+
+    Big fragment lists are sharded to immutable side files first
+    (mf.plan_shards): the JSON that crosses the actor boundary and
+    lands in manifest/v{N}.json is O(changed shards), not O(table) —
+    a failed optimistic commit leaves only orphan shard files, GC'd
+    by snapshot expiry like orphan data fragments."""
+    mf.plan_shards(table_dir, m)
     if fs.is_process_local(table_dir):
         return _Committer().commit(table_dir, m.to_json(), expected_parent)
     actor = get_commit_actor(table_dir)

@@ -229,7 +229,14 @@ class Table:
         paths (changelog's fragment-diff read) with the same schema
         reconciliation as a full scan.
         """
-        m = self.manifest(version)
+        resolved_v = self.latest_version() if version is None else version
+        if predicate and paths_subset is None:
+            # two-level prune on sharded manifests: drop whole shards
+            # by aggregate zone map before their member lists are even
+            # read (inline manifests fall through unchanged)
+            m = mf.read_manifest_pruned(self.table_dir, resolved_v, predicate)
+        else:
+            m = mf.read_manifest(self.table_dir, resolved_v)
         frags = m.fragments
         if paths_subset is not None:
             frags = [f for f in frags if f.path in paths_subset]
