@@ -6,6 +6,12 @@ jobs launched as Ray jobs on a fixed-size cluster).
     ray job submit -- python -m fupi_ray.cli merge --table /data/seq --source /data/updates
     ray job submit -- python -m fupi_ray.cli expire --table /data/seq --keep-last 3
     ray job submit -- python -m fupi_ray.cli ingest --table /data/seq --rows 1000000
+    ray job submit -- python -m fupi_ray.cli delete --table /data/seq --where n_tok:<:8
+    ray job submit -- python -m fupi_ray.cli update --table /data/seq \
+        --where source:==:spam --set source=quarantined
+    ray job submit -- python -m fupi_ray.cli rollback --table /data/seq --to-version 41
+    ray job submit -- python -m fupi_ray.cli changelog --table /data/seq \
+        --from-version 41 --output /data/seq_cdc
 
 This module owns its Ray session (it IS the job script); the library
 never does. ``--job-id`` names the lineage namespace, so re-submitting
@@ -27,6 +33,7 @@ def main(argv=None) -> int:
         choices=[
             "ingest", "overwrite", "compact", "cluster", "merge", "expire",
             "scan", "add-column", "drop-column",
+            "delete", "update", "rollback", "changelog",
         ],
     )
     p.add_argument("--table", required=True)
@@ -52,7 +59,46 @@ def main(argv=None) -> int:
     p.add_argument("--column", help="add/drop-column: column name")
     p.add_argument("--type", dest="col_type", help="add-column: arrow type (e.g. int64, double, string)")
     p.add_argument("--default", help="add-column: default value for pre-existing rows")
+    p.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        help="delete/update/scan predicate conjunct, col:op:value "
+        "(op in ==,!=,<,<=,>,>=,between,in; between uses lo..hi, in uses a,b,c)",
+    )
+    p.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        dest="assignments",
+        help="update: col=value assignment (repeatable)",
+    )
+    p.add_argument("--to-version", type=int, help="rollback target / changelog end version")
+    p.add_argument("--from-version", type=int, help="changelog start version")
+    p.add_argument("--raw", action="store_true", help="changelog: skip CDC netting")
+    p.add_argument("--output", help="changelog: write result parquet here")
     args = p.parse_args(argv)
+
+    def coerce(s: str):
+        for f in (int, float):
+            try:
+                return f(s)
+            except ValueError:
+                pass
+        return s
+
+    def parse_where(specs: list[str]) -> list[tuple]:
+        pred = []
+        for s in specs:
+            col, op, val = s.split(":", 2)
+            if op == "between":
+                lo, hi = val.split("..", 1)
+                pred.append((col, op, (coerce(lo), coerce(hi))))
+            elif op == "in":
+                pred.append((col, op, [coerce(v) for v in val.split(",")]))
+            else:
+                pred.append((col, op, coerce(val)))
+        return pred
 
     import ray
 
@@ -140,9 +186,58 @@ def main(argv=None) -> int:
             out["version"] = add_column(t, args.column, args.col_type, default=default)
         else:
             out["version"] = drop_column(t, args.column)
+    elif args.op == "delete":
+        from fupi_ray.ops import delete_where
+
+        if not args.where:
+            p.error("delete requires at least one --where col:op:value")
+        t = Table.open(args.table)
+        out["version"] = delete_where(t, parse_where(args.where), job_id=args.job_id)
+        props = t.manifest(out["version"]).properties
+        if t.manifest(out["version"]).operation == "delete":
+            out["rows_deleted"] = props.get("rows_matched")
+            out["fragments_rewritten"] = props.get("fragments_rewritten")
+    elif args.op == "update":
+        from fupi_ray.ops import update_where
+
+        if not args.where or not args.assignments:
+            p.error("update requires --where and at least one --set col=value")
+        t = Table.open(args.table)
+        sets = {}
+        for a in args.assignments:
+            col, val = a.split("=", 1)
+            sets[col] = coerce(val)
+        out["version"] = update_where(t, parse_where(args.where), sets, job_id=args.job_id)
+    elif args.op == "rollback":
+        from fupi_ray.ops import rollback
+
+        if args.to_version is None:
+            p.error("rollback requires --to-version")
+        t = Table.open(args.table)
+        out["version"] = rollback(t, args.to_version)
+    elif args.op == "changelog":
+        from fupi_ray.ops import changelog
+
+        if args.from_version is None:
+            p.error("changelog requires --from-version")
+        t = Table.open(args.table)
+        ds = changelog(t, args.from_version, args.to_version, net=not args.raw)
+        if args.output:
+            ds = ds.materialize()
+            ds.write_parquet(args.output)
+            out["output"] = args.output
+        counts = (
+            ds.groupby("change_type").count().to_pandas().set_index("change_type")["count()"]
+            if ds.count()
+            else {}
+        )
+        out["inserts"] = int(counts.get("insert", 0))
+        out["deletes"] = int(counts.get("delete", 0))
+        out["from_version"] = args.from_version
+        out["to_version"] = args.to_version if args.to_version is not None else t.latest_version()
     elif args.op == "scan":
         t = Table.open(args.table)
-        ds = t.scan(version=args.version)
+        ds = t.scan(version=args.version, predicate=parse_where(args.where) or None)
         out["rows"] = ds.count()
         out["version"] = args.version if args.version is not None else t.latest_version()
     out["seconds"] = round(time.perf_counter() - t0, 3)

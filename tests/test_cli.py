@@ -67,3 +67,31 @@ def test_cli_full_cycle(tmp_path):
     # old pinned-style version gone, latest still scans
     r = run_cli("scan", "--table", table)
     assert r["rows"] == 3050
+
+
+def test_cli_mutation_cycle(tmp_path):
+    table = str(tmp_path / "tbl")
+    run_cli("ingest", "--table", table, "--rows", "2000", "--rows-per-fragment", "500")
+
+    r = run_cli("delete", "--table", table, "--where", "n_tok:between:100..300")
+    assert r["version"] == 2 and r["rows_deleted"] > 0
+    n_deleted = r["rows_deleted"]
+
+    r = run_cli(
+        "update", "--table", table, "--where", "source:==:wiki", "--set", "source=curated"
+    )
+    assert r["version"] == 3
+
+    r = run_cli("changelog", "--table", table, "--from-version", "1")
+    # inserts = updated rows (new content); deletes = updated-old + deleted
+    assert r["inserts"] > 0
+    assert r["deletes"] == r["inserts"] + n_deleted
+
+    r = run_cli("rollback", "--table", table, "--to-version", "1")
+    assert r["version"] == 4
+
+    r = run_cli("scan", "--table", table)
+    assert r["rows"] == 2000
+
+    r = run_cli("scan", "--table", table, "--where", "n_tok:<=:50")
+    assert 0 < r["rows"] < 2000

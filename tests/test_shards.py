@@ -10,11 +10,11 @@ import pytest
 
 from fupi_ray import manifest as mf
 from fupi_ray.config import EngineConfig
-
-SMALL_FRAGS = EngineConfig(target_fragment_bytes=64 * 1024)
 from fupi_ray.fixtures import sequences_dataset, write_fragmented_table
 from fupi_ray.ops import cluster, delete_where, expire_snapshots
 from fupi_ray.table import Table
+
+SMALL_FRAGS = EngineConfig(target_fragment_bytes=64 * 1024)
 
 
 @pytest.fixture(autouse=True)
@@ -125,3 +125,42 @@ def test_shard_cache_cold_read(tmp_path):
     pd.testing.assert_frame_equal(
         got.drop(columns=["tokens"]), want.drop(columns=["tokens"])
     )
+
+
+def test_sharded_vs_inline_equivalence(tmp_path, monkeypatch):
+    """The same op sequence over a sharded and an inline table must
+    produce identical scans after every commit — the shard layer is
+    pure metadata plumbing, invisible to query results."""
+    import numpy as np
+
+    from fupi_ray.ops import compact, delete_where, merge_into, update_where
+    from fupi_ray.fixtures import sequences_dataset
+
+    def run(table_dir, min_frags):
+        monkeypatch.setattr(mf, "SHARD_MIN_FRAGMENTS", min_frags)
+        mf._SHARD_CACHE.clear()
+        t = write_fragmented_table(table_dir, 1_500, rows_per_fragment=100)
+        snaps = []
+
+        def snap():
+            df = t.scan().to_pandas().sort_values("doc_id").reset_index(drop=True)
+            df["tokens"] = df["tokens"].map(lambda a: tuple(np.asarray(a).tolist()))
+            snaps.append(df)
+
+        snap()
+        t.commit_append(sequences_dataset(300, seed=4, start=30_000), target_fragment_rows=100)
+        snap()
+        delete_where(t, [("n_tok", "between", (200, 260))])
+        snap()
+        merge_into(t, sequences_dataset(200, seed=6, start=500, token_salt=3))
+        snap()
+        update_where(t, [("n_tok", ">", 500)], {"source": "big"})
+        snap()
+        compact(t)
+        snap()
+        return snaps
+
+    a = run(str(tmp_path / "sharded"), 8)
+    b = run(str(tmp_path / "inline"), 10**9)
+    for step, (x, y) in enumerate(zip(a, b)):
+        pd.testing.assert_frame_equal(x, y), step
