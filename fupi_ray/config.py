@@ -71,6 +71,14 @@ class EngineConfig:
     # an oversized "small" side can never blow the driver heap.
     broadcast_max_bytes: int = 256 * 1024 * 1024
 
+    # Per-fragment bloom filter on doc_id, written as a
+    # <fragment>.parquet.bloom sidecar (~bits_per_key/8 bytes per row:
+    # 10 bits ≈ 0.8% FPR at k=7, ~160 KiB beside a 256 MiB fragment).
+    # MERGE / DELETE / UPDATE rewrite tasks probe it and exit before
+    # reading the Parquet when no key can be present — the pruning
+    # zone maps can't provide on an UNCLUSTERED table. None disables.
+    bloom_bits_per_key: int | None = 10
+
     # Snapshot expiry: keep at least this many trailing versions.
     expire_keep_last: int = 2
 

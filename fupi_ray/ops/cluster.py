@@ -221,7 +221,11 @@ def _sort_and_write(
             1, int(total_rows * cfg.target_fragment_bytes / total_bytes)
         )
     return write_dataset_fragments(
-        clustered, table.table_dir, prefix, target_fragment_rows=rows_per_frag
+        clustered,
+        table.table_dir,
+        prefix,
+        target_fragment_rows=rows_per_frag,
+        bloom_bits=cfg.bloom_bits_per_key,
     )
 
 

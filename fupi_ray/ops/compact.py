@@ -94,6 +94,7 @@ def _repack(
     schema_names: list[str] | None = None,
     schema_types: list[str] | None = None,
     column_defaults: dict | None = None,
+    bloom_bits: int | None = None,
 ) -> dict:
     """Stream-merge one pack of small fragments into one fragment.
 
@@ -154,6 +155,7 @@ def _repack(
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
     sum_n_tok = 0
+    hash_chunks: list = []  # doc_id hashes, 8 B/row — feeds the bloom sidecar
     try:
         buf: list[pa.Table] = []
         buf_rows = 0
@@ -183,6 +185,10 @@ def _repack(
                         maxs[col] = hi if col not in maxs else max(maxs[col], hi)
                 if "n_tok" in tbl.column_names and tbl.num_rows:
                     sum_n_tok += int(pc.sum(tbl.column("n_tok")).as_py() or 0)
+                if bloom_bits and "doc_id" in tbl.column_names and tbl.num_rows:
+                    from fupi_ray.functions.hashing import stable_hash
+
+                    hash_chunks.append(stable_hash(tbl["doc_id"]))
                 buf.append(tbl)
                 buf_rows += tbl.num_rows
                 if buf_rows >= row_group_rows:
@@ -197,6 +203,13 @@ def _repack(
     finally:
         if tmp is not None and os.path.exists(tmp):
             os.unlink(tmp)
+
+    if bloom_bits and hash_chunks:
+        import numpy as _np
+
+        from fupi_ray.functions import bloom as _bloom
+
+        _bloom.write_sidecar(abs_out, _np.concatenate(hash_chunks), bloom_bits)
 
     meta = FragmentMeta(
         path=rel_out,
@@ -246,6 +259,7 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
             m.schema_names,
             m.schema_types,
             m.column_defaults,
+            cfg.bloom_bits_per_key,
         )
         for i, p in enumerate(plan.packs)
     ]

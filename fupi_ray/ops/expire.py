@@ -110,7 +110,12 @@ def expire_snapshots(
     now = time.time()
     for name in _fs.ls_names(ddir):
         rel = f"data/{name}"
-        if rel in live_paths or not name.endswith(".parquet"):
+        if name.endswith(".bloom"):
+            # a bloom sidecar lives and dies with its fragment: keep it
+            # exactly while data/<stem>.parquet is live
+            if rel[: -len(".bloom")] in live_paths:
+                continue
+        elif rel in live_paths or not name.endswith(".parquet"):
             continue
         ap = _fs.join(ddir, name)
         # grace period protects fragments of in-flight (uncommitted) jobs

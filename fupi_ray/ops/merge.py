@@ -41,6 +41,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
+from fupi_ray.functions import bloom
 from fupi_ray.functions.hashing import stable_hash
 from fupi_ray.manifest import FragmentMeta, fragment_meta_from_table
 from fupi_ray.schema import SEQUENCE_COLUMNS, normalize_batch
@@ -142,6 +143,7 @@ def _rewrite_fragment_task(
     frag_idx: int,
     rel_path: str,
     keys_ref,
+    bloom_bits: int | None = None,
 ) -> dict:
     """Copy-on-write rewrite of one hit fragment: drop rows whose
     doc_id is in the (broadcast, sorted) source key array. Idempotent +
@@ -163,7 +165,29 @@ def _rewrite_fragment_task(
     # hits, so hash collisions cannot drop a wrong row.
     key_hashes, key_bytes = keys_ref  # ObjectRef args resolve before entry
     t0 = time.perf_counter()
-    tbl = _fs.read_parquet_table(_fs.join(table_dir, rel_path))
+    abs_path = _fs.join(table_dir, rel_path)
+
+    # bloom early-exit: on an unclustered table every fragment's doc_id
+    # RANGE overlaps the key set, but the sidecar answers membership —
+    # a provably-unmatched fragment is kept as-is with no Parquet read
+    # or rewrite (the task touched ~bits/8 bytes per row instead of the
+    # full payload). No false negatives: a real match never skips.
+    blob = bloom.read_sidecar(abs_path)
+    if blob is not None and not bloom.may_contain_any(blob, key_hashes):
+        lineage.write_record(
+            table_dir,
+            job_id,
+            partition,
+            input_fragments=[rel_path],
+            output_fragments=[],
+            metrics={
+                "seconds": time.perf_counter() - t0,
+                "bloom_skip": True,
+                "rows_dropped": 0,
+            },
+        )
+        return lineage.read_record(table_dir, job_id, partition)
+    tbl = _fs.read_parquet_table(abs_path)
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     id_hashes = stable_hash(ids)
     lo = np.searchsorted(key_hashes, id_hashes, side="left")
@@ -193,6 +217,9 @@ def _rewrite_fragment_task(
         rel_out = f"data/mg-{job_id}-{frag_idx:05d}.parquet"
         abs_out = _fs.join(table_dir, rel_out)
         _fs.write_parquet(out, abs_out, row_group_size=32 * 1024)
+        if bloom_bits:
+            # survivor hashes were already computed for the probe
+            bloom.write_sidecar(abs_out, id_hashes[~matched], bloom_bits)
         outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
     lineage.write_record(
         table_dir,
@@ -285,7 +312,11 @@ def _merge_shuffle(
         .map_batches(norm, batch_format="pyarrow")
     )
     return write_dataset_fragments(
-        merged, table.table_dir, f"mg-{job_id}", target_fragment_rows=rows_per_frag
+        merged,
+        table.table_dir,
+        f"mg-{job_id}",
+        target_fragment_rows=rows_per_frag,
+        bloom_bits=table.config.bloom_bits_per_key,
     )
 
 
@@ -392,12 +423,27 @@ def merge_into(
                 kept.append(f)
 
         refs = [
-            _rewrite_fragment_task.remote(table.table_dir, job_id, i, f.path, keys_ref)
+            _rewrite_fragment_task.remote(
+                table.table_dir, job_id, i, f.path, keys_ref,
+                cfg.bloom_bits_per_key,
+            )
             for i, f in enumerate(hit)
         ]
         records = ray.get(refs)
         mark("rewrite_fragments")
-        survivors = [fm for rec in records for fm in lineage.output_fragments(rec)]
+        # a bloom-skipped fragment was proven key-free inside its task:
+        # keep the ORIGINAL meta (no rewrite happened, nothing removed)
+        bloom_skipped = [
+            f for f, rec in zip(hit, records) if rec["metrics"].get("bloom_skip")
+        ]
+        hit = [f for f, rec in zip(hit, records) if not rec["metrics"].get("bloom_skip")]
+        kept.extend(bloom_skipped)
+        survivors = [
+            fm
+            for rec in records
+            if not rec["metrics"].get("bloom_skip")
+            for fm in lineage.output_fragments(rec)
+        ]
 
         src_frags = write_dataset_fragments(
             deduped.map_batches(
@@ -407,6 +453,7 @@ def merge_into(
             table.table_dir,
             f"mg-{job_id}-src",
             target_fragment_rows=rows_per_frag,
+            bloom_bits=cfg.bloom_bits_per_key,
         )
         mark("write_source")
         removed = {f.path for f in hit}
@@ -416,6 +463,7 @@ def merge_into(
             "phase_seconds": phase_t,
             "source_keys": int(len(keys)),
             "fragments_hit": len(hit),
+            "fragments_bloom_skipped": len(bloom_skipped),
             "fragments_untouched": len(kept),
         }
     else:

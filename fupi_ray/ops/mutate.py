@@ -22,11 +22,14 @@ from __future__ import annotations
 import time
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
 from fupi_ray import manifest as mf
+from fupi_ray.functions import bloom
+from fupi_ray.functions.hashing import stable_hash
 from fupi_ray.manifest import FragmentMeta, Manifest, fragment_meta_from_table
 from fupi_ray.state import commit as commit_mod
 from fupi_ray.state import fs as _fs
@@ -80,6 +83,7 @@ def _mutate_fragment_task(
     predicate: list[tuple],
     pad_cols: list[tuple],
     assignments: dict[str, tuple] | None,
+    bloom_bits: int | None = None,
 ) -> dict:
     """COW rewrite of one hit fragment. ``assignments`` None = delete
     matching rows; else = replace assigned columns on matching rows
@@ -92,7 +96,39 @@ def _mutate_fragment_task(
         return existing
 
     t0 = time.perf_counter()
-    tbl = _fs.read_parquet_table(_fs.join(table_dir, rel_path))
+    abs_path = _fs.join(table_dir, rel_path)
+
+    # bloom early-exit for point predicates: any doc_id ==/in conjunct
+    # whose keys the fragment's sidecar proves absent makes the whole
+    # conjunction unmatchable — report "unchanged" without reading the
+    # Parquet (zone maps can't do this on an unclustered table).
+    point_keys = [
+        (list(val) if op == "in" else [val])
+        for col, op, val in predicate
+        if col == "doc_id" and op in ("=", "==", "in")
+    ]
+    if point_keys:
+        blob = bloom.read_sidecar(abs_path)
+        if blob is not None and any(
+            not bloom.may_contain_any(blob, stable_hash(np.array(ks, dtype=object)))
+            for ks in point_keys
+        ):
+            lineage.write_record(
+                table_dir,
+                job_id,
+                partition,
+                input_fragments=[rel_path],
+                output_fragments=[],
+                metrics={
+                    "seconds": round(time.perf_counter() - t0, 4),
+                    "rows_matched": 0,
+                    "unchanged": True,
+                    "bloom_skip": True,
+                },
+            )
+            return lineage.read_record(table_dir, job_id, partition)
+
+    tbl = _fs.read_parquet_table(abs_path)
     ev = _pad_eval_table(tbl, pad_cols)
     mask = mf.predicate_mask(ev, predicate)
     n_match = int(pc.sum(mask).as_py() or 0)
@@ -129,6 +165,8 @@ def _mutate_fragment_task(
         rel_out = f"data/{prefix}-{job_id}-{frag_idx:05d}.parquet"
         abs_out = _fs.join(table_dir, rel_out)
         _fs.write_parquet(out, abs_out, row_group_size=32 * 1024)
+        if bloom_bits and "doc_id" in out.column_names:
+            bloom.write_sidecar(abs_out, out["doc_id"], bloom_bits)
         outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
     lineage.write_record(
         table_dir,
@@ -185,7 +223,8 @@ def _run_mutation(
     records = ray.get(
         [
             _mutate_fragment_task.remote(
-                table.table_dir, job_id, i, f.path, predicate, pad_cols, assignments
+                table.table_dir, job_id, i, f.path, predicate, pad_cols,
+                assignments, table.config.bloom_bits_per_key,
             )
             for i, f in enumerate(hit)
         ]
@@ -205,6 +244,9 @@ def _run_mutation(
             "predicate": [list(p) for p in predicate],
             "rows_matched": int(rows_matched),
             "fragments_hit": len(hit),
+            "fragments_bloom_skipped": sum(
+                1 for r in records if r["metrics"].get("bloom_skip")
+            ),
             "fragments_rewritten": len(changed),
             "fragments_untouched": len(m.fragments) - len(changed),
             "seconds": round(time.perf_counter() - t0, 3),

@@ -100,6 +100,29 @@ def read_text(path: str) -> str:
     return f.cat_file(p).decode("utf-8")
 
 
+def write_bytes(path: str, content: bytes) -> None:
+    """Whole-file binary put (bloom sidecars); local fast path avoids
+    the fsspec layer on the hot fragment-write path."""
+    if is_uri(path):
+        f, p = get_fs(path)
+        parent = p.rsplit("/", 1)[0] if "/" in p else ""
+        if parent:
+            f.makedirs(parent, exist_ok=True)
+        f.pipe_file(p, content)
+        return
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(content)
+
+
+def read_bytes(path: str) -> bytes:
+    if is_uri(path):
+        f, p = get_fs(path)
+        return f.cat_file(p)
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
 def ls_names(dir_path: str) -> list[str]:
     """Basenames in a directory; [] when absent."""
     f, p = get_fs(dir_path)

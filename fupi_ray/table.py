@@ -41,10 +41,17 @@ class _FragmentWriter:
     name, so retried tasks can never corrupt committed state (commit
     happens only via the manifest)."""
 
-    def __init__(self, table_dir: str, prefix: str, row_group_rows: int = 32 * 1024):
+    def __init__(
+        self,
+        table_dir: str,
+        prefix: str,
+        row_group_rows: int = 32 * 1024,
+        bloom_bits: int | None = None,
+    ):
         self.table_dir = table_dir
         self.prefix = prefix
         self.row_group_rows = row_group_rows
+        self.bloom_bits = bloom_bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -58,6 +65,10 @@ class _FragmentWriter:
         else:
             os.makedirs(os.path.dirname(abs_path), exist_ok=True)
             pq.write_table(batch, abs_path, row_group_size=self.row_group_rows)
+        if self.bloom_bits and "doc_id" in batch.column_names:
+            from fupi_ray.functions import bloom as _bloom
+
+            _bloom.write_sidecar(abs_path, batch["doc_id"], self.bloom_bits)
         meta = mf.fragment_meta_from_table(batch, abs_path, rel)
         import json
 
@@ -70,16 +81,19 @@ def write_dataset_fragments(
     prefix: str,
     *,
     target_fragment_rows: int | None = None,
+    bloom_bits: int | None = None,
 ) -> list[FragmentMeta]:
     """Write a Dataset out as fragments; return their metadata.
 
     One fragment per block (blocks are bounded by
     ``DataContext.target_max_block_size``, so fragments are too). The
     metadata stream is tiny (1 row per fragment) → safe to take_all.
+    ``bloom_bits`` (bits/key, None = off) writes a doc_id bloom sidecar
+    beside each fragment for point-lookup fragment pruning.
     """
     import json
 
-    writer = _FragmentWriter(table_dir, prefix)
+    writer = _FragmentWriter(table_dir, prefix, bloom_bits=bloom_bits)
     meta_ds = ds.map_batches(
         writer,
         batch_format="pyarrow",
@@ -448,7 +462,9 @@ class Table:
         disk for pinned readers until expiry GCs them. An overwrite's
         outcome is independent of the parent's contents, so a
         concurrent-commit conflict is auto-rebased like an append."""
-        frags = write_dataset_fragments(ds, self.table_dir, "ow")
+        frags = write_dataset_fragments(
+            ds, self.table_dir, "ow", bloom_bits=self.config.bloom_bits_per_key
+        )
         return self._commit_rebasing("overwrite", lambda _parent: frags, properties)
 
     def commit_append(
@@ -462,7 +478,11 @@ class Table:
         ``target_fragment_rows`` forces small fragments (test fixtures
         mimicking post-ingest small-file state)."""
         new = write_dataset_fragments(
-            ds, self.table_dir, "ap", target_fragment_rows=target_fragment_rows
+            ds,
+            self.table_dir,
+            "ap",
+            target_fragment_rows=target_fragment_rows,
+            bloom_bits=self.config.bloom_bits_per_key,
         )
         return self._commit_rebasing(
             "append", lambda parent: self.manifest(parent).fragments + new, properties
