@@ -12,6 +12,8 @@ jobs launched as Ray jobs on a fixed-size cluster).
     ray job submit -- python -m fupi_ray.cli rollback --table /data/seq --to-version 41
     ray job submit -- python -m fupi_ray.cli changelog --table /data/seq \
         --from-version 41 --output /data/seq_cdc
+    ray job submit -- python -m fupi_ray.cli stage --table /data/seq --source /data/batch7
+    ray job submit -- python -m fupi_ray.cli publish --table /data/seq --stage-id wap-ab12
 
 This module owns its Ray session (it IS the job script); the library
 never does. ``--job-id`` names the lineage namespace, so re-submitting
@@ -34,6 +36,7 @@ def main(argv=None) -> int:
             "ingest", "overwrite", "compact", "cluster", "merge", "expire",
             "scan", "add-column", "drop-column",
             "delete", "update", "rollback", "changelog",
+            "stage", "publish", "abort-stage", "stages",
         ],
     )
     p.add_argument("--table", required=True)
@@ -73,6 +76,7 @@ def main(argv=None) -> int:
         dest="assignments",
         help="update: col=value assignment (repeatable)",
     )
+    p.add_argument("--stage-id", default=None, help="WAP stage id (stage/publish/abort-stage)")
     p.add_argument("--to-version", type=int, help="rollback target / changelog end version")
     p.add_argument("--from-version", type=int, help="changelog start version")
     p.add_argument("--raw", action="store_true", help="changelog: skip CDC netting")
@@ -235,6 +239,31 @@ def main(argv=None) -> int:
         out["deletes"] = int(counts.get("delete", 0))
         out["from_version"] = args.from_version
         out["to_version"] = args.to_version if args.to_version is not None else t.latest_version()
+    elif args.op in ("stage", "publish", "abort-stage", "stages"):
+        # write-audit-publish: stage a parquet source invisibly, audit
+        # (scan --version works on the unchanged table; staged_scan in
+        # the library gives the union view), then publish or abort
+        from fupi_ray.ops import abort_stage, list_stages, publish_stage, stage_append
+
+        t = Table.open(args.table)
+        if args.op == "stage":
+            if not args.source:
+                p.error("stage requires --source")
+            import ray.data
+
+            out["stage_id"] = stage_append(
+                t, ray.data.read_parquet(args.source), stage_id=args.stage_id
+            )
+        elif args.op == "publish":
+            if not args.stage_id:
+                p.error("publish requires --stage-id")
+            out["version"] = publish_stage(t, args.stage_id)
+        elif args.op == "abort-stage":
+            if not args.stage_id:
+                p.error("abort-stage requires --stage-id")
+            out["fragments_released"] = abort_stage(t, args.stage_id)
+        else:
+            out["stages"] = list_stages(t)
     elif args.op == "scan":
         t = Table.open(args.table)
         ds = t.scan(version=args.version, predicate=parse_where(args.where) or None)

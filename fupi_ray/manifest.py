@@ -301,6 +301,16 @@ def read_manifest(table_dir: str, version: int) -> Manifest:
     return m
 
 
+def read_manifest_header(table_dir: str, version: int) -> Manifest:
+    """Manifest WITHOUT resolving fragment shards — metadata-only
+    callers (time travel, history summaries over sharded tables) must
+    not pay a member-list load per version. ``fragments`` is empty for
+    sharded manifests; never scan or commit from this object."""
+    p = manifest_path(table_dir, version)
+    raw = _fs.read_text(p) if _fs.is_uri(p) else open(p).read()
+    return Manifest.from_json(raw)
+
+
 def read_manifest_pruned(
     table_dir: str, version: int, predicate: list[tuple]
 ) -> Manifest:

@@ -5,8 +5,20 @@ from fupi_ray.ops.evolve import add_column, drop_column
 from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.ops.mutate import delete_where, rollback, update_where
+from fupi_ray.ops.stage import (
+    abort_stage,
+    list_stages,
+    publish_stage,
+    stage_append,
+    staged_scan,
+)
 
 __all__ = [
+    "abort_stage",
+    "list_stages",
+    "publish_stage",
+    "stage_append",
+    "staged_scan",
     "changelog",
     "compact",
     "cluster",

@@ -93,6 +93,14 @@ def expire_snapshots(
     for v in table.versions():
         for f in table.manifest(v).fragments:
             live_paths.add(f.path)
+    # fragments of staged (write-audit-publish) commits are live while
+    # their staging record exists: an auditor may still be scanning
+    # them, and publish must find them intact
+    from fupi_ray.ops import stage as _stage
+
+    for rec in _stage.list_stages(table):
+        for d in rec.get("fragments", []):
+            live_paths.add(d.get("path"))
     # outputs recorded by lineage (an in-flight or crashed job awaiting
     # --job-id resume) are live too: deleting them would make a later
     # resume commit a manifest pointing at vanished files

@@ -1,0 +1,146 @@
+"""Write–audit–publish (WAP): stage an append invisibly, audit it,
+then publish or abort.
+
+The reference ingests straight into the serving table — a bad crawl
+batch is visible to every reader the moment ``table.add`` returns
+(/root/reference/fupi/embedders.py:124-125). The staging flow writes
+the new fragments and a staging record but does NOT advance
+``_latest``: readers see nothing, auditors scan "table ∪ staged" via
+:func:`staged_scan`, and :func:`publish_stage` turns the record into a
+normal append commit (auto-rebased under concurrent writers, like any
+append). Iceberg ships the same flow as the ``wap.id`` snapshot-stage
++ cherry-pick; Delta calls it a shadow/branch write.
+
+Layout: ``manifest/staged/<stage_id>.json`` listing the staged
+fragment metas + the schema they were written under. Staged fragments
+live in ``data/`` like any other fragment; snapshot expiry treats
+fragments referenced by a staging record as live, so an unpublished
+stage is never GC'd out from under its auditor — ``abort_stage``
+removes the record and the files become normal GC food after the
+grace period.
+
+Scale shape: staging is exactly an append's fragment write (streamed,
+no driver data path); the record is O(new fragments) metadata; publish
+is a metadata-only commit.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import ray.data
+
+from fupi_ray import manifest as mf
+from fupi_ray.manifest import FragmentMeta
+from fupi_ray.state import fs as _fs
+from fupi_ray.table import Table, write_dataset_fragments
+
+
+def staged_dir(table_dir: str) -> str:
+    return _fs.join(mf.manifest_dir(table_dir), "staged")
+
+
+def _record_path(table_dir: str, stage_id: str) -> str:
+    return _fs.join(staged_dir(table_dir), f"{stage_id}.json")
+
+
+def stage_append(
+    table: Table, ds: ray.data.Dataset, stage_id: str | None = None
+) -> str:
+    """Write ``ds`` as staged fragments; returns the stage id. Readers
+    of the table see NOTHING until :func:`publish_stage`."""
+    stage_id = stage_id or f"wap-{uuid.uuid4().hex[:12]}"
+    if _fs.exists(_record_path(table.table_dir, stage_id)):
+        raise ValueError(f"stage {stage_id!r} already exists")
+    frags = write_dataset_fragments(
+        ds,
+        table.table_dir,
+        f"st-{stage_id}",
+        bloom_bits=table.config.bloom_bits_per_key,
+    )
+    rec = {
+        "stage_id": stage_id,
+        "base_version": table.latest_version(),
+        "created_unix": time.time(),
+        "fragments": [f.to_dict() for f in frags],
+    }
+    _fs.write_text(
+        _record_path(table.table_dir, stage_id), json.dumps(rec, indent=1, default=str)
+    )
+    return stage_id
+
+
+def read_stage(table: Table, stage_id: str) -> dict:
+    p = _record_path(table.table_dir, stage_id)
+    if not _fs.exists(p):
+        raise FileNotFoundError(f"no staged commit {stage_id!r}")
+    return json.loads(_fs.read_text(p))
+
+
+def list_stages(table: Table) -> list[dict]:
+    out = []
+    for name in _fs.ls_names(staged_dir(table.table_dir)):
+        if name.endswith(".json"):
+            out.append(json.loads(_fs.read_text(_fs.join(staged_dir(table.table_dir), name))))
+    return sorted(out, key=lambda r: r["created_unix"])
+
+
+def staged_fragment_metas(table: Table, stage_id: str) -> list[FragmentMeta]:
+    return [FragmentMeta.from_dict(d) for d in read_stage(table, stage_id)["fragments"]]
+
+
+def staged_scan(
+    table: Table, stage_id: str, columns=None, predicate=None, **read_kwargs
+) -> ray.data.Dataset:
+    """Audit view: the CURRENT table ∪ the staged fragments — exactly
+    what a reader would see after publish. Staged fragments get the
+    same zone-map pruning and schema normalization as committed ones."""
+    base = table.scan(columns=columns, predicate=predicate, **read_kwargs)
+    frags = staged_fragment_metas(table, stage_id)
+    if predicate:
+        m = table.manifest()
+        frags = [
+            f
+            for f in frags
+            if mf.fragment_may_match(
+                f, [p for p in predicate if f.has_column(p[0], m.column_ids)]
+            )
+        ]
+    if not frags:
+        return base
+    paths = [_fs.join(table.table_dir, f.path) for f in frags]
+    kwargs = dict(read_kwargs)
+    if columns is not None:
+        kwargs["columns"] = list(columns)
+    if predicate:
+        kwargs["filter"] = mf.predicate_to_arrow(predicate)
+    if _fs.is_uri(table.table_dir):
+        filesystem, _ = _fs.arrow_fs(table.table_dir)
+        kwargs["filesystem"] = filesystem
+        paths = [_fs.get_fs(p)[1] for p in paths]
+    kwargs.setdefault("override_num_blocks", len(paths))
+    return base.union(ray.data.read_parquet(paths, **kwargs))
+
+
+def publish_stage(table: Table, stage_id: str) -> int:
+    """Promote the staged fragments to a normal append commit (rebased
+    under concurrent writers) and drop the staging record."""
+    frags = staged_fragment_metas(table, stage_id)
+    v = table._commit_rebasing(
+        "append",
+        lambda parent: table.manifest(parent).fragments + frags,
+        properties={"wap_stage": stage_id, "staged_fragments": len(frags)},
+    )
+    _fs.rm(_record_path(table.table_dir, stage_id))
+    return v
+
+
+def abort_stage(table: Table, stage_id: str) -> int:
+    """Drop the staging record; its fragments become unreferenced files
+    that snapshot expiry GCs after the grace period. Returns the number
+    of fragments released."""
+    n = len(staged_fragment_metas(table, stage_id))
+    _fs.rm(_record_path(table.table_dir, stage_id))
+    return n

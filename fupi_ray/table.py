@@ -199,6 +199,25 @@ class Table:
             )
         return out
 
+    def version_at(self, as_of_unix: float) -> int:
+        """Time travel: the latest version committed at or before the
+        given unix timestamp (Delta's ``timestampAsOf`` / Iceberg's
+        ``as-of-timestamp``). Commit times are the manifest's
+        ``created_unix`` stamped by the commit actor, so they are
+        monotone along the linear history. Raises if the table has no
+        version that old."""
+        best = None
+        for v in self.versions():
+            # header-only read: no shard member lists for time travel
+            m = mf.read_manifest_header(self.table_dir, v)
+            if m.created_unix <= as_of_unix and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version of {self.table_dir} existed at unix {as_of_unix}"
+            )
+        return best
+
     # -- snapshot pins ------------------------------------------------------
 
     def pin(self, name: str, version: int | None = None) -> int:
@@ -231,6 +250,7 @@ class Table:
         columns: Sequence[str] | None = None,
         predicate: list[tuple] | None = None,
         paths_subset: set[str] | None = None,
+        as_of_unix: float | None = None,
         **read_kwargs: Any,
     ) -> ray.data.Dataset:
         """Snapshot-consistent scan → lazy ``ray.data.Dataset``.
@@ -241,8 +261,14 @@ class Table:
         Lance does implicitly for the reference (searcher.py:207-208).
         ``paths_subset`` restricts the scan to the named fragment rel
         paths (changelog's fragment-diff read) with the same schema
-        reconciliation as a full scan.
+        reconciliation as a full scan. ``as_of_unix`` resolves the
+        version by commit timestamp instead (time travel); mutually
+        exclusive with ``version``.
         """
+        if as_of_unix is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of_unix, not both")
+            version = self.version_at(as_of_unix)
         resolved_v = self.latest_version() if version is None else version
         if predicate and paths_subset is None:
             # two-level prune on sharded manifests: drop whole shards

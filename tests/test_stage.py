@@ -1,0 +1,107 @@
+"""Timestamp time travel + write-audit-publish staged commits:
+invisibility before publish, audit-view union, publish-as-append
+(rebased), abort + GC, and snapshot isolation throughout."""
+
+import os
+import time
+
+import pandas as pd
+import pytest
+import ray
+import ray.data
+
+from fupi_ray.config import EngineConfig
+from fupi_ray.fixtures import generate_rows, write_fragmented_table
+from fupi_ray.ops import (
+    abort_stage,
+    expire_snapshots,
+    list_stages,
+    publish_stage,
+    stage_append,
+    staged_scan,
+)
+from fupi_ray.ops.stage import read_stage
+from fupi_ray.table import Table
+
+CFG = EngineConfig(target_fragment_bytes=256 * 1024, expire_keep_last=1)
+
+
+# -- time travel ---------------------------------------------------------------
+
+
+def test_scan_as_of_timestamp(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 300, rows_per_fragment=100, config=CFG)
+    ts_v1 = time.time()
+    time.sleep(0.02)
+    t.commit_append(ray.data.from_arrow(generate_rows(300, 100)))
+    ts_v2 = time.time()
+
+    assert t.scan(as_of_unix=ts_v1).count() == 300
+    assert t.scan(as_of_unix=ts_v2).count() == 400
+    assert t.version_at(ts_v1) < t.version_at(ts_v2)
+    with pytest.raises(ValueError):
+        t.version_at(0.0)  # before the table existed
+    with pytest.raises(ValueError):
+        t.scan(version=1, as_of_unix=ts_v1)  # mutually exclusive
+
+
+# -- write-audit-publish --------------------------------------------------------
+
+
+def test_stage_invisible_then_publish(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 200, rows_per_fragment=100, config=CFG)
+    sid = stage_append(t, ray.data.from_arrow(generate_rows(200, 50)))
+
+    # invisible to every normal reader
+    assert t.scan().count() == 200
+    assert len(list_stages(t)) == 1
+
+    # audit view = table ∪ staged, with predicate pruning intact
+    audit = staged_scan(t, sid)
+    assert audit.count() == 250
+    pred = [("doc_id", "between", ("doc-000000000220", "doc-000000000229"))]
+    assert staged_scan(t, sid, predicate=pred).count() == 10
+
+    v = publish_stage(t, sid)
+    assert t.latest_version() == v
+    assert t.scan().count() == 250
+    assert t.manifest(v).properties["wap_stage"] == sid
+    assert list_stages(t) == []
+    # token-array equality for a staged row after publish
+    row = t.scan(predicate=[("doc_id", "==", "doc-000000000234")]).take_all()[0]
+    assert list(row["tokens"]) == generate_rows(234, 1)["tokens"][0].as_py()
+
+
+def test_publish_rebases_over_concurrent_append(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    sid = stage_append(t, ray.data.from_arrow(generate_rows(100, 20)))
+    # another writer advances the table between stage and publish
+    t.commit_append(ray.data.from_arrow(generate_rows(500, 30)))
+    publish_stage(t, sid)
+    assert t.scan().count() == 150  # both the append and the stage landed
+
+
+def test_abort_stage_releases_fragments_to_gc(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    sid = stage_append(t, ray.data.from_arrow(generate_rows(100, 20)))
+    staged_rel = {d["path"] for d in read_stage(t, sid)["fragments"]}
+
+    # while staged: expiry must NOT GC the fragments (auditor may read)
+    expire_snapshots(t, keep_last=1, gc_grace_seconds=0)
+    for rel in staged_rel:
+        assert os.path.exists(os.path.join(t.table_dir, rel))
+
+    assert abort_stage(t, sid) == len(staged_rel)
+    assert list_stages(t) == []
+    # after abort: normal GC food
+    expire_snapshots(t, keep_last=1, gc_grace_seconds=0)
+    for rel in staged_rel:
+        assert not os.path.exists(os.path.join(t.table_dir, rel))
+    assert t.scan().count() == 100
+
+
+def test_stage_duplicate_id_refused(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    stage_append(t, ray.data.from_arrow(generate_rows(100, 10)), stage_id="s1")
+    with pytest.raises(ValueError):
+        stage_append(t, ray.data.from_arrow(generate_rows(110, 10)), stage_id="s1")
