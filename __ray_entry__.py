@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_update": lake.q_lake_update,
         "lake_rollback": lake.q_lake_rollback,
         "lake_changelog": lake.q_lake_changelog,
+        "lake_wap": lake.q_lake_wap,
+        "lake_timetravel": lake.q_lake_timetravel,
     }
 
 
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "lake_update": lake.SQL_LAKE_UPDATE,
         "lake_rollback": lake.SQL_LAKE_ROLLBACK,
         "lake_changelog": lake.SQL_LAKE_CHANGELOG,
+        "lake_wap": lake.SQL_LAKE_WAP,
+        "lake_timetravel": lake.SQL_LAKE_TIMETRAVEL,
         # minhash_pairs / simhash_pairs / ivf_topk / rolling_fp:
         # permutation-hash / approximate ops — rows-only by design
     }

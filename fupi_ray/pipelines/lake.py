@@ -370,6 +370,67 @@ UNION ALL SELECT doc_id, source, n_tok, 'delete' FROM old
 """
 
 
+def q_lake_wap(sf_dir: str):
+    """Write–audit–publish as a query: build from the even-doc_id half,
+    stage the odd half invisibly, audit (staged view must show the
+    union while the table itself is UNCHANGED — both asserted here,
+    since invisibility is not SQL-expressible), publish, return the
+    final scan. Oracle = the full documents-derived table."""
+    from fupi_ray.ops import publish_stage, stage_append
+    from fupi_ray.ops.stage import staged_scan
+
+    t = Table.create(_tmp_table(sf_dir, "wap"), config=LAKE_CFG)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source", "n_chars"]
+    )
+
+    def half(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            m = ids % 2 == parity
+            n = batch["n_chars"].to_numpy(zero_copy_only=False)
+            src = [s for s, keep in zip(batch["source"].to_pylist(), m) if keep]
+            return sequences_batch(ids[m], n[m], src, salt=100)
+
+        return fn
+
+    t.commit_append(docs.map_batches(half(0), batch_format="pyarrow"), target_fragment_rows=100)
+    base_rows = t.scan().count()
+    sid = stage_append(t, docs.map_batches(half(1), batch_format="pyarrow"))
+    # audit: staged view sees the union; the table itself sees nothing
+    if t.scan().count() != base_rows:
+        raise AssertionError("staged fragments leaked into the table before publish")
+    audit_rows = staged_scan(t, sid).count()
+    publish_stage(t, sid)
+    if t.scan().count() != audit_rows:
+        raise AssertionError("published table differs from the audited view")
+    return canonical_scan(t)
+
+
+SQL_LAKE_WAP = SQL_LAKE_COMPACT
+
+
+def q_lake_timetravel(sf_dir: str):
+    """Timestamp time travel as a query: build (v1), DELETE a band
+    (v2), then scan ``as_of_unix`` = midpoint of the two commit times —
+    the result must be the PRE-delete table (oracle = identity). The
+    fn also asserts the latest version really lost the rows, so the
+    oracle comparison is meaningful."""
+    t = _build(sf_dir, "timetravel")
+    v1 = t.latest_version()
+    v2 = delete_where(t, [("n_tok", "between", (200, 500))])
+    ts1 = t.manifest(v1).created_unix
+    ts2 = t.manifest(v2).created_unix
+    if not ts1 < ts2:
+        raise AssertionError("commit timestamps not monotone")
+    if t.scan().count() >= t.scan(v1).count():
+        raise AssertionError("delete removed nothing; time travel untestable")
+    return canonical_scan(t, version=t.version_at((ts1 + ts2) / 2.0))
+
+
+SQL_LAKE_TIMETRAVEL = SQL_LAKE_COMPACT
+
+
 def flagship(sf_dir: str) -> ray.data.Dataset:
     """The full maintenance cycle on one table: ingest (small files) →
     compact → Z-order cluster → MERGE → expire → final canonical scan.
