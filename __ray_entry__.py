@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_changelog": lake.q_lake_changelog,
         "lake_wap": lake.q_lake_wap,
         "lake_timetravel": lake.q_lake_timetravel,
+        "pack_tokens": lake.q_pack_tokens,
     }
 
 
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_changelog": lake.SQL_LAKE_CHANGELOG,
         "lake_wap": lake.SQL_LAKE_WAP,
         "lake_timetravel": lake.SQL_LAKE_TIMETRAVEL,
+        "pack_tokens": lake.SQL_PACK_TOKENS,
         # minhash_pairs / simhash_pairs / ivf_topk / rolling_fp:
         # permutation-hash / approximate ops — rows-only by design
     }

@@ -431,6 +431,59 @@ def q_lake_timetravel(sf_dir: str):
 SQL_LAKE_TIMETRAVEL = SQL_LAKE_COMPACT
 
 
+def q_pack_tokens(sf_dir: str):
+    """Sequence packing as a query: derive the sequences table, pack
+    each source's token stream into context_len=512 examples
+    (grouped mode → counts are blocking-independent), and return
+    per-source (packed_rows, emitted_tok, input_tok). The fn asserts
+    the non-SQL-expressible invariants (every full row is exactly 512
+    tokens; emitted == rows*512); the oracle checks the packing math
+    against SUM(n_chars) arithmetic."""
+    from fupi_ray.stages.pack import pack_sequences
+
+    seqs = sequences_from_documents(sf_dir)
+    packed = pack_sequences(seqs, 512, drop_remainder=True, by="source")
+
+    def agg(batch: pa.Table) -> pa.Table:
+        n = batch["n_tok"].to_numpy(zero_copy_only=False)
+        if len(n) and (n != 512).any():
+            raise AssertionError("drop_remainder row with n_tok != context_len")
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pylist(), "n": n.astype("int64")}
+        )
+        g = df.groupby("source")["n"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"], pa.string()),
+                "packed_rows": pa.array(g["count"], pa.int64()),
+                "emitted_tok": pa.array(g["sum"], pa.int64()),
+            }
+        )
+
+    part = packed.map_batches(agg, batch_format="pyarrow")
+    out = part.groupby("source").sum(["packed_rows", "emitted_tok"])
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "source": b["source"],
+                "packed_rows": b["sum(packed_rows)"],
+                "emitted_tok": b["sum(emitted_tok)"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_PACK_TOKENS = """
+SELECT source,
+       CAST(SUM(n_chars) // 512 AS BIGINT) AS packed_rows,
+       CAST((SUM(n_chars) // 512) * 512 AS BIGINT) AS emitted_tok
+FROM documents GROUP BY source
+"""
+
+
 def flagship(sf_dir: str) -> ray.data.Dataset:
     """The full maintenance cycle on one table: ingest (small files) →
     compact → Z-order cluster → MERGE → expire → final canonical scan.
