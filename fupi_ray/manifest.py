@@ -287,13 +287,17 @@ def write_latest_version(table_dir: str, version: int) -> None:
     _atomic_write(_fs.join(manifest_dir(table_dir), "_latest"), str(version))
 
 
-def read_manifest(table_dir: str, version: int) -> Manifest:
+def _read_raw_manifest(table_dir: str, version: int) -> Manifest:
+    """Parse one manifest WITHOUT resolving fragment shards."""
     p = manifest_path(table_dir, version)
     if _fs.is_uri(p):
-        m = Manifest.from_json(_fs.read_text(p))
-    else:
-        with open(p) as f:
-            m = Manifest.from_json(f.read())
+        return Manifest.from_json(_fs.read_text(p))
+    with open(p) as f:
+        return Manifest.from_json(f.read())
+
+
+def read_manifest(table_dir: str, version: int) -> Manifest:
+    m = _read_raw_manifest(table_dir, version)
     if m.fragment_shards is not None:
         m.fragments = [
             f for ref in m.fragment_shards for f in load_shard(table_dir, ref["path"])
@@ -303,12 +307,10 @@ def read_manifest(table_dir: str, version: int) -> Manifest:
 
 def read_manifest_header(table_dir: str, version: int) -> Manifest:
     """Manifest WITHOUT resolving fragment shards — metadata-only
-    callers (time travel, history summaries over sharded tables) must
-    not pay a member-list load per version. ``fragments`` is empty for
-    sharded manifests; never scan or commit from this object."""
-    p = manifest_path(table_dir, version)
-    raw = _fs.read_text(p) if _fs.is_uri(p) else open(p).read()
-    return Manifest.from_json(raw)
+    callers (time travel, WAP publish idempotency checks) must not pay
+    a member-list load per version. ``fragments`` is empty for sharded
+    manifests; never scan or commit from this object."""
+    return _read_raw_manifest(table_dir, version)
 
 
 def read_manifest_pruned(
@@ -323,9 +325,7 @@ def read_manifest_pruned(
     whose recorded field id still matches the reading manifest's
     (``ref['col_ids']``): after a drop + re-add the stale aggregate
     must not prune the new incarnation."""
-    p = manifest_path(table_dir, version)
-    raw = _fs.read_text(p) if _fs.is_uri(p) else open(p).read()
-    m = Manifest.from_json(raw)
+    m = _read_raw_manifest(table_dir, version)
     if m.fragment_shards is None:
         return m  # inline manifest: fragments already parsed
     frags: list[FragmentMeta] = []
@@ -373,7 +373,11 @@ def load_shard(table_dir: str, rel_path: str) -> list[FragmentMeta]:
     if hit is not None:
         return hit
     p = _fs.join(table_dir, rel_path)
-    raw = _fs.read_text(p) if _fs.is_uri(p) else open(p).read()
+    if _fs.is_uri(p):
+        raw = _fs.read_text(p)
+    else:
+        with open(p) as f:
+            raw = f.read()
     frags = [FragmentMeta.from_dict(d) for d in json.loads(raw)]
     if len(_SHARD_CACHE) >= _SHARD_CACHE_MAX:
         _SHARD_CACHE.clear()  # immutable entries: dropping them only costs re-reads

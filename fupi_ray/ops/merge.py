@@ -144,6 +144,7 @@ def _rewrite_fragment_task(
     rel_path: str,
     keys_ref,
     bloom_bits: int | None = None,
+    keys_digest: str | None = None,
 ) -> dict:
     """Copy-on-write rewrite of one hit fragment: drop rows whose
     doc_id is in the (broadcast, sorted) source key array. Idempotent +
@@ -151,9 +152,13 @@ def _rewrite_fragment_task(
     partition = f"frag-{frag_idx:05d}"
     existing = lineage.read_record(table_dir, job_id, partition)
     if existing is not None:
-        # reuse only if the record covers the SAME input fragment — an
-        # intervening commit can remap index i to a different file
-        if existing.get("input_fragments") == [rel_path]:
+        # reuse only if the record covers the SAME input fragment (an
+        # intervening commit can remap index i to a different file) AND
+        # the SAME key set — a retried merge with a different source at
+        # the same parent must not inherit the old run's rewrites
+        if existing.get("input_fragments") == [rel_path] and (
+            existing.get("metrics", {}).get("keys_digest") == keys_digest
+        ):
             return existing
 
     # keys arrive as (sorted uint64 hashes, fixed-width utf-8 bytes in
@@ -184,6 +189,7 @@ def _rewrite_fragment_task(
                 "seconds": time.perf_counter() - t0,
                 "bloom_skip": True,
                 "rows_dropped": 0,
+                "keys_digest": keys_digest,
             },
         )
         return lineage.read_record(table_dir, job_id, partition)
@@ -231,6 +237,7 @@ def _rewrite_fragment_task(
             "seconds": time.perf_counter() - t0,
             "rows_in": tbl.num_rows,
             "rows_dropped": int(matched.sum()),
+            "keys_digest": keys_digest,
         },
     )
     return lineage.read_record(table_dir, job_id, partition)
@@ -407,6 +414,10 @@ def merge_into(
         order = np.argsort(h, kind="stable")
         key_bytes = np.char.encode(keys[order].astype(str), "utf-8")
         keys_ref = ray.put((h[order], key_bytes))
+        # key-set identity for lineage reuse (sorted hashes → stable)
+        import hashlib as _hl
+
+        keys_digest = _hl.md5(h[order].tobytes()).hexdigest()[:16]
         mark("collect_keys")
 
         # zone-map prune: fragment is "hit" iff some key falls in its range
@@ -425,7 +436,7 @@ def merge_into(
         refs = [
             _rewrite_fragment_task.remote(
                 table.table_dir, job_id, i, f.path, keys_ref,
-                cfg.bloom_bits_per_key,
+                cfg.bloom_bits_per_key, keys_digest,
             )
             for i, f in enumerate(hit)
         ]

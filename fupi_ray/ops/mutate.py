@@ -84,15 +84,24 @@ def _mutate_fragment_task(
     pad_cols: list[tuple],
     assignments: dict[str, tuple] | None,
     bloom_bits: int | None = None,
+    mutation_digest: str | None = None,
 ) -> dict:
     """COW rewrite of one hit fragment. ``assignments`` None = delete
     matching rows; else = replace assigned columns on matching rows
     (value spec ``("scalar", v, type_str)`` or ``("fn", callable,
     type_str)`` — the callable sees the padded row view and returns
-    per-row values). Idempotent via lineage (resume skips it)."""
+    per-row values). Idempotent via lineage (resume skips it) — a
+    record is reusable only when it covers the SAME input fragment AND
+    the SAME (predicate, assignments) digest: a first no-match run at
+    parent v leaves records under the default job_id, and a different
+    mutation at the same parent must not inherit them as silent no-ops."""
     partition = f"frag-{frag_idx:05d}"
     existing = lineage.read_record(table_dir, job_id, partition)
-    if existing is not None and existing.get("input_fragments") == [rel_path]:
+    if (
+        existing is not None
+        and existing.get("input_fragments") == [rel_path]
+        and existing.get("metrics", {}).get("mutation_digest") == mutation_digest
+    ):
         return existing
 
     t0 = time.perf_counter()
@@ -107,11 +116,23 @@ def _mutate_fragment_task(
         for col, op, val in predicate
         if col == "doc_id" and op in ("=", "==", "in")
     ]
+    def _key_hashes(ks: list):
+        # hash keys down the SAME stable_hash path the sidecar builder
+        # used for the column: integer keys through the uint64 bit-mix,
+        # strings through the object path — a probe on the wrong path
+        # would produce FALSE NEGATIVES (silently unmatched rows).
+        arr = np.array(ks)
+        if arr.dtype.kind in ("i", "u"):
+            return stable_hash(arr)
+        if arr.dtype.kind in ("U", "S", "O") and all(isinstance(k, str) for k in ks):
+            return stable_hash(arr.astype(object))
+        return None  # mixed/exotic key types: don't probe, just read
+
     if point_keys:
         blob = bloom.read_sidecar(abs_path)
+        hash_sets = [_key_hashes(ks) for ks in point_keys]
         if blob is not None and any(
-            not bloom.may_contain_any(blob, stable_hash(np.array(ks, dtype=object)))
-            for ks in point_keys
+            h is not None and not bloom.may_contain_any(blob, h) for h in hash_sets
         ):
             lineage.write_record(
                 table_dir,
@@ -124,6 +145,7 @@ def _mutate_fragment_task(
                     "rows_matched": 0,
                     "unchanged": True,
                     "bloom_skip": True,
+                    "mutation_digest": mutation_digest,
                 },
             )
             return lineage.read_record(table_dir, job_id, partition)
@@ -179,6 +201,7 @@ def _mutate_fragment_task(
             "rows_in": tbl.num_rows,
             "rows_matched": n_match,
             "unchanged": unchanged,
+            "mutation_digest": mutation_digest,
         },
     )
     return lineage.read_record(table_dir, job_id, partition)
@@ -201,7 +224,28 @@ def _run_mutation(
     parent = table.latest_version()
     m = table.manifest(parent)
     defaults = m.column_defaults
-    job_id = job_id or f"{operation}-v{parent}"
+    # the mutation's identity: tasks refuse to reuse lineage records
+    # written by a DIFFERENT predicate/assignment set (a no-match run
+    # leaves records behind without committing, so records at the same
+    # parent are not otherwise distinguishable). Callable assignments
+    # hash by their code object name — close enough to catch the
+    # predicate-swap case the digest exists for.
+    import hashlib as _hl
+    import json as _json
+
+    mutation_digest = _hl.md5(
+        _json.dumps(
+            [
+                [list(p) for p in predicate],
+                sorted(
+                    (k, kind, str(spec) if kind == "scalar" else getattr(spec, "__qualname__", "fn"), ts)
+                    for k, (kind, spec, ts) in (assignments or {}).items()
+                ),
+            ],
+            default=str,
+        ).encode()
+    ).hexdigest()[:16]
+    job_id = job_id or f"{operation}-v{parent}-{mutation_digest[:8]}"
 
     declared = {n: t for n, t in zip(m.schema_names, m.schema_types)}
     for col, _, _ in predicate:
@@ -224,7 +268,7 @@ def _run_mutation(
         [
             _mutate_fragment_task.remote(
                 table.table_dir, job_id, i, f.path, predicate, pad_cols,
-                assignments, table.config.bloom_bits_per_key,
+                assignments, table.config.bloom_bits_per_key, mutation_digest,
             )
             for i, f in enumerate(hit)
         ]

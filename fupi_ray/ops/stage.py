@@ -95,12 +95,16 @@ def staged_scan(
     table: Table, stage_id: str, columns=None, predicate=None, **read_kwargs
 ) -> ray.data.Dataset:
     """Audit view: the CURRENT table ∪ the staged fragments — exactly
-    what a reader would see after publish. Staged fragments get the
-    same zone-map pruning and schema normalization as committed ones."""
+    what a reader would see after publish. Staged fragments go through
+    ``Table.scan_fragments``, so they get the same zone-map pruning,
+    predicate pushdown-or-mask, and schema-evolution padding as
+    committed ones (a stage written before an add_column audits with
+    the column padded to its default, exactly like the post-publish
+    scan would read it)."""
     base = table.scan(columns=columns, predicate=predicate, **read_kwargs)
+    m = table.manifest()
     frags = staged_fragment_metas(table, stage_id)
     if predicate:
-        m = table.manifest()
         frags = [
             f
             for f in frags
@@ -110,28 +114,39 @@ def staged_scan(
         ]
     if not frags:
         return base
-    paths = [_fs.join(table.table_dir, f.path) for f in frags]
-    kwargs = dict(read_kwargs)
-    if columns is not None:
-        kwargs["columns"] = list(columns)
-    if predicate:
-        kwargs["filter"] = mf.predicate_to_arrow(predicate)
-    if _fs.is_uri(table.table_dir):
-        filesystem, _ = _fs.arrow_fs(table.table_dir)
-        kwargs["filesystem"] = filesystem
-        paths = [_fs.get_fs(p)[1] for p in paths]
-    kwargs.setdefault("override_num_blocks", len(paths))
-    return base.union(ray.data.read_parquet(paths, **kwargs))
+    return base.union(
+        table.scan_fragments(m, frags, columns=columns, predicate=predicate, **read_kwargs)
+    )
 
 
 def publish_stage(table: Table, stage_id: str) -> int:
     """Promote the staged fragments to a normal append commit (rebased
-    under concurrent writers) and drop the staging record."""
-    frags = staged_fragment_metas(table, stage_id)
+    under concurrent writers) and drop the staging record.
+
+    Idempotent under crash-retry: the commit stamps ``wap_stage`` in
+    its properties, and a re-publish first checks surviving version
+    headers for that stamp — a retry after a crash between commit and
+    record removal finishes the cleanup and returns the existing
+    version instead of appending the fragments a second time."""
+    rec = read_stage(table, stage_id)
+    # the stamp pairs the id with the record's creation time, so a
+    # RE-USED stage id (staged again after an earlier publish) is a
+    # distinct stamp and still publishes
+    stamp = f"{stage_id}@{rec['created_unix']}"
+    for v in sorted(table.versions(), reverse=True):
+        hdr = mf.read_manifest_header(table.table_dir, v)
+        if hdr.properties.get("wap_stamp") == stamp:
+            _fs.rm(_record_path(table.table_dir, stage_id))
+            return v
+    frags = [FragmentMeta.from_dict(d) for d in rec["fragments"]]
     v = table._commit_rebasing(
         "append",
         lambda parent: table.manifest(parent).fragments + frags,
-        properties={"wap_stage": stage_id, "staged_fragments": len(frags)},
+        properties={
+            "wap_stage": stage_id,
+            "wap_stamp": stamp,
+            "staged_fragments": len(frags),
+        },
     )
     _fs.rm(_record_path(table.table_dir, stage_id))
     return v

@@ -481,6 +481,7 @@ SELECT source,
        CAST(SUM(n_chars) // 512 AS BIGINT) AS packed_rows,
        CAST((SUM(n_chars) // 512) * 512 AS BIGINT) AS emitted_tok
 FROM documents GROUP BY source
+HAVING SUM(n_chars) >= 512  -- a source that packs to zero rows emits no row
 """
 
 

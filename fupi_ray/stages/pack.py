@@ -70,6 +70,7 @@ def pack_batch(
                 "n_docs": pa.array([], pa.int32()),
                 "boundaries": pa.array([], pa.list_(pa.int32())),
                 "doc_ids": pa.array([], pa.list_(pa.string())),
+                "source": pa.array([], pa.string()),
             }
         )
     used = n_full * context_len if drop_remainder else total
@@ -96,15 +97,14 @@ def pack_batch(
     doc_ids_in = batch["doc_id"].combine_chunks() if isinstance(
         batch["doc_id"], pa.ChunkedArray
     ) else batch["doc_id"]
+    first_doc = doc_ids_in.filter(pa.array(keep))  # docs starting in-region
     doc_ids = pa.ListArray.from_arrays(
-        pa.array(bound_offs, pa.int64()).cast(pa.int32()),
-        doc_ids_in.filter(pa.array(keep)),
+        pa.array(bound_offs, pa.int64()).cast(pa.int32()), first_doc
     ).cast(pa.list_(pa.string()))
     n_docs = pc.cast(pc.list_value_length(doc_ids), pa.int32())
     n_tok = pa.array(np.diff(row_offs).astype(np.int32), pa.int32())
 
     # deterministic pack id: first contributing doc + row ordinal
-    first_doc = doc_ids_in.filter(pa.array(keep))
     first_idx = np.maximum(bound_offs[:-1] - 1, 0)
     # a row with no doc START inside it continues the previous doc
     has_start = bound_offs[1:] > bound_offs[:-1]
@@ -126,15 +126,20 @@ def pack_batch(
             "doc_ids": doc_ids,
         }
     )
-    # carry a constant source through (grouped packing: one source per
-    # group); mixed batches drop it rather than lie
+    # the source column is ALWAYS present so per-block outputs share
+    # one schema: a constant when the batch is single-source (grouped
+    # packing), null for mixed batches (never a lie)
+    src_val = None
     if "source" in batch.column_names and batch.num_rows:
-        src = batch["source"]
-        mm = pc.min_max(src)
+        mm = pc.min_max(batch["source"])
         if mm["min"].as_py() == mm["max"].as_py():
-            out = out.append_column(
-                "source", pa.array([mm["min"].as_py()] * n_rows, pa.string())
-            )
+            src_val = mm["min"].as_py()
+    out = out.append_column(
+        "source",
+        pa.nulls(n_rows, pa.string())
+        if src_val is None
+        else pa.array([src_val] * n_rows, pa.string()),
+    )
     return out
 
 

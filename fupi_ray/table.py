@@ -297,7 +297,20 @@ class Table:
             if columns:
                 schema = pa.schema([schema.field(c) for c in columns])
             return ray.data.from_arrow(schema.empty_table())
+        return self.scan_fragments(m, frags, columns, predicate, **read_kwargs)
 
+    def scan_fragments(
+        self,
+        m: Manifest,
+        frags: list[FragmentMeta],
+        columns: Sequence[str] | None = None,
+        predicate: list[tuple] | None = None,
+        **read_kwargs: Any,
+    ) -> ray.data.Dataset:
+        """Read an explicit fragment list with the full scan treatment
+        (schema-evolution padding, predicate pushdown-or-mask, URI
+        filesystems). The fragments need not be committed — staged
+        (write-audit-publish) fragments go through here too."""
         declared = mf.schema_from_manifest(m)
         read_cols = list(columns) if columns is not None else (
             list(declared.names) if declared is not None else None

@@ -142,6 +142,39 @@ def test_delete_in_list_bloom_prunes(tmp_path):
     pd.testing.assert_frame_equal(_full(t, v), want)
 
 
+def test_second_mutation_with_different_predicate_not_noop(tmp_path):
+    """A no-match DELETE leaves lineage records behind without
+    committing; a different DELETE at the same parent must not reuse
+    them as silent no-ops (review finding: predicate-blind reuse)."""
+    t = _interleaved_table(str(tmp_path / "t"))
+    v0 = t.latest_version()
+    assert delete_where(t, [("doc_id", "==", "doc-999999999999")]) == v0  # no match
+    v1 = delete_where(t, [("doc_id", "==", "doc-000000000042")])
+    assert v1 != v0
+    assert t.scan(predicate=[("doc_id", "==", "doc-000000000042")]).count() == 0
+
+
+def test_bloom_int_doc_id_no_false_negative(tmp_path):
+    """Sidecars built from an INTEGER doc_id column hash through the
+    uint64 path; the point-predicate probe must take the same path or
+    it silently skips matching fragments (review finding)."""
+    import pyarrow as pa
+
+    schema = pa.schema([("doc_id", pa.int64()), ("n_tok", pa.int32())])
+    t = Table.create(str(tmp_path / "ti"), schema=schema, config=CFG)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(1000)), pa.int64()),
+            "n_tok": pa.array([7] * 1000, pa.int32()),
+        }
+    )
+    t.commit_append(ray.data.from_arrow(tbl), target_fragment_rows=200)
+    v = delete_where(t, [("doc_id", "==", 42)])
+    props = t.manifest(v).properties
+    assert props["rows_matched"] == 1, props
+    assert t.scan(predicate=[("doc_id", "==", 42)]).count() == 0
+
+
 # -- lifecycle ----------------------------------------------------------------
 
 

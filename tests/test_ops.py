@@ -238,10 +238,13 @@ def test_merge_resume_skips_done_fragments(tmp_table_dir):
     h = stable_hash(keys)
     order = np.argsort(h, kind="stable")
     kb = np.char.encode(keys[order].astype(str), "utf-8")
+    import hashlib
+
+    digest = hashlib.md5(h[order].tobytes()).hexdigest()[:16]
     frag0 = t.manifest().fragments[0]
     _ray.get(
         _rewrite_fragment_task.remote(
-            t.table_dir, job, 0, frag0.path, _ray.put((h[order], kb))
+            t.table_dir, job, 0, frag0.path, _ray.put((h[order], kb)), None, digest
         )
     )
     rec = lineage.read_record(t.table_dir, job, "frag-00000")
@@ -249,6 +252,9 @@ def test_merge_resume_skips_done_fragments(tmp_table_dir):
     v = merge_into(t, ray.data.from_arrow(src), job_id=job, strategy="broadcast")
     exp = _merge_oracle(generate_rows(0, 300), src)
     assert canonical(t, v) == exp
+    # the pre-run record was REUSED (same key-set digest), not redone
+    rec2 = lineage.read_record(t.table_dir, job, "frag-00000")
+    assert rec2["metrics"]["seconds"] == rec["metrics"]["seconds"]
 
 
 def test_merge_empty_source_noop(tmp_table_dir):

@@ -100,6 +100,51 @@ def test_abort_stage_releases_fragments_to_gc(tmp_path):
     assert t.scan().count() == 100
 
 
+def test_publish_retry_after_crash_is_idempotent(tmp_path):
+    """Crash between the publish commit and the staging-record removal:
+    a retry must finish cleanup and return the SAME version, never
+    append the fragments twice (review finding)."""
+    import json
+
+    from fupi_ray.ops.stage import _record_path, read_stage
+    from fupi_ray.state import fs as _fs
+
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    sid = stage_append(t, ray.data.from_arrow(generate_rows(100, 20)), stage_id="s9")
+    rec = read_stage(t, sid)
+    v = publish_stage(t, sid)
+    # simulate the crash: resurrect the staging record post-commit
+    _fs.write_text(_record_path(t.table_dir, sid), json.dumps(rec, default=str))
+    v2 = publish_stage(t, sid)
+    assert v2 == v
+    assert t.latest_version() == v
+    assert t.scan().count() == 120  # no duplicated rows
+    assert list_stages(t) == []
+    # a RE-USED stage id (new record, new created_unix) still publishes
+    sid2 = stage_append(t, ray.data.from_arrow(generate_rows(300, 10)), stage_id="s9")
+    v3 = publish_stage(t, sid2)
+    assert v3 > v and t.scan().count() == 130
+
+
+def test_staged_scan_pads_schema_evolution(tmp_path):
+    """A stage written BEFORE add_column audits with the evolved
+    column padded to its default — same as the post-publish scan
+    (review finding: raw read crashed or schema-mismatched)."""
+    from fupi_ray.ops import add_column
+
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    sid = stage_append(t, ray.data.from_arrow(generate_rows(100, 20)))
+    add_column(t, "lang", "string", default="en")
+    ds = staged_scan(t, sid, columns=["doc_id", "lang"])
+    df = ds.to_pandas()
+    assert len(df) == 120
+    assert (df["lang"] == "en").all()
+    # predicate on the evolved column works across base ∪ staged
+    assert staged_scan(t, sid, predicate=[("lang", "==", "en")]).count() == 120
+    publish_stage(t, sid)
+    assert t.scan(predicate=[("lang", "==", "en")]).count() == 120
+
+
 def test_stage_duplicate_id_refused(tmp_path):
     t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
     stage_append(t, ray.data.from_arrow(generate_rows(100, 10)), stage_id="s1")
