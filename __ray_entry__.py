@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_wap": lake.q_lake_wap,
         "lake_timetravel": lake.q_lake_timetravel,
         "pack_tokens": lake.q_pack_tokens,
+        "export_shards": lake.q_export_shards,
     }
 
 
@@ -161,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_wap": lake.SQL_LAKE_WAP,
         "lake_timetravel": lake.SQL_LAKE_TIMETRAVEL,
         "pack_tokens": lake.SQL_PACK_TOKENS,
+        "export_shards": lake.SQL_EXPORT_SHARDS,
         # minhash_pairs / simhash_pairs / ivf_topk / rolling_fp:
         # permutation-hash / approximate ops — rows-only by design
     }

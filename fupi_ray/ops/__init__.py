@@ -2,6 +2,7 @@ from fupi_ray.ops.changelog import changelog
 from fupi_ray.ops.compact import compact
 from fupi_ray.ops.cluster import cluster
 from fupi_ray.ops.evolve import add_column, drop_column
+from fupi_ray.ops.export import export_training_shards, read_export_manifest
 from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.ops.mutate import delete_where, rollback, update_where
@@ -15,6 +16,8 @@ from fupi_ray.ops.stage import (
 
 __all__ = [
     "abort_stage",
+    "export_training_shards",
+    "read_export_manifest",
     "list_stages",
     "publish_stage",
     "stage_append",

@@ -1,0 +1,124 @@
+"""Training-shard export: the last-mile op that turns a versioned
+table into the N-way sharded Parquet layout a distributed dataloader
+consumes.
+
+The reference serves queries straight out of LanceDB and never exports
+(/root/reference/searcher.py); a training pipeline instead needs
+"give me this snapshot as N deterministic shards" — every rank reads
+shard ``rank % N``, re-exports are reproducible, and shard assignment
+is stable under compaction/clustering (it depends only on ``doc_id``,
+never on physical layout).
+
+Scale shape: one streaming pass — ``scan → map_batches(split by
+shard, append one file per (block, shard))``; no exchange, no driver
+data path. Each write task emits at most ``num_shards`` files per
+block, named ``shard=KKKKK/part-<uuid>.parquet``; a ``_MANIFEST.json``
+with per-shard row/token/file counts is written last (readers that see
+the manifest see only complete data — the export is atomic at the
+manifest level, like the table's own commits).
+
+Assignment: ``assign="hash"`` (default) = ``stable_hash(doc_id) %
+num_shards`` — uniform under skewed ids; or a callable
+``(pa.Array of doc_id) -> np.ndarray[int]`` for externally mandated
+layouts (the conformance oracle uses a modulo on the numeric id suffix
+so DuckDB can reproduce the assignment).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from fupi_ray.functions.hashing import stable_hash
+from fupi_ray.state import fs as _fs
+from fupi_ray.table import Table
+
+
+def _shard_writer(out_dir: str, num_shards: int, assign):
+    def write_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"stats_json": pa.array([], pa.string())})
+        ids = batch["doc_id"]
+        if assign == "hash":
+            shard = (stable_hash(ids) % np.uint64(num_shards)).astype(np.int64)
+        else:
+            shard = np.asarray(assign(ids), dtype=np.int64) % num_shards
+        order = np.argsort(shard, kind="stable")
+        sorted_shard = shard[order]
+        tbl = batch.take(pa.array(order))
+        bounds = np.searchsorted(
+            sorted_shard, np.arange(num_shards + 1, dtype=np.int64)
+        )
+        stats = []
+        for s in range(num_shards):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            if lo == hi:
+                continue
+            part = tbl.slice(lo, hi - lo)
+            rel = f"shard={s:05d}/part-{uuid.uuid4().hex}.parquet"
+            _fs.write_parquet(part, _fs.join(out_dir, rel), row_group_size=32 * 1024)
+            n_tok = (
+                int(pc.sum(part["n_tok"]).as_py() or 0)
+                if "n_tok" in part.column_names
+                else 0
+            )
+            stats.append(
+                {"shard": s, "rows": part.num_rows, "sum_n_tok": n_tok, "file": rel}
+            )
+        return pa.table({"stats_json": pa.array([json.dumps(x) for x in stats])})
+
+    return write_batch
+
+
+def export_training_shards(
+    table: Table,
+    out_dir: str,
+    num_shards: int,
+    version: int | None = None,
+    columns=None,
+    assign="hash",
+) -> dict:
+    """Export a snapshot as ``num_shards`` Parquet shard directories;
+    returns the manifest dict (also written to ``_MANIFEST.json``)."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    resolved_v = table.latest_version() if version is None else version
+    ds = table.scan(version=resolved_v, columns=columns)
+    stats_rows = ds.map_batches(
+        _shard_writer(out_dir, num_shards, assign),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # 1 row per (block, shard): tiny
+
+    per_shard: dict[int, dict] = {
+        s: {"shard": s, "rows": 0, "sum_n_tok": 0, "files": []}
+        for s in range(num_shards)
+    }
+    for r in stats_rows:
+        d = json.loads(r["stats_json"])
+        agg = per_shard[d["shard"]]
+        agg["rows"] += d["rows"]
+        agg["sum_n_tok"] += d["sum_n_tok"]
+        agg["files"].append(d["file"])
+    manifest = {
+        "table": table.table_dir,
+        "version": resolved_v,
+        "num_shards": num_shards,
+        "created_unix": time.time(),
+        "total_rows": sum(a["rows"] for a in per_shard.values()),
+        "total_tokens": sum(a["sum_n_tok"] for a in per_shard.values()),
+        "shards": [per_shard[s] for s in range(num_shards)],
+    }
+    _fs.write_text(
+        _fs.join(out_dir, "_MANIFEST.json"), json.dumps(manifest, indent=1)
+    )
+    return manifest
+
+
+def read_export_manifest(out_dir: str) -> dict:
+    return json.loads(_fs.read_text(_fs.join(out_dir, "_MANIFEST.json")))

@@ -485,6 +485,48 @@ HAVING SUM(n_chars) >= 512  -- a source that packs to zero rows emits no row
 """
 
 
+def q_export_shards(sf_dir: str):
+    """Training-shard export as a query: build the documents-derived
+    table, export 8 shards with a DuckDB-reproducible assignment
+    (numeric id suffix % 8), and return the export manifest's
+    per-shard (rows, token sum). The fn also asserts the exported
+    files round-trip: reading every shard back re-counts the table."""
+    from fupi_ray.ops import export_training_shards
+
+    t = _build(sf_dir, "export")
+    out_dir = _tmp_table(sf_dir, "export-out")
+
+    def by_suffix(ids: pa.Array) -> np.ndarray:
+        return (
+            pc.cast(pc.utf8_slice_codeunits(ids, 4, 99), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+
+    man = export_training_shards(t, out_dir, 8, assign=by_suffix)
+    back = ray.data.read_parquet(out_dir)
+    if back.count() != t.scan().count():
+        raise AssertionError("exported shards do not round-trip the table")
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "shard": pa.array([s["shard"] for s in man["shards"]], pa.int64()),
+                "n_rows": pa.array([s["rows"] for s in man["shards"]], pa.int64()),
+                "sum_tok": pa.array(
+                    [s["sum_n_tok"] for s in man["shards"]], pa.int64()
+                ),
+            }
+        )
+    )
+
+
+SQL_EXPORT_SHARDS = """
+SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_tok
+FROM documents GROUP BY 1
+"""
+
+
 def flagship(sf_dir: str) -> ray.data.Dataset:
     """The full maintenance cycle on one table: ingest (small files) →
     compact → Z-order cluster → MERGE → expire → final canonical scan.
