@@ -163,6 +163,24 @@ def run_bench() -> dict:
         merge_into(table, upd.union(ins), strategy="auto")
 
     timed("merge", do_merge)
+
+    # point DELETE: bloom sidecars let the COW rewrite skip every
+    # fragment that provably lacks the key — rewrite work is O(hits),
+    # not O(zone-overlapping fragments)
+    bloom_stats = {}
+
+    def point_delete():
+        from fupi_ray.ops import delete_where
+
+        v = delete_where(table, [("doc_id", "==", "doc-000000000012")])
+        props = table.manifest(v).properties
+        bloom_stats.update(
+            fragments_hit=props.get("fragments_hit"),
+            fragments_bloom_skipped=props.get("fragments_bloom_skipped"),
+            fragments_rewritten=props.get("fragments_rewritten"),
+        )
+
+    timed("delete_point", point_delete)
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
@@ -214,6 +232,7 @@ def run_bench() -> dict:
         "merge_sec": timings["merge"],
         "phases": phase_detail,
         "prune": prune_stats,
+        "bloom": bloom_stats,
     }
     ray.shutdown()
     shutil.rmtree(tdir, ignore_errors=True)
