@@ -37,6 +37,7 @@ def main(argv=None) -> int:
             "scan", "add-column", "drop-column",
             "delete", "update", "rollback", "changelog",
             "stage", "publish", "abort-stage", "stages",
+            "export",
         ],
     )
     p.add_argument("--table", required=True)
@@ -77,6 +78,8 @@ def main(argv=None) -> int:
         help="update: col=value assignment (repeatable)",
     )
     p.add_argument("--stage-id", default=None, help="WAP stage id (stage/publish/abort-stage)")
+    p.add_argument("--num-shards", type=int, default=64, help="export: shard count")
+    p.add_argument("--as-of", type=float, default=None, help="scan: time travel to this unix timestamp")
     p.add_argument("--to-version", type=int, help="rollback target / changelog end version")
     p.add_argument("--from-version", type=int, help="changelog start version")
     p.add_argument("--raw", action="store_true", help="changelog: skip CDC netting")
@@ -264,11 +267,32 @@ def main(argv=None) -> int:
             out["fragments_released"] = abort_stage(t, args.stage_id)
         else:
             out["stages"] = list_stages(t)
+    elif args.op == "export":
+        from fupi_ray.ops import export_training_shards
+
+        if not args.output:
+            p.error("export requires --output")
+        t = Table.open(args.table)
+        man = export_training_shards(
+            t, args.output, args.num_shards, version=args.version
+        )
+        out["output"] = args.output
+        out["num_shards"] = man["num_shards"]
+        out["rows"] = man["total_rows"]
+        out["tokens"] = man["total_tokens"]
+        out["version"] = man["version"]
     elif args.op == "scan":
         t = Table.open(args.table)
-        ds = t.scan(version=args.version, predicate=parse_where(args.where) or None)
+        ds = t.scan(
+            version=args.version,
+            predicate=parse_where(args.where) or None,
+            as_of_unix=args.as_of,
+        )
         out["rows"] = ds.count()
-        out["version"] = args.version if args.version is not None else t.latest_version()
+        if args.as_of is not None:
+            out["version"] = t.version_at(args.as_of)
+        else:
+            out["version"] = args.version if args.version is not None else t.latest_version()
     out["seconds"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(out, default=str))
     ray.shutdown()
