@@ -82,11 +82,30 @@ def export_training_shards(
     version: int | None = None,
     columns=None,
     assign="hash",
+    overwrite: bool = False,
 ) -> dict:
     """Export a snapshot as ``num_shards`` Parquet shard directories;
-    returns the manifest dict (also written to ``_MANIFEST.json``)."""
+    returns the manifest dict (also written to ``_MANIFEST.json``).
+
+    Safe against duplicate part files two ways: the target directory
+    must be empty (or ``overwrite=True`` clears it first — a re-export
+    into a used directory would otherwise leave the old run's parts
+    for directory-glob readers to double-count), and after the write
+    pass any part file NOT in the manifest (the orphan of a retried
+    Ray task) is deleted before the manifest lands, so directory reads
+    and manifest reads agree."""
     if num_shards < 1:
         raise ValueError("num_shards must be >= 1")
+    if columns is not None and "doc_id" not in columns:
+        raise ValueError("columns must include 'doc_id' (the shard key)")
+    existing = _fs.ls_names(out_dir)
+    if existing:
+        if not overwrite:
+            raise ValueError(
+                f"{out_dir} is not empty ({len(existing)} entries); a re-export "
+                "would duplicate rows for directory readers — pass overwrite=True"
+            )
+        _fs.rm_dir(out_dir)
     resolved_v = table.latest_version() if version is None else version
     ds = table.scan(version=resolved_v, columns=columns)
     stats_rows = ds.map_batches(
@@ -105,6 +124,21 @@ def export_training_shards(
         agg["rows"] += d["rows"]
         agg["sum_n_tok"] += d["sum_n_tok"]
         agg["files"].append(d["file"])
+    # reconcile: a retried write task leaves an extra part file with a
+    # different uuid — delete anything the manifest doesn't claim so
+    # directory-glob readers can't double-count rows
+    claimed = {f for a in per_shard.values() for f in a["files"]}
+    orphans = 0
+    for name in _fs.ls_names(out_dir):
+        if not name.startswith("shard="):
+            continue
+        sdir = _fs.join(out_dir, name)
+        for part in _fs.ls_names(sdir):
+            rel = f"{name}/{part}"
+            if part.endswith(".parquet") and rel not in claimed:
+                _fs.rm(_fs.join(sdir, part))
+                orphans += 1
+
     manifest = {
         "table": table.table_dir,
         "version": resolved_v,
@@ -112,6 +146,7 @@ def export_training_shards(
         "created_unix": time.time(),
         "total_rows": sum(a["rows"] for a in per_shard.values()),
         "total_tokens": sum(a["sum_n_tok"] for a in per_shard.values()),
+        "orphan_parts_removed": orphans,
         "shards": [per_shard[s] for s in range(num_shards)],
     }
     _fs.write_text(

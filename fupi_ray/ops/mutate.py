@@ -85,6 +85,7 @@ def _mutate_fragment_task(
     assignments: dict[str, tuple] | None,
     bloom_bits: int | None = None,
     mutation_digest: str | None = None,
+    doc_id_kind: str | None = None,
 ) -> dict:
     """COW rewrite of one hit fragment. ``assignments`` None = delete
     matching rows; else = replace assigned columns on matching rows
@@ -118,15 +119,18 @@ def _mutate_fragment_task(
     ]
     def _key_hashes(ks: list):
         # hash keys down the SAME stable_hash path the sidecar builder
-        # used for the column: integer keys through the uint64 bit-mix,
-        # strings through the object path — a probe on the wrong path
-        # would produce FALSE NEGATIVES (silently unmatched rows).
+        # used for the COLUMN (``doc_id_kind`` from the declared
+        # schema): integer columns through the uint64 bit-mix, string
+        # columns through the object path. A key whose Python type
+        # doesn't match the column can't be hashed consistently —
+        # don't probe; the parquet read then raises the same Arrow
+        # type error a bloom-less fragment would (never a silent skip).
         arr = np.array(ks)
-        if arr.dtype.kind in ("i", "u"):
+        if doc_id_kind == "int" and arr.dtype.kind in ("i", "u"):
             return stable_hash(arr)
-        if arr.dtype.kind in ("U", "S", "O") and all(isinstance(k, str) for k in ks):
+        if doc_id_kind == "string" and all(isinstance(k, str) for k in ks):
             return stable_hash(arr.astype(object))
-        return None  # mixed/exotic key types: don't probe, just read
+        return None
 
     if point_keys:
         blob = bloom.read_sidecar(abs_path)
@@ -227,23 +231,27 @@ def _run_mutation(
     # the mutation's identity: tasks refuse to reuse lineage records
     # written by a DIFFERENT predicate/assignment set (a no-match run
     # leaves records behind without committing, so records at the same
-    # parent are not otherwise distinguishable). Callable assignments
-    # hash by their code object name — close enough to catch the
-    # predicate-swap case the digest exists for.
+    # parent are not otherwise distinguishable). A CALLABLE assignment
+    # has no reliable content identity (closure state is invisible to
+    # __qualname__), so without an explicit job_id it gets a unique
+    # digest — no reuse, correctness over resume. Passing job_id is
+    # the user's assertion that the callable is unchanged.
     import hashlib as _hl
     import json as _json
+    import uuid as _uuid
 
+    has_callable = any(kind == "fn" for kind, _, _ in (assignments or {}).values())
+    spec_ident = [
+        [list(p) for p in predicate],
+        sorted(
+            (k, kind, str(spec) if kind == "scalar" else getattr(spec, "__qualname__", "fn"), ts)
+            for k, (kind, spec, ts) in (assignments or {}).items()
+        ),
+    ]
+    if has_callable and job_id is None:
+        spec_ident.append(_uuid.uuid4().hex)  # unique run: never reuse
     mutation_digest = _hl.md5(
-        _json.dumps(
-            [
-                [list(p) for p in predicate],
-                sorted(
-                    (k, kind, str(spec) if kind == "scalar" else getattr(spec, "__qualname__", "fn"), ts)
-                    for k, (kind, spec, ts) in (assignments or {}).items()
-                ),
-            ],
-            default=str,
-        ).encode()
+        _json.dumps(spec_ident, default=str).encode()
     ).hexdigest()[:16]
     job_id = job_id or f"{operation}-v{parent}-{mutation_digest[:8]}"
 
@@ -263,12 +271,22 @@ def _run_mutation(
     if not hit:
         return parent
 
+    # declared doc_id type class, so the bloom probe hashes keys down
+    # the same path the sidecar builder used for the column
+    _doc_t = declared.get("doc_id", "")
+    doc_id_kind = (
+        "int"
+        if _doc_t.startswith(("int", "uint"))
+        else ("string" if "string" in _doc_t else None)
+    )
+
     t0 = time.perf_counter()
     records = ray.get(
         [
             _mutate_fragment_task.remote(
                 table.table_dir, job_id, i, f.path, predicate, pad_cols,
                 assignments, table.config.bloom_bits_per_key, mutation_digest,
+                doc_id_kind,
             )
             for i, f in enumerate(hit)
         ]

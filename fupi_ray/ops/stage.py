@@ -131,14 +131,31 @@ def publish_stage(table: Table, stage_id: str) -> int:
     rec = read_stage(table, stage_id)
     # the stamp pairs the id with the record's creation time, so a
     # RE-USED stage id (staged again after an earlier publish) is a
-    # distinct stamp and still publishes
+    # distinct stamp and still publishes. Only commits made AFTER the
+    # stage was created can carry it — newest-first with an early
+    # break bounds the header reads to the commits since staging,
+    # not the whole history.
     stamp = f"{stage_id}@{rec['created_unix']}"
     for v in sorted(table.versions(), reverse=True):
         hdr = mf.read_manifest_header(table.table_dir, v)
         if hdr.properties.get("wap_stamp") == stamp:
             _fs.rm(_record_path(table.table_dir, stage_id))
             return v
+        if hdr.created_unix < rec["created_unix"]:
+            break
     frags = [FragmentMeta.from_dict(d) for d in rec["fragments"]]
+    # second line of defense when snapshot expiry erased the stamped
+    # version's manifest: ANY staged fragment path in the latest
+    # manifest proves the commit happened (paths are uuid-unique; only
+    # this stage's publish could have introduced them). Residual gap:
+    # a crash + expiry + a compaction that rewrote EVERY staged
+    # fragment before the retry — at that point nothing on disk
+    # distinguishes published from not; the stamp scan above covers
+    # every un-expired history.
+    latest_paths = {f.path for f in table.manifest().fragments}
+    if frags and any(f.path in latest_paths for f in frags):
+        _fs.rm(_record_path(table.table_dir, stage_id))
+        return table.latest_version()
     v = table._commit_rebasing(
         "append",
         lambda parent: table.manifest(parent).fragments + frags,

@@ -506,14 +506,14 @@ def q_export_shards(sf_dir: str):
     back = ray.data.read_parquet(out_dir)
     if back.count() != t.scan().count():
         raise AssertionError("exported shards do not round-trip the table")
+    # SQL GROUP BY emits no row for an empty residue class; match it
+    shards = [s for s in man["shards"] if s["rows"] > 0]
     return ray.data.from_arrow(
         pa.table(
             {
-                "shard": pa.array([s["shard"] for s in man["shards"]], pa.int64()),
-                "n_rows": pa.array([s["rows"] for s in man["shards"]], pa.int64()),
-                "sum_tok": pa.array(
-                    [s["sum_n_tok"] for s in man["shards"]], pa.int64()
-                ),
+                "shard": pa.array([s["shard"] for s in shards], pa.int64()),
+                "n_rows": pa.array([s["rows"] for s in shards], pa.int64()),
+                "sum_tok": pa.array([s["sum_n_tok"] for s in shards], pa.int64()),
             }
         )
     )

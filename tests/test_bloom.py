@@ -175,6 +175,42 @@ def test_bloom_int_doc_id_no_false_negative(tmp_path):
     assert t.scan(predicate=[("doc_id", "==", 42)]).count() == 0
 
 
+def test_type_mismatched_point_key_never_silently_skips(tmp_path):
+    """delete_where with an INT key on a STRING doc_id table must fail
+    loudly on every fragment — a bloom probe hashing the key by its
+    own type would silently report bloomed fragments unmatched while
+    bloom-less ones raise (review finding)."""
+    t = _interleaved_table(str(tmp_path / "t"), n=500, frag_rows=250)
+    with pytest.raises(Exception):
+        delete_where(t, [("doc_id", "==", 42)])
+    # nothing was deleted by the failed op
+    assert t.scan().count() == 500
+
+
+def test_callable_update_runs_never_reuse_lineage(tmp_path):
+    """Two callable-assignment updates at the same parent (first one
+    matches nothing, so the version does not advance) must each apply
+    their OWN closure — stale lineage reuse would mix deltas (review
+    finding)."""
+    import pyarrow.compute as _pc
+
+    t = _interleaved_table(str(tmp_path / "t"), n=500, frag_rows=250)
+    v0 = t.latest_version()
+    from fupi_ray.ops import update_where
+
+    r = update_where(
+        t, [("doc_id", "==", "doc-999999999999")], {"n_tok": lambda b: _pc.add(b["n_tok"], 1)}
+    )
+    assert r == v0  # matched nothing, no commit — but lineage exists now
+    before = _full(t)
+    update_where(
+        t, [("doc_id", "==", "doc-000000000005")], {"n_tok": lambda b: _pc.add(b["n_tok"], 2)}
+    )
+    got = _full(t)
+    w5 = before[before.doc_id == "doc-000000000005"]["n_tok"].iloc[0]
+    assert got[got.doc_id == "doc-000000000005"]["n_tok"].iloc[0] == w5 + 2
+
+
 # -- lifecycle ----------------------------------------------------------------
 
 

@@ -90,6 +90,26 @@ def test_export_custom_assign_and_balance(tmp_path):
     assert [s["rows"] for s in man["shards"]] == [100] * N  # round-robin exact
 
 
+def test_export_refuses_nonempty_dir_and_overwrite_clears(tmp_path):
+    """Re-exporting into a used directory would leave the old run's
+    parts for directory-glob readers to double-count (review finding):
+    refused by default, clean-slate with overwrite=True."""
+    t = write_fragmented_table(str(tmp_path / "t"), 200, rows_per_fragment=100, config=CFG)
+    out = str(tmp_path / "shards")
+    export_training_shards(t, out, N)
+    with pytest.raises(ValueError, match="not empty"):
+        export_training_shards(t, out, N)
+    man = export_training_shards(t, out, N, overwrite=True)
+    assert man["total_rows"] == 200
+    assert ray.data.read_parquet(out).count() == 200  # no duplicates
+
+
+def test_export_requires_doc_id_column(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    with pytest.raises(ValueError, match="doc_id"):
+        export_training_shards(t, str(tmp_path / "x"), N, columns=["tokens"])
+
+
 def test_export_rejects_bad_shard_count(tmp_path):
     t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
     with pytest.raises(ValueError):

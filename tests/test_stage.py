@@ -126,6 +126,31 @@ def test_publish_retry_after_crash_is_idempotent(tmp_path):
     assert v3 > v and t.scan().count() == 130
 
 
+def test_publish_retry_survives_expired_stamp(tmp_path):
+    """Crash-retry after snapshot expiry erased the stamped version's
+    manifest: the staged fragment paths in the LATEST manifest still
+    prove the publish happened — the retry must not re-append (review
+    finding)."""
+    import json
+
+    from fupi_ray.ops.stage import _record_path, read_stage
+    from fupi_ray.state import fs as _fs
+
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    sid = stage_append(t, ray.data.from_arrow(generate_rows(100, 20)))
+    rec = read_stage(t, sid)
+    v = publish_stage(t, sid)
+    # advance history, then expire the stamped version's manifest
+    t.commit_append(ray.data.from_arrow(generate_rows(500, 10)))
+    expire_snapshots(t, keep_last=1, gc_grace_seconds=3600)
+    assert v not in t.versions()
+    # resurrect the record (the crash left it behind) and retry
+    _fs.write_text(_record_path(t.table_dir, sid), json.dumps(rec, default=str))
+    v2 = publish_stage(t, sid)
+    assert v2 == t.latest_version()
+    assert t.scan().count() == 130  # 100 + 20 + 10, no duplicates
+
+
 def test_staged_scan_pads_schema_evolution(tmp_path):
     """A stage written BEFORE add_column audits with the evolved
     column padded to its default — same as the post-publish scan
