@@ -214,6 +214,26 @@ def test_callable_update_runs_never_reuse_lineage(tmp_path):
 # -- lifecycle ----------------------------------------------------------------
 
 
+def test_bloom_over_file_uri(tmp_path):
+    """Sidecar write/read/probe routes through fsspec for scheme://
+    tables (S8): point delete on a file:// table still bloom-skips."""
+    uri = "file://" + str(tmp_path / "uri_tbl")
+    t = Table.create(uri, config=CFG)
+    n = 1000
+    perm = (np.arange(n) * 7) % n
+    t.commit_append(
+        ray.data.from_arrow(generate_rows(0, n).take(pa.array(perm))),
+        target_fragment_rows=250,
+    )
+    local_data = os.path.join(str(tmp_path / "uri_tbl"), "data")
+    assert any(f.endswith(".bloom") for f in os.listdir(local_data))
+    v = delete_where(t, [("doc_id", "==", "doc-000000000042")])
+    props = t.manifest(v).properties
+    assert props["fragments_rewritten"] == 1
+    assert props["fragments_bloom_skipped"] >= 1
+    assert t.scan().count() == n - 1
+
+
 def test_rewrites_emit_blooms_and_expire_gcs_orphans(tmp_path):
     t = _interleaved_table(str(tmp_path / "t"))
     src = pa.concat_tables([generate_rows(3, 2, token_salt=1)])
