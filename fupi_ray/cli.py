@@ -37,7 +37,7 @@ def main(argv=None) -> int:
             "scan", "add-column", "drop-column",
             "delete", "update", "rollback", "changelog",
             "stage", "publish", "abort-stage", "stages",
-            "export",
+            "export", "pack",
         ],
     )
     p.add_argument("--table", required=True)
@@ -79,6 +79,12 @@ def main(argv=None) -> int:
     )
     p.add_argument("--stage-id", default=None, help="WAP stage id (stage/publish/abort-stage)")
     p.add_argument("--num-shards", type=int, default=64, help="export: shard count")
+    p.add_argument("--context-len", type=int, default=2048, help="pack: tokens per example")
+    p.add_argument(
+        "--keep-remainder",
+        action="store_true",
+        help="pack: emit the final short row of each block instead of dropping it",
+    )
     p.add_argument("--as-of", type=float, default=None, help="scan: time travel to this unix timestamp")
     p.add_argument("--to-version", type=int, help="rollback target / changelog end version")
     p.add_argument("--from-version", type=int, help="changelog start version")
@@ -281,6 +287,26 @@ def main(argv=None) -> int:
         out["rows"] = man["total_rows"]
         out["tokens"] = man["total_tokens"]
         out["version"] = man["version"]
+    elif args.op == "pack":
+        # last mile for training: scan → fixed-context packing →
+        # partitioned parquet (streams block-by-block, no exchange)
+        from fupi_ray.stages.pack import pack_sequences
+
+        if not args.output:
+            p.error("pack requires --output")
+        t = Table.open(args.table)
+        packed = pack_sequences(
+            t.scan(version=args.version),
+            args.context_len,
+            drop_remainder=not args.keep_remainder,
+        )
+        packed.write_parquet(args.output)
+        out["output"] = args.output
+        out["context_len"] = args.context_len
+        import ray.data as _rd
+
+        back = _rd.read_parquet(args.output)
+        out["packed_rows"] = back.count()
     elif args.op == "scan":
         t = Table.open(args.table)
         ds = t.scan(
