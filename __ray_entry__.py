@@ -26,28 +26,26 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordered most-informative-first: the driver's correctness recorder
+    # caps at 50 entries, so the lakehouse north-star ops (merge / WAP /
+    # time travel / mutations / pack / export) lead, followed by the
+    # training-data ops; the plain relational conformance variants (all
+    # driver-green in rounds 1-3) sit past the cap.
     return {
-        # relational / reference-conformance operators (SURVEY.md §2)
-        "filter_project": q.q_filter_project,
-        "sort_limit": q.q_sort_limit,
-        "agg_pricing": q.q_agg_pricing,
-        "join_enrich": q.q_join_enrich,
-        "topk_join": q.q_topk_join,
-        "hash_join": q.q_hash_join,
-        "anti_join": q.q_anti_join,
-        "asof_join": q.q_asof_join,
-        "nation_revenue": q.q_nation_revenue,
-        "supplier_parts": q.q_supplier_parts,
-        "string_agg_events": q.q_string_agg_events,
-        "explode_sentences": q.q_explode_sentences,
-        "segment_sentences": q.q_segment_sentences,
-        "distinct_pairs": q.q_distinct_pairs,
-        "window_events": q.q_window_events,
-        "session_events": q.q_session_events,
-        "rolling_window": q.q_rolling_window,
-        "jsonl_scan": q.q_jsonl_scan,
-        "centroid_label": q.q_centroid_label,
-        "doc_sentence_stats": q.q_doc_sentence_stats,
+        # lakehouse maintenance ops (north star)
+        "lake_compact": lake.q_lake_compact,
+        "lake_cluster": lake.q_lake_cluster,
+        "lake_merge": lake.q_lake_merge,
+        "lake_evolve": lake.q_lake_evolve,
+        "lake_expire": lake.q_lake_expire,
+        "lake_delete": lake.q_lake_delete,
+        "lake_update": lake.q_lake_update,
+        "lake_rollback": lake.q_lake_rollback,
+        "lake_changelog": lake.q_lake_changelog,
+        "lake_wap": lake.q_lake_wap,
+        "lake_timetravel": lake.q_lake_timetravel,
+        "pack_tokens": lake.q_pack_tokens,
+        "export_shards": lake.q_export_shards,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "token_stats": q.q_token_stats,
@@ -71,32 +69,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,
         "ivf_topk": q.q_ivf_topk,
         "rolling_fp": q.q_rolling_fp,
-        "range_join": q.q_range_join,
-        "mix_sources": q.q_mix_sources,
-        "group_topk": q.q_group_topk,
         "sample_exact_n": q.q_sample_exact_n,
         "group_quantiles": q.q_group_quantiles,
         "decontaminate": q.q_decontaminate,
-        "pivot_status": q.q_pivot_status,
-        "rollup_priority": q.q_rollup_priority,
         "keyword_search": q.q_keyword_search,
         "distinct_count": q.q_distinct_count,
         "approx_distinct": q.q_approx_distinct,
         "heavy_hitters": q.q_heavy_hitters,
-        # lakehouse maintenance ops (north star)
-        "lake_compact": lake.q_lake_compact,
-        "lake_cluster": lake.q_lake_cluster,
-        "lake_merge": lake.q_lake_merge,
-        "lake_evolve": lake.q_lake_evolve,
-        "lake_expire": lake.q_lake_expire,
-        "lake_delete": lake.q_lake_delete,
-        "lake_update": lake.q_lake_update,
-        "lake_rollback": lake.q_lake_rollback,
-        "lake_changelog": lake.q_lake_changelog,
-        "lake_wap": lake.q_lake_wap,
-        "lake_timetravel": lake.q_lake_timetravel,
-        "pack_tokens": lake.q_pack_tokens,
-        "export_shards": lake.q_export_shards,
+        "mix_sources": q.q_mix_sources,
+        "group_topk": q.q_group_topk,
+        # relational / reference-conformance operators (SURVEY.md §2) —
+        # all driver-green since round 1; least informative, so last.
+        "explode_sentences": q.q_explode_sentences,
+        "segment_sentences": q.q_segment_sentences,
+        "centroid_label": q.q_centroid_label,
+        "doc_sentence_stats": q.q_doc_sentence_stats,
+        "jsonl_scan": q.q_jsonl_scan,
+        "range_join": q.q_range_join,
+        "pivot_status": q.q_pivot_status,
+        "rollup_priority": q.q_rollup_priority,
+        "filter_project": q.q_filter_project,
+        "sort_limit": q.q_sort_limit,
+        "agg_pricing": q.q_agg_pricing,
+        "join_enrich": q.q_join_enrich,
+        "topk_join": q.q_topk_join,
+        "hash_join": q.q_hash_join,
+        "anti_join": q.q_anti_join,
+        "asof_join": q.q_asof_join,
+        "nation_revenue": q.q_nation_revenue,
+        "supplier_parts": q.q_supplier_parts,
+        "string_agg_events": q.q_string_agg_events,
+        "distinct_pairs": q.q_distinct_pairs,
+        "window_events": q.q_window_events,
+        "session_events": q.q_session_events,
+        "rolling_window": q.q_rolling_window,
     }
 
 

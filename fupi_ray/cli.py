@@ -294,6 +294,13 @@ def main(argv=None) -> int:
 
         if not args.output:
             p.error("pack requires --output")
+        from fupi_ray.state import fs as _fsmod
+
+        if _fsmod.ls_names(args.output):
+            # same contract as export: rerunning into a used directory
+            # would mix stale parts into the dataset and inflate the
+            # reported count
+            p.error(f"pack --output {args.output} is not empty; use a fresh directory")
         t = Table.open(args.table)
         packed = pack_sequences(
             t.scan(version=args.version),
@@ -303,10 +310,13 @@ def main(argv=None) -> int:
         packed.write_parquet(args.output)
         out["output"] = args.output
         out["context_len"] = args.context_len
-        import ray.data as _rd
-
-        back = _rd.read_parquet(args.output)
-        out["packed_rows"] = back.count()
+        # row count from the parquet footers of THIS run's files —
+        # metadata-only, no second pass over the data
+        out["packed_rows"] = sum(
+            _fsmod.parquet_file(_fsmod.join(args.output, name)).metadata.num_rows
+            for name in _fsmod.ls_names(args.output)
+            if name.endswith(".parquet")
+        )
     elif args.op == "scan":
         t = Table.open(args.table)
         ds = t.scan(

@@ -27,6 +27,7 @@ so DuckDB can reproduce the assignment).
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 
@@ -75,6 +76,40 @@ def _shard_writer(out_dir: str, num_shards: int, assign):
     return write_batch
 
 
+_LOCK_NAME = "_EXPORT_LOCK"
+
+
+def _acquire_export_lock(out_dir: str, token: str) -> str:
+    """Exclusive run sentinel: two concurrent exports to one directory
+    would interleave part files and each run's orphan reconciliation
+    would delete the other's. Local paths get a real O_CREAT|O_EXCL;
+    object stores get exists-then-put (the same weakening as the
+    commit guard — conditional puts close it on real object stores).
+    The lock is removed only on SUCCESS: a crashed export leaves it
+    (and a partial directory) behind, and the next run must pass
+    ``overwrite=True`` to clear both."""
+    lock = _fs.join(out_dir, _LOCK_NAME)
+    if _fs.is_uri(lock):
+        if _fs.exists(lock):
+            raise ValueError(
+                f"{lock} exists: another export is running (or a crashed one "
+                "left a partial directory) — pass overwrite=True to clear it"
+            )
+        _fs.write_text(lock, token)
+        return lock
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ValueError(
+            f"{lock} exists: another export is running (or a crashed one "
+            "left a partial directory) — pass overwrite=True to clear it"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(token)
+    return lock
+
+
 def export_training_shards(
     table: Table,
     out_dir: str,
@@ -87,10 +122,12 @@ def export_training_shards(
     """Export a snapshot as ``num_shards`` Parquet shard directories;
     returns the manifest dict (also written to ``_MANIFEST.json``).
 
-    Safe against duplicate part files two ways: the target directory
+    Safe against duplicate part files three ways: the target directory
     must be empty (or ``overwrite=True`` clears it first — a re-export
     into a used directory would otherwise leave the old run's parts
-    for directory-glob readers to double-count), and after the write
+    for directory-glob readers to double-count); an exclusive
+    ``_EXPORT_LOCK`` sentinel makes a concurrent export to the same
+    directory fail instead of interleaving parts; and after the write
     pass any part file NOT in the manifest (the orphan of a retried
     Ray task) is deleted before the manifest lands, so directory reads
     and manifest reads agree."""
@@ -106,6 +143,8 @@ def export_training_shards(
                 "would duplicate rows for directory readers — pass overwrite=True"
             )
         _fs.rm_dir(out_dir)
+    run_token = uuid.uuid4().hex
+    lock_path = _acquire_export_lock(out_dir, run_token)
     resolved_v = table.latest_version() if version is None else version
     ds = table.scan(version=resolved_v, columns=columns)
     stats_rows = ds.map_batches(
@@ -152,6 +191,7 @@ def export_training_shards(
     _fs.write_text(
         _fs.join(out_dir, "_MANIFEST.json"), json.dumps(manifest, indent=1)
     )
+    _fs.rm(lock_path)  # success only; a crash leaves the lock as a tombstone
     return manifest
 
 

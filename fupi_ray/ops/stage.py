@@ -60,10 +60,17 @@ def stage_append(
         f"st-{stage_id}",
         bloom_bits=table.config.bloom_bits_per_key,
     )
+    m = table.manifest()
     rec = {
         "stage_id": stage_id,
         "base_version": table.latest_version(),
         "created_unix": time.time(),
+        # staging-time declared schema: lets an auditor diagnose a
+        # mismatch after the table evolved under the unpublished stage
+        # (the scan itself pads from the LATEST manifest; this records
+        # what the writer saw)
+        "schema_names": list(m.schema_names),
+        "schema_types": list(m.schema_types),
         "fragments": [f.to_dict() for f in frags],
     }
     _fs.write_text(
@@ -119,31 +126,66 @@ def staged_scan(
     )
 
 
+class _AlreadyPublished(Exception):
+    """Raised inside the publish rebase lambda when the parent chain
+    already carries this stage's stamp — a concurrent publisher won."""
+
+    def __init__(self, version: int):
+        super().__init__(f"stage already published at v{version}")
+        self.version = version
+
+
+def _stamp_version(table: Table, rec: dict, stamp: str, upto: int | None = None):
+    """Newest-first header scan for ``stamp``; None if no surviving
+    header carries it. Only commits made AFTER the stage was created
+    can carry the stamp — the early break on ``created_unix`` bounds
+    the header reads to the commits since staging, not the whole
+    history. ``upto`` restricts the scan to versions <= a given parent
+    (the commit-time uniqueness re-check)."""
+    for v in sorted(table.versions(), reverse=True):
+        if upto is not None and v > upto:
+            continue
+        hdr = mf.read_manifest_header(table.table_dir, v)
+        if hdr.properties.get("wap_stamp") == stamp:
+            return v
+        if hdr.created_unix < rec["created_unix"]:
+            break
+    return None
+
+
+def _oldest_version_with_paths(table: Table, paths: set[str]) -> int:
+    """Oldest surviving version whose manifest references any of
+    ``paths`` — the version that actually published the stage (used
+    only on the rare expired-stamp fallback, so the full-manifest
+    reads are acceptable; surviving history is bounded by expiry)."""
+    for v in sorted(table.versions()):
+        if any(f.path in paths for f in table.manifest(v).fragments):
+            return v
+    return table.latest_version()
+
+
 def publish_stage(table: Table, stage_id: str) -> int:
     """Promote the staged fragments to a normal append commit (rebased
     under concurrent writers) and drop the staging record.
 
-    Idempotent under crash-retry: the commit stamps ``wap_stage`` in
-    its properties, and a re-publish first checks surviving version
-    headers for that stamp — a retry after a crash between commit and
-    record removal finishes the cleanup and returns the existing
+    Idempotent under crash-retry AND concurrent publish: the commit
+    stamps ``wap_stamp`` in its properties; a re-publish first checks
+    surviving version headers for the stamp, and the rebase lambda
+    re-checks the parent chain on EVERY optimistic attempt — two
+    concurrent publishers serialize through the commit actor, the
+    loser's rebase sees the winner's stamp and returns the winner's
     version instead of appending the fragments a second time."""
     rec = read_stage(table, stage_id)
     # the stamp pairs the id with the record's creation time, so a
     # RE-USED stage id (staged again after an earlier publish) is a
-    # distinct stamp and still publishes. Only commits made AFTER the
-    # stage was created can carry it — newest-first with an early
-    # break bounds the header reads to the commits since staging,
-    # not the whole history.
+    # distinct stamp and still publishes.
     stamp = f"{stage_id}@{rec['created_unix']}"
-    for v in sorted(table.versions(), reverse=True):
-        hdr = mf.read_manifest_header(table.table_dir, v)
-        if hdr.properties.get("wap_stamp") == stamp:
-            _fs.rm(_record_path(table.table_dir, stage_id))
-            return v
-        if hdr.created_unix < rec["created_unix"]:
-            break
+    v = _stamp_version(table, rec, stamp)
+    if v is not None:
+        _fs.rm(_record_path(table.table_dir, stage_id))
+        return v
     frags = [FragmentMeta.from_dict(d) for d in rec["fragments"]]
+    staged_paths = {f.path for f in frags}
     # second line of defense when snapshot expiry erased the stamped
     # version's manifest: ANY staged fragment path in the latest
     # manifest proves the commit happened (paths are uuid-unique; only
@@ -153,18 +195,34 @@ def publish_stage(table: Table, stage_id: str) -> int:
     # distinguishes published from not; the stamp scan above covers
     # every un-expired history.
     latest_paths = {f.path for f in table.manifest().fragments}
-    if frags and any(f.path in latest_paths for f in frags):
+    if frags and staged_paths & latest_paths:
         _fs.rm(_record_path(table.table_dir, stage_id))
-        return table.latest_version()
-    v = table._commit_rebasing(
-        "append",
-        lambda parent: table.manifest(parent).fragments + frags,
-        properties={
-            "wap_stage": stage_id,
-            "wap_stamp": stamp,
-            "staged_fragments": len(frags),
-        },
-    )
+        return _oldest_version_with_paths(table, staged_paths)
+
+    def _build(parent: int):
+        # commit-time uniqueness: by the time a losing publisher's
+        # optimistic commit rebases, the winner's stamped commit is in
+        # the parent chain — abort with its version rather than
+        # double-appending (the first attempt checks too: a publisher
+        # that raced past the top-of-function scan still sees the
+        # stamp here once latest has advanced).
+        pv = _stamp_version(table, rec, stamp, upto=parent)
+        if pv is not None:
+            raise _AlreadyPublished(pv)
+        return table.manifest(parent).fragments + frags
+
+    try:
+        v = table._commit_rebasing(
+            "append",
+            _build,
+            properties={
+                "wap_stage": stage_id,
+                "wap_stamp": stamp,
+                "staged_fragments": len(frags),
+            },
+        )
+    except _AlreadyPublished as e:
+        v = e.version
     _fs.rm(_record_path(table.table_dir, stage_id))
     return v
 
