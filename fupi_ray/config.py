@@ -79,6 +79,16 @@ class EngineConfig:
     # zone maps can't provide on an UNCLUSTERED table. None disables.
     bloom_bits_per_key: int | None = 10
 
+    # Pure-copy fan-out cap, PER NODE: compaction, COW fragment
+    # rewrites (merge/delete/update) and the cluster sort are
+    # read-decompress-filter-encode copies that saturate a node's
+    # memory bus long before its cores — past saturation, more
+    # concurrent copiers anti-scale (measured: merge rewrite 40.3s@8
+    # -> 75.4s@32 workers on one socket). ops/_fanout.py multiplies
+    # this by alive-node count, so a real cluster is never throttled
+    # below its hardware.
+    memcpy_max_concurrency: int = 8
+
     # Snapshot expiry: keep at least this many trailing versions.
     expire_keep_last: int = 2
 

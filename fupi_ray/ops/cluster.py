@@ -59,6 +59,14 @@ class KeyInterleaver:
         self.bits = bits
         n = max(len(self.codes), 2)
         self.code_scale = (1 << bits) // n
+        # vectorized source→code probe, built once per actor: a sorted
+        # Arrow value set for pc.index_in + a positional code array
+        # (unknown sources take code 0, matching the old fillna(0))
+        keys = sorted(self.codes)
+        self._keyset = pa.array(keys)
+        self._code_vals = np.array(
+            [self.codes[k] for k in keys] or [0], dtype=np.uint64
+        )
 
     def _encode_n_tok(self, n_tok: np.ndarray) -> np.ndarray:
         """Quantile bucket in the high bits, raw value in the low bits."""
@@ -71,12 +79,9 @@ class KeyInterleaver:
         return (hi | lo) & mask
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        src = batch["source"].to_numpy(zero_copy_only=False)
-        d0 = (
-            pd.Series(src).map(self.codes).fillna(0).to_numpy(dtype=np.uint64)
-            * np.uint64(self.code_scale)
+        idx = pc.fill_null(pc.index_in(batch["source"], value_set=self._keyset), 0)
+        d0 = self._code_vals[idx.to_numpy(zero_copy_only=False).astype(np.int64)] * np.uint64(
+            self.code_scale
         )
         d1 = self._encode_n_tok(batch["n_tok"].to_numpy(zero_copy_only=False))
         d2 = stable_hash(batch["doc_id"]) >> np.uint64(64 - self.bits)
@@ -148,11 +153,16 @@ def _plan_groups(fragments, group_bytes: int | None):
 
 def _sort_and_write(
     table: Table, paths: list[str], enc_ref, curve: str, prefix: str,
-    schema_info: tuple | None = None,
+    schema_info: tuple | None = None, cpu_limit: int | None = None,
 ) -> list:
     """One bounded cluster job: read → key (actor pool) → sort → write
     one fragment per sorted output block (a contiguous curve-key range
-    → tight zone map)."""
+    → tight zone map). ``cpu_limit`` caps the streaming executor's CPU
+    budget for this pipeline — the sort's read-key-sort-encode phases
+    are memory-bus-bound copies that ANTI-scale past bus saturation
+    (measured 23.8s@8 -> 57.5s@32 workers on one socket,
+    SCALING_r03.json); see ops/_fanout.py."""
+    from fupi_ray.ops import _fanout
     from fupi_ray.state import fs as _fs
 
     cfg = table.config
@@ -180,6 +190,8 @@ def _sort_and_write(
             )
         else:
             ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+    if cpu_limit is not None:
+        ds = _fanout.limit_dataset_cpu(ds, cpu_limit)
     if schema_info is not None:
         # schema evolution: groups can mix pre/post-evolution files —
         # normalize every batch to the declared schema before keying
@@ -287,6 +299,8 @@ def cluster(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from fupi_ray.ops import _fanout
+
     def run_group(gi: int, group) -> list:
         partition = f"group-{gi:05d}"
         inputs = [f.path for f in group]
@@ -305,7 +319,8 @@ def cluster(
         ):
             schema_info = (m.schema_names, m.schema_types, m.column_defaults)
         out = _sort_and_write(
-            table, paths, enc_ref, curve, f"cl-{job_id}-g{gi:04d}", schema_info
+            table, paths, enc_ref, curve, f"cl-{job_id}-g{gi:04d}", schema_info,
+            cpu_limit=group_cpu_limit,
         )
         lineage.write_record(
             table.table_dir,
@@ -321,6 +336,12 @@ def cluster(
     # pipeline): wall time ≈ max(group) not sum(groups). Output order
     # stays deterministic — results are collected in group order.
     workers = max(1, min(cfg.cluster_group_concurrency, len(groups)))
+    # the pure-copy cap is CLUSTER-wide: concurrent group pipelines
+    # split it so the sum of their executors never exceeds the bus
+    # saturation point (see ops/_fanout.py)
+    group_cpu_limit = max(
+        1, _fanout.copy_concurrency_cap(cfg.memcpy_max_concurrency) // workers
+    )
     if workers == 1:
         results = [run_group(gi, g) for gi, g in enumerate(groups)]
     else:

@@ -268,7 +268,15 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
         # neither read the inputs nor make their outputs visible
         records = [_repack(*a) for a in task_args]
     else:
-        records = ray.get([_repack_task.remote(*a) for a in task_args])
+        # capped fan-out: repacks are pure copies that anti-scale past
+        # memory-bus saturation (see ops/_fanout.py)
+        from fupi_ray.ops import _fanout
+
+        records = _fanout.run_capped(
+            _repack_task,
+            task_args,
+            _fanout.copy_concurrency_cap(cfg.memcpy_max_concurrency),
+        )
     new_frags = [fm for rec in records for fm in lineage.output_fragments(rec)]
     removed = {f.path for p in plan.packs for f in p}
     stats = {

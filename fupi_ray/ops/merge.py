@@ -42,6 +42,7 @@ import ray
 import ray.data
 
 from fupi_ray.functions import bloom
+from fupi_ray.ops import _fanout
 from fupi_ray.functions.hashing import stable_hash
 from fupi_ray.manifest import FragmentMeta, fragment_meta_from_table
 from fupi_ray.schema import SEQUENCE_COLUMNS, normalize_batch
@@ -433,14 +434,20 @@ def merge_into(
             else:
                 kept.append(f)
 
-        refs = [
-            _rewrite_fragment_task.remote(
-                table.table_dir, job_id, i, f.path, keys_ref,
-                cfg.bloom_bits_per_key, keys_digest,
-            )
-            for i, f in enumerate(hit)
-        ]
-        records = ray.get(refs)
+        # sliding-window fan-out: one task per hit fragment, at most
+        # copy_concurrency_cap in flight (pure-copy phases anti-scale
+        # past memory-bus saturation — see ops/_fanout.py)
+        records = _fanout.run_capped(
+            _rewrite_fragment_task,
+            [
+                (
+                    table.table_dir, job_id, i, f.path, keys_ref,
+                    cfg.bloom_bits_per_key, keys_digest,
+                )
+                for i, f in enumerate(hit)
+            ],
+            _fanout.copy_concurrency_cap(cfg.memcpy_max_concurrency),
+        )
         mark("rewrite_fragments")
         # a bloom-skipped fragment was proven key-free inside its task:
         # keep the ORIGINAL meta (no rewrite happened, nothing removed)

@@ -281,15 +281,21 @@ def _run_mutation(
     )
 
     t0 = time.perf_counter()
-    records = ray.get(
+    # capped fan-out: COW rewrites are pure copies that anti-scale past
+    # memory-bus saturation (see ops/_fanout.py)
+    from fupi_ray.ops import _fanout
+
+    records = _fanout.run_capped(
+        _mutate_fragment_task,
         [
-            _mutate_fragment_task.remote(
+            (
                 table.table_dir, job_id, i, f.path, predicate, pad_cols,
                 assignments, table.config.bloom_bits_per_key, mutation_digest,
                 doc_id_kind,
             )
             for i, f in enumerate(hit)
-        ]
+        ],
+        _fanout.copy_concurrency_cap(table.config.memcpy_max_concurrency),
     )
     changed = [r for r in records if not r["metrics"].get("unchanged")]
     if not changed:

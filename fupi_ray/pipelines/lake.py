@@ -43,7 +43,14 @@ _DOC_SQL = "'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')"
 
 
 def _doc_id_str(ids: np.ndarray) -> pa.Array:
-    return pa.array([f"doc-{int(i):012d}" for i in ids], pa.string())
+    # vectorized 'doc-' || lpad(id, 12, '0'): Arrow kernels end-to-end,
+    # no per-row Python (this sits on every lake ingest path)
+    digits = pc.utf8_lpad(
+        pc.cast(pa.array(np.asarray(ids, dtype=np.int64)), pa.string()),
+        width=12,
+        padding="0",
+    )
+    return pc.binary_join_element_wise("doc-", digits, "")
 
 
 def sequences_batch(
