@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q.q_bpe_tokens,
         "redact": q.q_redact,
         "fingerprint": q.q_fingerprint,
+        "fingerprint_fast": q.q_fingerprint_fast,
         "translate": q.q_translate,
         "multimodal": q.q_multimodal,
         "frame_sample": q.q_frame_sample,

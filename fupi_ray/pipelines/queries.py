@@ -479,13 +479,30 @@ _SEG_SQL_PAREN_PASS = r"""
         '\(([^()]*)\?([^()]+)\)', '(\1' || chr(4) || '\2)', 'g')
 """
 
-_SEG_SQL_PROTECTED = r"""
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(text, '(\d)\.(\d)', '\1' || chr(2) || '\2', 'g'),
-            '{abbrev}', '\1' || chr(2), 'g'),
-          '\b([A-Z])\.', '\1' || chr(2), 'g')
-""".format(abbrev=_SEG_SQL_ABBREV)
+# Cyrillic abbreviation + initial tier mirrors stages/text.py exactly
+# (explicit non-letter prefix class because RE2's \b is ASCII-only).
+_SEG_SQL_ABBREV_CYR = (
+    r"(^|[^a-zA-Zа-яА-Я])((?i:проф|акад|напр|срв|бул|стр|гр|ул|др|г|т|е))\."
+)
+_SEG_SQL_INITIAL_CYR = r"(^|[^a-zA-Zа-яА-Я])([А-Я])\."
+
+# Build the protect chain programmatically, innermost first — the
+# pass order mirrors stages/text.segment_sentences exactly:
+# decimals → EN abbrevs → EN initials → compound CYR ('т.е.'/'т.н.')
+# → CYR abbrevs → CYR initials.
+_SEG_SQL_PASSES = (
+    (r"(\d)\.(\d)", r"'\1' || chr(2) || '\2'"),
+    (_SEG_SQL_ABBREV, r"'\1' || chr(2)"),
+    (r"\b([A-Z])\.", r"'\1' || chr(2)"),
+    (r"([тТ])\.([ен])\.", r"'\1' || chr(2) || '\2' || chr(2)"),
+    (_SEG_SQL_ABBREV_CYR, r"'\1\2' || chr(2)"),
+    (_SEG_SQL_INITIAL_CYR, r"'\1\2' || chr(2)"),
+)
+_SEG_SQL_PROTECTED = "text"
+for _pat, _rep in _SEG_SQL_PASSES:
+    _SEG_SQL_PROTECTED = (
+        f"regexp_replace({_SEG_SQL_PROTECTED}, '{_pat}', {_rep}, 'g')"
+    )
 for _ in range(2):
     _SEG_SQL_PROTECTED = _SEG_SQL_PAREN_PASS.format(inner=_SEG_SQL_PROTECTED)
 
@@ -899,8 +916,8 @@ def q_langid(sf_dir: str):
 
 
 _LANG_HITS = {
-    k: "len(list_filter(string_split_regex(lower(text), '[^a-z]+'), w -> list_contains({}, w)))".format(
-        "[" + ",".join(f"'{w}'" for w in v) + "]"
+    k: "len(list_filter(string_split_regex(lower(text), '{}'), w -> list_contains({}, w)))".format(
+        tx.LANG_WORD_SPLIT, "[" + ",".join(f"'{w}'" for w in v) + "]"
     )
     for k, v in tx.LANG_STOPWORDS.items()
 }
@@ -911,15 +928,17 @@ WITH h AS (
          {_LANG_HITS['en']} AS h_en,
          {_LANG_HITS['de']} AS h_de,
          {_LANG_HITS['fr']} AS h_fr,
-         {_LANG_HITS['es']} AS h_es
+         {_LANG_HITS['es']} AS h_es,
+         {_LANG_HITS['bg']} AS h_bg
   FROM documents
 ), p AS (
   SELECT lang, CASE
-    WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 THEN 'unknown'
-    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
-    WHEN h_fr >= h_es THEN 'fr'
-    ELSE 'es' END AS pred_lang
+    WHEN h_en = 0 AND h_de = 0 AND h_fr = 0 AND h_es = 0 AND h_bg = 0 THEN 'unknown'
+    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en >= h_bg THEN 'en'
+    WHEN h_de >= h_fr AND h_de >= h_es AND h_de >= h_bg THEN 'de'
+    WHEN h_fr >= h_es AND h_fr >= h_bg THEN 'fr'
+    WHEN h_es >= h_bg THEN 'es'
+    ELSE 'bg' END AS pred_lang
   FROM h)
 SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY lang, pred_lang
 """
@@ -1213,6 +1232,18 @@ def q_fingerprint(sf_dir: str):
 SQL_FINGERPRINT = """
 SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents
 """
+
+
+def q_fingerprint_fast(sf_dir: str):
+    """Production content-identity path: vectorized 64-bit stable hash
+    of the md5 twin's normalization (rows-only — SipHash-1-3 has no
+    duckdb twin; the self-check asserting md5-class equivalence lives
+    in tests/test_round4.py)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: tx.fingerprint_fast(t).select(["doc_id", "fp64"]),
+        batch_format="pyarrow",
+    )
 
 
 def q_multimodal(sf_dir: str):

@@ -75,14 +75,23 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 # Language-ID: tiny stopword lexicons; prediction = argmax of stopword
 # hits with a fixed precedence order on ties. Twin SQL builds the same
-# counts with list_filter + list_contains.
+# counts with list_filter + list_contains. Bulgarian is the reference's
+# own corpus language (/root/reference/searcher.py:500-503 serves a
+# Cyrillic corpus; pysbd language='bg'), so the lexicon set includes a
+# Cyrillic member and tokenization accepts Cyrillic runs.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "in", "is", "was", "for", "with", "that"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
     "fr": ("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
     "es": ("el", "la", "los", "y", "es", "no", "una", "para", "en", "que"),
+    "bg": ("и", "в", "на", "не", "се", "да", "е", "за", "от", "че"),
 }
-LANG_ORDER = ("en", "de", "fr", "es")
+LANG_ORDER = ("en", "de", "fr", "es", "bg")
+
+# Word runs = lowercase Latin OR Cyrillic (а U+0430 … я U+044F covers
+# the full Bulgarian alphabet). Both Arrow and duckdb compile this with
+# RE2 over UTF-8, so the twin splits byte-identically.
+LANG_WORD_SPLIT = r"[^a-zа-я]+"
 
 
 _LANGID: "LangIdStage | None" = None
@@ -106,12 +115,13 @@ class LangIdStage:
     the lexicon sets once per actor (the reference's load-once pattern,
     fupi/embedders.py:35-37 / SURVEY.md §2.3).
 
-    Tokenization is ascii ``[a-z]+`` runs of the lowercased text —
-    chosen because duckdb reproduces it exactly with
-    ``string_split_regex(lower(text), '[^a-z]+')``."""
+    Tokenization is ``[a-zа-я]+`` runs of the (unicode-)lowercased
+    text — Latin plus Cyrillic, reproduced exactly by duckdb with
+    ``string_split_regex(lower(text), '[^a-zа-я]+')`` (both engines
+    compile RE2 over UTF-8)."""
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-z]+")
+        self.word_re = re.compile(r"[a-zа-я]+")
         self.sets = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
         self.lex = {k: np.array(sorted(s), dtype=object) for k, s in self.sets.items()}
 
@@ -122,7 +132,7 @@ class LangIdStage:
         # ONE Arrow tokenize for the whole batch; stopword membership is
         # tested on the factorized vocabulary (distinct words), then
         # per-doc hit counts come from one bincount per language.
-        words, doc_idx, _ = tk.flat_words(batch["text"], r"[^a-z]+")
+        words, doc_idx, _ = tk.flat_words(batch["text"], LANG_WORD_SPLIT)
         hits = {k: np.zeros(n, dtype=np.int64) for k in LANG_ORDER}
         if len(words):
             import pandas as pd
@@ -208,6 +218,15 @@ _SEG_BREAK = "\x01"  # inserted sentence separator
 _SEG_PROTECT_BANG = "\x03"  # non-boundary '!'
 _SEG_PROTECT_QM = "\x04"  # non-boundary '?'
 _SEG_ABBREVS = r"(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|Inc|Jr|Sr|No|Fig|approx)"
+# Cyrillic (Bulgarian) abbreviation tier — the reference's corpus
+# language (pysbd language='bg', /root/reference/fupi/data.py:33-36).
+# RE2's \b is ASCII-only, so these rules anchor on an explicit
+# non-letter prefix class instead; longer alternatives first (RE2 picks
+# the leftmost alternative, so 'г' before 'гр' would truncate 'гр.').
+# (?i:) so sentence-initial 'Проф.' matches too (RE2 folds Cyrillic);
+# 'е' covers the second half of 'т.е.'.
+_SEG_ABBREVS_CYR = r"((?i:проф|акад|напр|срв|бул|стр|гр|ул|др|г|т|е))"
+_SEG_NONLETTER = r"(^|[^a-zA-Zа-яА-Я])"
 # Closing quotes/parens that stay attached to the sentence terminator
 # (pysbd "boundary after closing punctuation" rule).
 _SEG_CLOSERS = "[\"')\\]]"
@@ -238,6 +257,18 @@ def segment_sentences(batch: pa.Table, text_col: str = "text", min_chars: int = 
     s = pc.replace_substring_regex(s, r"(\d)\.(\d)", rf"\1{_SEG_PROTECT}\2")
     s = pc.replace_substring_regex(s, rf"\b{_SEG_ABBREVS}\.", rf"\1{_SEG_PROTECT}")
     s = pc.replace_substring_regex(s, r"\b([A-Z])\.", rf"\1{_SEG_PROTECT}")
+    # compound Cyrillic abbreviations first ('т.е.', 'и т.н.') — the
+    # general rule can't reach the second letter because its anchoring
+    # dot is consumed by the first match
+    s = pc.replace_substring_regex(
+        s, r"([тТ])\.([ен])\.", rf"\1{_SEG_PROTECT}\2{_SEG_PROTECT}"
+    )
+    s = pc.replace_substring_regex(
+        s, rf"{_SEG_NONLETTER}{_SEG_ABBREVS_CYR}\.", rf"\1\2{_SEG_PROTECT}"
+    )
+    s = pc.replace_substring_regex(
+        s, rf"{_SEG_NONLETTER}([А-Я])\.", rf"\1\2{_SEG_PROTECT}"
+    )
     for _ in range(_SEG_PAREN_PASSES):
         s = pc.replace_substring_regex(
             s, r"\(([^()]*)\.([^()]+)\)", rf"(\1{_SEG_PROTECT}\2)"
@@ -281,9 +312,31 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
         pc.utf8_lower(pc.fill_null(batch[text_col], "")), "[^a-z0-9]", ""
     )
     # md5 has no vectorized kernel; the per-row cost after the Arrow
-    # regex pass is one C hashlib call on pre-cleaned bytes
+    # regex pass is one C hashlib call on pre-cleaned bytes. This is
+    # the ORACLE twin — production pipelines use fingerprint_fast.
     fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in cleaned.to_pylist()]
     return batch.append_column("fp", pa.array(fps, pa.string()))
+
+
+def fingerprint_fast(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Production content fingerprint: vectorized 64-bit stable hash of
+    the same normalization as :func:`fingerprint` (lowercased
+    alphanumeric-only text) — no per-row Python anywhere.
+
+    Same equivalence classes as the md5 twin for dedup purposes (two
+    docs share an ``fp64`` iff they share normalized content, modulo a
+    2^-64 collision); emitted as int64 so Arrow group-bys and joins
+    stay zero-copy. The md5 variant exists only so duckdb's ``md5()``
+    can oracle-check the normalization; composed dedup pipelines and
+    the scale path use this one (SURVEY.md §2.5 A2).
+    """
+    from fupi_ray.functions.hashing import stable_hash
+
+    cleaned = pc.replace_substring_regex(
+        pc.utf8_lower(pc.fill_null(batch[text_col], "")), "[^a-z0-9]", ""
+    )
+    fp = stable_hash(cleaned).view(np.int64)
+    return batch.append_column("fp64", pa.array(fp, pa.int64()))
 
 
 class RollingHashStage:

@@ -1,0 +1,154 @@
+"""Round-4 additions: production fingerprint, capped fan-out,
+Cyrillic text tier, row-group pruning, WAP/expiry races, ONNX probe."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fupi_ray.stages import text as tx
+
+
+def _doc_batch(texts):
+    return pa.table(
+        {"doc_id": [f"d{i}" for i in range(len(texts))], "text": texts}
+    )
+
+
+class TestFingerprintFast:
+    def test_same_equivalence_classes_as_md5(self):
+        texts = [
+            "Hello, World!",
+            "hello world",          # same normalized content as above
+            "HELLO  ...  WORLD",    # same again
+            "goodbye world",
+            "Goodbye, world?",      # same as previous
+            "",                     # empty after normalization
+            "!!!",                  # also empty after normalization
+            None,                   # null → '' → same class as empty
+        ]
+        b = _doc_batch(texts)
+        md5_fp = tx.fingerprint(b)["fp"].to_pylist()
+        fast_fp = tx.fingerprint_fast(b)["fp64"].to_pylist()
+        # grouping by md5 and by fp64 must induce the same partition
+        groups_md5 = {}
+        groups_fast = {}
+        for i, (m, f) in enumerate(zip(md5_fp, fast_fp)):
+            groups_md5.setdefault(m, set()).add(i)
+            groups_fast.setdefault(f, set()).add(i)
+        assert sorted(map(sorted, groups_md5.values())) == sorted(
+            map(sorted, groups_fast.values())
+        )
+
+    def test_deterministic_across_calls(self):
+        b = _doc_batch(["alpha beta", "gamma delta", "ALPHA beta!"])
+        a = tx.fingerprint_fast(b)["fp64"].to_pylist()
+        c = tx.fingerprint_fast(b)["fp64"].to_pylist()
+        assert a == c
+        assert a[0] == a[2]  # same normalized content
+        assert a[0] != a[1]
+
+    def test_output_type_int64(self):
+        out = tx.fingerprint_fast(_doc_batch(["x"]))
+        assert out.schema.field("fp64").type == pa.int64()
+
+
+class TestCyrillicTier:
+    """The reference corpus is Bulgarian (pysbd language='bg',
+    /root/reference/fupi/data.py:33-36) — langid and segmentation must
+    handle Cyrillic, mirrored exactly in the duckdb twins."""
+
+    BG_TEXTS = [
+        "Това е изречение на български. И още едно! Проф. Иванов "
+        "живее на ул. Шипка в гр. София.",
+        "Той каза: т.е. например, и т.н. после. А. Б. Петров дойде.",
+        "и в на не се да е за от че",
+    ]
+
+    def test_langid_predicts_bg(self):
+        b = pa.table(
+            {
+                "doc_id": ["d0", "d1", "d2", "d3"],
+                "text": self.BG_TEXTS + ["the quick brown fox is in the house"],
+            }
+        )
+        pred = tx.langid_batch(b)["pred_lang"].to_pylist()
+        assert pred == ["bg", "bg", "bg", "en"]
+
+    def test_langid_sql_twin_matches(self):
+        import duckdb
+
+        from fupi_ray.pipelines import queries as q
+
+        b = pa.table(
+            {
+                "doc_id": ["d0", "d1", "d2"],
+                "lang": ["bg", "bg", "en"],
+                "text": [self.BG_TEXTS[0], self.BG_TEXTS[2], "the cat is on the mat"],
+            }
+        )
+        out = tx.langid_batch(b)
+        py = sorted(zip(out["lang"].to_pylist(), out["pred_lang"].to_pylist()))
+        con = duckdb.connect()
+        con.register("documents", b.to_pandas())
+        rows = con.execute(q.SQL_LANGID).fetchall()
+        sq = sorted((r[0], r[1]) for r in rows for _ in range(int(r[2])))
+        assert py == sq
+
+    def test_segmentation_bulgarian_abbrevs(self):
+        b = pa.table({"doc_id": ["d0", "d1"], "text": self.BG_TEXTS[:2]})
+        seg = tx.segment_sentences(b)
+        sents = seg["sentence"].to_pylist()
+        assert "Проф. Иванов живее на ул. Шипка в гр. София." in sents
+        assert "Той каза: т.е. например, и т.н. после." in sents
+        assert "А. Б. Петров дойде." in sents
+        assert seg.num_rows == 5
+
+    def test_segmentation_sql_twin_matches_on_cyrillic(self):
+        import duckdb
+
+        from fupi_ray.pipelines import queries as q
+
+        b = pa.table(
+            {
+                "doc_id": [f"d{i}" for i in range(len(self.BG_TEXTS))],
+                "text": self.BG_TEXTS,
+            }
+        )
+        seg = tx.segment_sentences(b)
+        py = sorted(
+            zip(
+                seg["doc_id"].to_pylist(),
+                seg["sentence_id"].to_pylist(),
+                seg["sentence"].to_pylist(),
+            )
+        )
+        con = duckdb.connect()
+        con.register("documents", b.to_pandas())
+        sq = sorted(
+            (r[0], r[1], r[2])
+            for r in con.execute(q.SQL_SEGMENT_SENTENCES).fetchall()
+        )
+        assert py == sq
+
+
+class TestFanout:
+    def test_run_capped_matches_uncapped(self):
+        import ray
+
+        from fupi_ray.ops import _fanout
+
+        @ray.remote
+        def sq(x):
+            return x * x
+
+        args = [(i,) for i in range(17)]
+        for cap in (1, 3, 100):
+            assert _fanout.run_capped(sq, args, cap) == [i * i for i in range(17)]
+        assert _fanout.run_capped(sq, [], 4) == []
+
+    def test_copy_concurrency_cap_bounds(self):
+        from fupi_ray.ops import _fanout
+
+        cap = _fanout.copy_concurrency_cap(8)
+        # single node in tests: cap is 8 clamped to cluster CPUs (4)
+        assert 1 <= cap <= 8
