@@ -89,6 +89,13 @@ class EngineConfig:
     # below its hardware.
     memcpy_max_concurrency: int = 8
 
+    # Parquet row-group size inside fragments — the unit of IN-fragment
+    # predicate pruning: scan pushes the predicate to the Parquet
+    # scanner, which skips row groups whose footer stats exclude it
+    # (Table.row_group_prune_stats audits the effect). 32k rows ≈
+    # dozens of skippable groups per 256 MiB fragment.
+    row_group_rows: int = 32 * 1024
+
     # Snapshot expiry: keep at least this many trailing versions.
     expire_keep_last: int = 2
 

@@ -238,6 +238,7 @@ def _sort_and_write(
         prefix,
         target_fragment_rows=rows_per_frag,
         bloom_bits=cfg.bloom_bits_per_key,
+        row_group_rows=cfg.row_group_rows,
     )
 
 

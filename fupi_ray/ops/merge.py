@@ -325,6 +325,7 @@ def _merge_shuffle(
         f"mg-{job_id}",
         target_fragment_rows=rows_per_frag,
         bloom_bits=table.config.bloom_bits_per_key,
+        row_group_rows=table.config.row_group_rows,
     )
 
 
@@ -472,6 +473,7 @@ def merge_into(
             f"mg-{job_id}-src",
             target_fragment_rows=rows_per_frag,
             bloom_bits=cfg.bloom_bits_per_key,
+            row_group_rows=cfg.row_group_rows,
         )
         mark("write_source")
         removed = {f.path for f in hit}

@@ -59,6 +59,7 @@ def stage_append(
         table.table_dir,
         f"st-{stage_id}",
         bloom_bits=table.config.bloom_bits_per_key,
+        row_group_rows=table.config.row_group_rows,
     )
     m = table.manifest()
     rec = {

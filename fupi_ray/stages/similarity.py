@@ -220,6 +220,13 @@ class FeatureHashEmbedder:
             bucket = (vh % np.uint64(self.dim)).astype(np.int64)
             sign = np.where((vh >> np.uint64(63)) > 0, -1.0, 1.0)
             np.add.at(M.reshape(-1), vdoc * self.dim + bucket, sign)
+        if self.session is not None:
+            # real backend: the hashed count matrix is the model input
+            # (featurize → project → normalize), batched through ORT in
+            # one call — the reference's batch-encode contract
+            # (fupi/embedders.py:52-63)
+            (M,) = self.session.run(None, {"feats": M.astype(np.float32)})
+            M = M.astype(np.float64)
         norms = np.linalg.norm(M, axis=1)
         norms[norms == 0] = 1.0
         M /= norms[:, None]

@@ -82,6 +82,7 @@ def write_dataset_fragments(
     *,
     target_fragment_rows: int | None = None,
     bloom_bits: int | None = None,
+    row_group_rows: int = 32 * 1024,
 ) -> list[FragmentMeta]:
     """Write a Dataset out as fragments; return their metadata.
 
@@ -90,10 +91,14 @@ def write_dataset_fragments(
     metadata stream is tiny (1 row per fragment) → safe to take_all.
     ``bloom_bits`` (bits/key, None = off) writes a doc_id bloom sidecar
     beside each fragment for point-lookup fragment pruning.
+    ``row_group_rows`` sets the Parquet row-group size — the unit of
+    in-fragment predicate pruning (``Table.row_group_prune_stats``).
     """
     import json
 
-    writer = _FragmentWriter(table_dir, prefix, bloom_bits=bloom_bits)
+    writer = _FragmentWriter(
+        table_dir, prefix, row_group_rows=row_group_rows, bloom_bits=bloom_bits
+    )
     meta_ds = ds.map_batches(
         writer,
         batch_format="pyarrow",
@@ -299,6 +304,53 @@ class Table:
             return ray.data.from_arrow(schema.empty_table())
         return self.scan_fragments(m, frags, columns, predicate, **read_kwargs)
 
+    def row_group_prune_stats(
+        self, predicate: list[tuple], version: int | None = None
+    ) -> dict[str, int]:
+        """Two-level prune diagnostic: how much of the table a
+        predicate scan actually reads.
+
+        Level 1 is the manifest zone-map/bloom prune (whole fragments,
+        driver-side, metadata only). Level 2 happens INSIDE each read
+        task: ``scan`` pushes ``predicate_to_arrow(predicate)`` down as
+        the Parquet scanner filter, and pyarrow skips row groups whose
+        footer statistics exclude it (fragments are written with 32k-row
+        row groups, so a 256-512MB fragment holds dozens of
+        independently skippable groups). This method evaluates the SAME
+        expression against the footers of the surviving fragments —
+        driver-side and eager, so use it for tests/ops-audits, not in
+        pipelines. Returns fragment and row-group counts at each level.
+        """
+        import pyarrow.dataset as pads
+
+        m = self.manifest(version)
+        survivors = [
+            f
+            for f in m.fragments
+            if mf.fragment_may_match(
+                f, [p for p in predicate if f.has_column(p[0], m.column_ids)]
+            )
+        ]
+        expr = mf.predicate_to_arrow(predicate)
+        filesystem = None
+        paths = [_fs.join(self.table_dir, f.path) for f in survivors]
+        if _fs.is_uri(self.table_dir):
+            filesystem, _ = _fs.arrow_fs(self.table_dir)
+            paths = [_fs.get_fs(p)[1] for p in paths]
+        total_rg = kept_rg = 0
+        if paths:
+            ds = pads.dataset(paths, filesystem=filesystem)
+            for frag in ds.get_fragments():
+                frag.ensure_complete_metadata()
+                total_rg += frag.metadata.num_row_groups
+                kept_rg += len(frag.split_by_row_group(expr))
+        return {
+            "fragments_total": len(m.fragments),
+            "fragments_after_zone_maps": len(survivors),
+            "row_groups_in_survivors": total_rg,
+            "row_groups_after_footer_stats": kept_rg,
+        }
+
     def scan_fragments(
         self,
         m: Manifest,
@@ -502,7 +554,8 @@ class Table:
         outcome is independent of the parent's contents, so a
         concurrent-commit conflict is auto-rebased like an append."""
         frags = write_dataset_fragments(
-            ds, self.table_dir, "ow", bloom_bits=self.config.bloom_bits_per_key
+            ds, self.table_dir, "ow", bloom_bits=self.config.bloom_bits_per_key,
+            row_group_rows=self.config.row_group_rows,
         )
         return self._commit_rebasing("overwrite", lambda _parent: frags, properties)
 
@@ -522,6 +575,7 @@ class Table:
             "ap",
             target_fragment_rows=target_fragment_rows,
             bloom_bits=self.config.bloom_bits_per_key,
+            row_group_rows=self.config.row_group_rows,
         )
         return self._commit_rebasing(
             "append", lambda parent: self.manifest(parent).fragments + new, properties

@@ -131,6 +131,97 @@ class TestCyrillicTier:
         assert py == sq
 
 
+class TestRowGroupPruning:
+    def test_selective_predicate_skips_row_groups(self, tmp_table_dir):
+        import ray
+
+        from fupi_ray.config import EngineConfig
+        from fupi_ray.fixtures import generate_rows
+        from fupi_ray.table import Table
+
+        cfg = EngineConfig(row_group_rows=64)
+        t = Table.create(tmp_table_dir, config=cfg)
+        rows = generate_rows(0, 1024)  # ordered doc_ids → tight rg stats
+        t.commit_append(ray.data.from_arrow(rows), target_fragment_rows=512)
+
+        lo = rows["doc_id"][3].as_py()
+        hi = rows["doc_id"][40].as_py()
+        stats = t.row_group_prune_stats([("doc_id", "between", (lo, hi))])
+        # 1024 rows / 64-row groups = 16 groups in 2 fragments; zone
+        # maps keep only the fragment containing the range, footer
+        # stats then skip most of ITS groups
+        assert stats["fragments_after_zone_maps"] < stats["fragments_total"] or (
+            stats["fragments_total"] == 1
+        )
+        assert stats["row_groups_in_survivors"] >= 8
+        assert (
+            stats["row_groups_after_footer_stats"]
+            < stats["row_groups_in_survivors"]
+        )
+        # and the pruned scan still returns exactly the right rows
+        got = t.scan(predicate=[("doc_id", "between", (lo, hi))]).count()
+        assert got == 38
+
+    def test_scan_results_identical_with_and_without_pushdown(self, tmp_table_dir):
+        import ray
+
+        from fupi_ray.config import EngineConfig
+        from fupi_ray.fixtures import generate_rows
+        from fupi_ray.table import Table
+
+        cfg = EngineConfig(row_group_rows=32)
+        t = Table.create(tmp_table_dir, config=cfg)
+        rows = generate_rows(0, 300)
+        t.commit_append(ray.data.from_arrow(rows))
+        pred = [("n_tok", ">=", 50)]
+        pushed = sorted(
+            r["doc_id"] for r in t.scan(predicate=pred, columns=["doc_id"]).take_all()
+        )
+        full = sorted(
+            r["doc_id"]
+            for r in t.scan(columns=["doc_id", "n_tok"]).take_all()
+            if r["n_tok"] >= 50
+        )
+        assert pushed == full and len(pushed) > 0
+
+
+class TestOnnxRealPath:
+    """Exercises FeatureHashEmbedder's real='auto' backend when
+    onnxruntime is importable (not in this container — skips here, runs
+    on runtime-equipped hosts). The fixture is a hand-encoded ONNX
+    MatMul against a reversal matrix, so the expected embedding is the
+    stub embedding with buckets reversed."""
+
+    FIXTURE = "tests/fixtures/tiny_projection.onnx"
+
+    def test_fixture_bytes_are_committed_and_deterministic(self):
+        import os
+        import sys
+
+        sys.path.insert(0, "tools")
+        try:
+            import make_onnx_fixture as gen
+        finally:
+            sys.path.pop(0)
+        assert os.path.exists(self.FIXTURE)
+        blob = gen.build_model(64)
+        with open(self.FIXTURE, "rb") as f:
+            assert f.read() == blob
+        assert [f for f, _ in gen._walk(blob)] == [1, 2, 7, 8]
+
+    def test_session_path_matches_reversed_stub(self):
+        pytest.importorskip("onnxruntime")
+        from fupi_ray.stages.similarity import FeatureHashEmbedder
+
+        b = _doc_batch(["hello world", "the quick brown fox", "а това е текст"])
+        stub = FeatureHashEmbedder(dim=64)
+        real = FeatureHashEmbedder(dim=64, model_path=self.FIXTURE)
+        assert real.session is not None
+        v_stub = np.asarray(stub(b)["vec"].to_pylist(), dtype=np.float64)
+        v_real = np.asarray(real(b)["vec"].to_pylist(), dtype=np.float64)
+        assert np.allclose(v_real, v_stub[:, ::-1], atol=1e-6)
+
+
 class TestFanout:
     def test_run_capped_matches_uncapped(self):
         import ray
