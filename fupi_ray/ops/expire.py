@@ -88,11 +88,19 @@ def expire_snapshots(
                 lin.clear_job(table.table_dir, job)
                 cleared_jobs.append(job)
 
-    # GC fragments unreachable from any surviving manifest
+    # GC fragments unreachable from any surviving manifest.
+    #
+    # ORDER MATTERS: record-based liveness (staging records, lineage)
+    # is gathered BEFORE manifest-based liveness. A concurrent
+    # publish_stage commits first and removes its staging record
+    # second, so reading records first makes the transition atomic for
+    # us: either the record still exists (fragments live via the
+    # record) or it was removed after the commit, which our LATER
+    # manifest enumeration then sees (fragments live via the
+    # manifest). The reverse order has a hole no grace period closes —
+    # a stage older than the grace window, published mid-expiry, would
+    # be invisible to both snapshots and its committed fragments GC'd.
     live_paths: set[str] = set()
-    for v in table.versions():
-        for f in table.manifest(v).fragments:
-            live_paths.add(f.path)
     # fragments of staged (write-audit-publish) commits are live while
     # their staging record exists: an auditor may still be scanning
     # them, and publish must find them intact
@@ -112,6 +120,9 @@ def expire_snapshots(
         for rec in recs.values():
             for frag in rec.get("output_fragments", []):
                 live_paths.add(frag.get("path"))
+    for v in table.versions():
+        for f in table.manifest(v).fragments:
+            live_paths.add(f.path)
     removed_files = 0
     freed = 0
     ddir = mf.data_dir(table.table_dir)

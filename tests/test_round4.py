@@ -222,6 +222,116 @@ class TestOnnxRealPath:
         assert np.allclose(v_real, v_stub[:, ::-1], atol=1e-6)
 
 
+class TestWapExpiryRace:
+    """Concurrent publish_stage vs expire_snapshots vs rebasing appends
+    on one table: no staged fragment may be GC'd before publish/abort,
+    the stage lands exactly once, and the final manifest only references
+    files that exist. The stage is BACKDATED past any grace period —
+    the scenario no grace window covers (a stage published mid-expiry),
+    closed by expire's records-before-manifests liveness order."""
+
+    def _backdate(self, table_dir, seconds=7200):
+        import os
+        import time as _t
+
+        old = _t.time() - seconds
+        ddir = os.path.join(table_dir, "data")
+        for name in os.listdir(ddir):
+            os.utime(os.path.join(ddir, name), (old, old))
+
+    def test_publish_expire_append_race(self, tmp_table_dir):
+        import random
+        import threading
+        import time as _t
+
+        import ray
+
+        from fupi_ray.config import EngineConfig
+        from fupi_ray.fixtures import generate_rows
+        from fupi_ray.ops import expire_snapshots
+        from fupi_ray.ops import stage as wap
+        from fupi_ray.table import Table
+
+        cfg = EngineConfig(expire_keep_last=1, bloom_bits_per_key=None)
+        t = Table.create(tmp_table_dir, config=cfg)
+        t.commit_append(ray.data.from_arrow(generate_rows(0, 200)))
+        t.commit_append(ray.data.from_arrow(generate_rows(200, 100)))
+        stage_id = wap.stage_append(
+            t, ray.data.from_arrow(generate_rows(1000, 80))
+        )
+        staged_paths = {f.path for f in wap.staged_fragment_metas(t, stage_id)}
+        # everything so far is "old": staged fragments are older than
+        # the grace period, so only record/manifest liveness keeps them
+        self._backdate(tmp_table_dir)
+
+        publish_versions: list[int] = []
+        errors: list[BaseException] = []
+        lock = threading.Lock()
+
+        def publisher(i):
+            _t.sleep(random.uniform(0, 0.05))
+            try:
+                v = wap.publish_stage(t, stage_id)
+                with lock:
+                    publish_versions.append(v)
+            except FileNotFoundError:
+                pass  # a concurrent publisher already won and cleaned up
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+
+        def appender(i):
+            try:
+                t.commit_append(
+                    ray.data.from_arrow(generate_rows(2000 + i * 100, 50))
+                )
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+
+        def expirer(i):
+            try:
+                for _ in range(3):
+                    # grace 5s protects the in-flight appends (fresh
+                    # files); the backdated stage is NOT grace-protected
+                    expire_snapshots(t, gc_grace_seconds=5.0)
+                    _t.sleep(random.uniform(0, 0.02))
+            except BaseException as e:  # noqa: BLE001
+                with lock:
+                    errors.append(e)
+
+        threads = (
+            [threading.Thread(target=publisher, args=(i,)) for i in range(3)]
+            + [threading.Thread(target=appender, args=(i,)) for i in range(2)]
+            + [threading.Thread(target=expirer, args=(i,)) for i in range(2)]
+        )
+        random.shuffle(threads)
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+
+        assert not errors, errors
+        assert publish_versions, "no publisher succeeded"
+        # final state: every manifest-referenced file exists
+        import os
+
+        m = t.manifest()
+        for f in m.fragments:
+            assert os.path.exists(os.path.join(tmp_table_dir, f.path)), f.path
+        # the stage's fragments were never GC'd and landed exactly once
+        assert staged_paths <= {f.path for f in m.fragments}
+        rows = t.scan().take_all()
+        ids = [r["doc_id"] for r in rows]
+        assert len(ids) == len(set(ids)) == 200 + 100 + 80 + 2 * 50
+        staged_ids = {r["doc_id"] for r in generate_rows(1000, 80).to_pylist()}
+        assert staged_ids <= set(ids)
+        # the staging record is gone (consumed by the winning publish)
+        assert not os.path.exists(
+            os.path.join(tmp_table_dir, "manifest", "staged", f"{stage_id}.json")
+        )
+
+
 class TestFanout:
     def test_run_capped_matches_uncapped(self):
         import ray
