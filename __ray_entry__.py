@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_update": lake.q_lake_update,
         "lake_rollback": lake.q_lake_rollback,
         "lake_changelog": lake.q_lake_changelog,
+        "lake_cdc_apply": lake.q_lake_cdc_apply,
         "lake_wap": lake.q_lake_wap,
         "lake_timetravel": lake.q_lake_timetravel,
         "pack_tokens": lake.q_pack_tokens,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_update": lake.SQL_LAKE_UPDATE,
         "lake_rollback": lake.SQL_LAKE_ROLLBACK,
         "lake_changelog": lake.SQL_LAKE_CHANGELOG,
+        "lake_cdc_apply": lake.SQL_LAKE_CDC_APPLY,
         "lake_wap": lake.SQL_LAKE_WAP,
         "lake_timetravel": lake.SQL_LAKE_TIMETRAVEL,
         "pack_tokens": lake.SQL_PACK_TOKENS,

@@ -94,7 +94,16 @@ def gen_tokens_flat(ids: np.ndarray, n_tok: np.ndarray, seed: int = 42, salt: in
 
 
 def doc_ids(ids: np.ndarray) -> pa.Array:
-    return pa.array([f"doc-{int(i):012d}" for i in ids], type=pa.string())
+    # vectorized 'doc-' || lpad(id, 12, '0') — Arrow kernels end to
+    # end; this renders on every generated ingest batch
+    import pyarrow.compute as pc
+
+    digits = pc.utf8_lpad(
+        pc.cast(pa.array(np.asarray(ids, dtype=np.int64)), pa.string()),
+        width=12,
+        padding="0",
+    )
+    return pc.binary_join_element_wise("doc-", digits, "")
 
 
 def generate_rows(start: int, count: int, seed: int = 42, token_salt: int = 0) -> pa.Table:

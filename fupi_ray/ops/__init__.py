@@ -1,4 +1,4 @@
-from fupi_ray.ops.changelog import changelog
+from fupi_ray.ops.changelog import apply_changelog, changelog
 from fupi_ray.ops.compact import compact
 from fupi_ray.ops.cluster import cluster
 from fupi_ray.ops.evolve import add_column, drop_column
@@ -22,6 +22,7 @@ __all__ = [
     "publish_stage",
     "stage_append",
     "staged_scan",
+    "apply_changelog",
     "changelog",
     "compact",
     "cluster",

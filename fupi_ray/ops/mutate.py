@@ -218,6 +218,28 @@ def _run_mutation(
     operation: str,
     job_id: str | None,
 ) -> int:
+    parent, removed, added, props = _plan_mutation(
+        table, predicate, assignments, operation, job_id
+    )
+    if not removed and not added:
+        return parent
+    return table.commit_fragment_swap(
+        removed, added, operation=operation, expected_parent=parent, properties=props
+    )
+
+
+def _plan_mutation(
+    table: Table,
+    predicate: list[tuple],
+    assignments: dict[str, tuple] | None,
+    operation: str,
+    job_id: str | None,
+) -> tuple[int, set[str], list[FragmentMeta], dict]:
+    """Run the zone-map + bloom pruned COW rewrite WITHOUT committing.
+    Returns ``(parent, removed_paths, added_metas, properties)`` —
+    empty removed/added when nothing matched. Callers that combine the
+    swap with other fragment changes (``apply_changelog``) commit the
+    union atomically via ``commit_fragment_swap``."""
     if _fs.is_process_local(table.table_dir):
         raise ValueError(
             f"{operation} rewrites fragments from Ray worker processes; "
@@ -269,7 +291,7 @@ def _run_mutation(
 
     hit = [f for f in m.fragments if _fragment_hit(m, f, predicate, defaults)]
     if not hit:
-        return parent
+        return parent, set(), [], {}
 
     # declared doc_id type class, so the bloom probe hashes keys down
     # the same path the sidecar builder used for the column
@@ -299,16 +321,15 @@ def _run_mutation(
     )
     changed = [r for r in records if not r["metrics"].get("unchanged")]
     if not changed:
-        return parent
+        return parent, set(), [], {}
     removed = {r["input_fragments"][0] for r in changed}
     added = [fmeta for r in changed for fmeta in lineage.output_fragments(r)]
     rows_matched = sum(r["metrics"].get("rows_matched", 0) for r in changed)
-    return table.commit_fragment_swap(
+    return (
+        parent,
         removed,
         added,
-        operation=operation,
-        expected_parent=parent,
-        properties={
+        {
             "predicate": [list(p) for p in predicate],
             "rows_matched": int(rows_matched),
             "fragments_hit": len(hit),

@@ -319,6 +319,26 @@ def q_lake_rollback(sf_dir: str):
 SQL_LAKE_ROLLBACK = SQL_LAKE_COMPACT
 
 
+def _cdc_mutation_source(batch: pa.Table) -> pa.Table:
+    """The canonical mutation batch used by the CDC queries: every
+    doc_id % 4 == 0 row becomes an update ('patched', n+5), every
+    doc_id % 6 == 0 row spawns an insert at id+2,000,000 ('added',
+    n+11)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n = batch["n_chars"].to_numpy(zero_copy_only=False)
+    upd_m = ids % 4 == 0
+    ins_m = ids % 6 == 0
+    upd = sequences_batch(
+        ids[upd_m], n[upd_m] + 5, ["patched"] * int(upd_m.sum()), salt=105
+    )
+    ins = sequences_batch(
+        ids[ins_m] + 2_000_000, n[ins_m] + 11, ["added"] * int(ins_m.sum()), salt=106
+    )
+    both = pa.concat_tables([upd, ins])
+    order = pc.cast(pc.utf8_slice_codeunits(both["doc_id"], 4, 99), pa.int64())
+    return both.append_column("_src_order", order)
+
+
 def q_lake_changelog(sf_dir: str):
     """CDC as a query: MERGE a batch of updates + inserts, then read
     the netted changelog between the two versions — each update
@@ -329,23 +349,9 @@ def q_lake_changelog(sf_dir: str):
     docs = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
     )
-
-    def mk_source(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        n = batch["n_chars"].to_numpy(zero_copy_only=False)
-        upd_m = ids % 4 == 0
-        ins_m = ids % 6 == 0
-        upd = sequences_batch(
-            ids[upd_m], n[upd_m] + 5, ["patched"] * int(upd_m.sum()), salt=105
-        )
-        ins = sequences_batch(
-            ids[ins_m] + 2_000_000, n[ins_m] + 11, ["added"] * int(ins_m.sum()), salt=106
-        )
-        both = pa.concat_tables([upd, ins])
-        order = pc.cast(pc.utf8_slice_codeunits(both["doc_id"], 4, 99), pa.int64())
-        return both.append_column("_src_order", order)
-
-    merge_into(t, docs.map_batches(mk_source, batch_format="pyarrow"), strategy="broadcast")
+    merge_into(
+        t, docs.map_batches(_cdc_mutation_source, batch_format="pyarrow"), strategy="broadcast"
+    )
 
     def proj(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -374,6 +380,60 @@ old AS (
 SELECT doc_id, source, n_tok, 'insert' AS change_type FROM upd
 UNION ALL SELECT doc_id, source, n_tok, 'insert' FROM ins
 UNION ALL SELECT doc_id, source, n_tok, 'delete' FROM old
+"""
+
+
+def q_lake_cdc_apply(sf_dir: str):
+    """CDC consumer as a query: mutate a SOURCE table (MERGE updates +
+    inserts, then a predicate DELETE), replicate the whole window onto
+    an independently-laid-out REPLICA with one atomic
+    ``apply_changelog`` commit, and return the replica's canonical
+    scan. Oracle = the source's final state in SQL, so the driver
+    verifies producer → consumer end-to-end. Exactly-once is asserted
+    inline (re-applying the window returns the same version)."""
+    from fupi_ray.ops import apply_changelog
+
+    src = _build(sf_dir, "cdcsrc")
+    v1 = src.latest_version()
+    # replica: identical v1 content (deterministic generator), but its
+    # own physical layout — replication must be layout-independent
+    dst = Table.create(_tmp_table(sf_dir, "cdcdst"), config=LAKE_CFG)
+    dst.commit_append(sequences_from_documents(sf_dir))
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    merge_into(
+        src, docs.map_batches(_cdc_mutation_source, batch_format="pyarrow"), strategy="broadcast"
+    )
+    delete_where(src, [("n_tok", "<", 120)])
+
+    v = apply_changelog(src, dst, from_version=v1)
+    again = apply_changelog(src, dst, from_version=v1)
+    if again != v:
+        raise AssertionError(
+            f"re-applying the same CDC window committed v{again} != v{v}"
+        )
+    if dst.scan(v).count() != src.scan().count():
+        raise AssertionError("replica row count diverged from source after apply")
+    return canonical_scan(dst)
+
+
+SQL_LAKE_CDC_APPLY = f"""
+WITH upd AS (
+  SELECT {_DOC_SQL} AS doc_id, 'patched' AS source, CAST(n_chars + 5 AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 4 = 0),
+ins AS (
+  SELECT 'doc-' || lpad(CAST(doc_id + 2000000 AS VARCHAR), 12, '0') AS doc_id,
+         'added' AS source, CAST(n_chars + 11 AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id % 6 = 0),
+base AS (
+  SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok FROM documents),
+merged AS (
+  SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+  UNION ALL SELECT b.* FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM upd))
+SELECT doc_id, source, n_tok FROM merged WHERE n_tok >= 120
 """
 
 

@@ -255,3 +255,56 @@ def test_concurrent_appends_all_succeed(tmp_path):
         versions = list(ex.map(app, range(4)))
     assert sorted(versions) == list(range(v0 + 1, v0 + 5))
     assert t.scan().count() == 100 + 4 * 40
+
+
+# -- apply_changelog (CDC consumer) -------------------------------------------
+
+
+class TestApplyChangelog:
+    def _replica(self, tmp_path):
+        # identical logical content to `tbl` (same generator seed) but
+        # a different physical layout — replication must not depend on
+        # fragment boundaries
+        return write_fragmented_table(
+            str(tmp_path / "replica"), 2_000, rows_per_fragment=700, config=CFG
+        )
+
+    def test_replicates_window_with_token_equality(self, tmp_path, tbl):
+        from fupi_ray.ops import apply_changelog
+
+        dst = self._replica(tmp_path)
+        v1 = tbl.latest_version()
+        # a window with all three change kinds
+        update_where(tbl, [("n_tok", "<", 40)], {"source": "tiny"})
+        delete_where(tbl, [("n_tok", ">", 4000)])
+        tbl.commit_append(sequences_dataset(100, start=10_000))
+
+        v = apply_changelog(tbl, dst, from_version=v1)
+        assert full_df(dst, v).equals(full_df(tbl))  # tokens included
+        # atomic: the whole window landed as ONE dst commit
+        assert dst.manifest(v).operation == "cdc_apply"
+        assert dst.manifest(v).parent_version == v1
+        # exactly-once: re-applying the same window is a no-op
+        assert apply_changelog(tbl, dst, from_version=v1) == v
+        assert dst.latest_version() == v
+
+    def test_insert_only_window(self, tmp_path, tbl):
+        from fupi_ray.ops import apply_changelog
+
+        dst = self._replica(tmp_path)
+        v1 = tbl.latest_version()
+        tbl.commit_append(sequences_dataset(50, start=50_000))
+        v = apply_changelog(tbl, dst, from_version=v1)
+        assert full_df(dst, v).equals(full_df(tbl))
+        assert dst.manifest(v).properties["cdc_inserts"] == 50
+
+    def test_empty_window_records_watermark(self, tmp_path, tbl):
+        from fupi_ray.ops import apply_changelog
+
+        dst = self._replica(tmp_path)
+        v1 = tbl.latest_version()
+        before = full_df(dst)
+        v = apply_changelog(tbl, dst, from_version=v1, to_version=v1)
+        assert full_df(dst, v).equals(before)
+        # the watermark commit still makes the retry a no-op
+        assert apply_changelog(tbl, dst, from_version=v1, to_version=v1) == v
