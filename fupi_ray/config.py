@@ -79,15 +79,17 @@ class EngineConfig:
     # zone maps can't provide on an UNCLUSTERED table. None disables.
     bloom_bits_per_key: int | None = 10
 
-    # Pure-copy fan-out cap, PER NODE: compaction, COW fragment
-    # rewrites (merge/delete/update) and the cluster sort are
-    # read-decompress-filter-encode copies that saturate a node's
-    # memory bus long before its cores — past saturation, more
-    # concurrent copiers anti-scale (measured: merge rewrite 40.3s@8
-    # -> 75.4s@32 workers on one socket). ops/_fanout.py multiplies
-    # this by alive-node count, so a real cluster is never throttled
-    # below its hardware.
-    memcpy_max_concurrency: int = 8
+    # Pure-copy fan-out cap: compaction, COW fragment rewrites
+    # (merge/delete/update) and the cluster sort are
+    # read-decompress-filter-encode copies that can saturate the
+    # memory bus before the cores — past saturation, more concurrent
+    # copiers anti-scale (measured on a contended socket: merge
+    # rewrite 40.3s@8 -> 75.4s@32 workers). "auto" probes the actual
+    # bus once per process (ops/_fanout.measured_copy_cap) and stops
+    # adding copiers at the MEASURED saturation point — a quiet wide
+    # bus runs uncapped, a narrow one throttles. An explicit int is a
+    # fixed per-node cap × alive nodes.
+    memcpy_max_concurrency: int | str = "auto"
 
     # Parquet row-group size inside fragments — the unit of IN-fragment
     # predicate pruning: scan pushes the predicate to the Parquet

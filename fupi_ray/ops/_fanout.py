@@ -26,9 +26,83 @@ from __future__ import annotations
 import ray
 
 
-def copy_concurrency_cap(per_node_cap: int) -> int:
-    """Cluster-wide cap on concurrent pure-copy tasks: the configured
+_MEASURED_CAP: int | None = None
+_PROBE_FLOOR = 8
+
+
+@ray.remote(num_cpus=1)
+def _copy_probe_task(mb: int, loops: int) -> float:
+    import time
+
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    b = a.copy()  # both buffers faulted BEFORE timing (see below)
+    t0 = time.perf_counter()
+    for _ in range(loops):
+        np.copyto(b, a)
+    return (time.perf_counter() - t0) / max(loops, 1)
+
+
+def measured_copy_cap(floor: int = _PROBE_FLOOR, probe_mb: int = 16) -> int:
+    """One-time memory-bus saturation probe: run waves of memcpy tasks
+    at doubling concurrency and keep the last level whose AGGREGATE
+    copy throughput still improved ≥20% — the measured saturation
+    point, not a guessed constant. A quiet 32-CPU bus typically
+    sustains all 32 copiers (cap = cpus, no throttle); a contended or
+    narrow bus stops the ramp early.
+
+    Measurement hygiene (both effects measured on this host): (1) a
+    worker's FIRST large page-fault burst can stall seconds (THP
+    defrag / lazy zeroing), so every worker faults its buffers in an
+    untimed warm-up wave; (2) wall-clock includes scheduling noise, so
+    throughput is computed from per-task inner copy times. Buffers are
+    small (2×16 MB per worker) but the fleet's combined working set
+    (~1 GB at 32 workers) far exceeds L3 — the waves hit DRAM. Cached
+    per driver process. On multi-node clusters the probe tasks spread
+    across nodes, so the measured value already sums per-node buses —
+    it is used as the CLUSTER-wide cap directly."""
+    global _MEASURED_CAP
+    if _MEASURED_CAP is not None:
+        return _MEASURED_CAP
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", floor))
+    except Exception:
+        return max(1, floor)
+    if cpus <= floor:
+        _MEASURED_CAP = max(1, cpus)
+        return _MEASURED_CAP
+    ray.get([_copy_probe_task.remote(probe_mb, 1) for _ in range(cpus)])
+    levels, c = [], max(2, floor // 2)
+    while c < cpus:
+        levels.append(c)
+        c *= 2
+    levels.append(cpus)
+    best_c, prev_bw = levels[0], 0.0
+    for c in levels:
+        # best-of-3 waves: transient host contention only ever LOWERS
+        # observed throughput, so the max is the closest to capacity
+        bw = 0.0
+        for _ in range(3):
+            dts = ray.get([_copy_probe_task.remote(probe_mb, 6) for _ in range(c)])
+            bw = max(bw, c / max(sum(dts) / len(dts), 1e-9))
+        # stop only where doubling copiers stops paying: a plateau or a
+        # decline (the r3 pathology was an outright DROP — 40s@8 vs
+        # 75s@32 merge). Any real gain still shortens wall-clock.
+        if prev_bw and bw < prev_bw * 1.05:
+            break
+        best_c, prev_bw = c, bw
+    _MEASURED_CAP = max(floor, best_c)
+    return _MEASURED_CAP
+
+
+def copy_concurrency_cap(per_node_cap: int | str) -> int:
+    """Cluster-wide cap on concurrent pure-copy tasks. ``"auto"`` (the
+    default config) probes the actual bus once per process and returns
+    the measured saturation concurrency; an explicit int is the legacy
     per-node value × alive nodes, clamped to total CPUs."""
+    if per_node_cap == "auto":
+        return measured_copy_cap()
     try:
         nodes = sum(1 for n in ray.nodes() if n.get("Alive"))
         cpus = int(ray.cluster_resources().get("CPU", per_node_cap))

@@ -353,3 +353,13 @@ class TestFanout:
         cap = _fanout.copy_concurrency_cap(8)
         # single node in tests: cap is 8 clamped to cluster CPUs (4)
         assert 1 <= cap <= 8
+
+    def test_auto_cap_probes_and_caches(self):
+        from fupi_ray.ops import _fanout
+
+        _fanout._MEASURED_CAP = None
+        cap = _fanout.copy_concurrency_cap("auto")
+        # test session has 4 CPUs (<= floor): probe short-circuits
+        assert 1 <= cap <= 8
+        assert _fanout._MEASURED_CAP == cap
+        assert _fanout.copy_concurrency_cap("auto") == cap
