@@ -12,6 +12,8 @@ jobs launched as Ray jobs on a fixed-size cluster).
     ray job submit -- python -m fupi_ray.cli rollback --table /data/seq --to-version 41
     ray job submit -- python -m fupi_ray.cli changelog --table /data/seq \
         --from-version 41 --output /data/seq_cdc
+    ray job submit -- python -m fupi_ray.cli replicate --table /data/seq \
+        --replica /data/seq_copy --from-version 41
     ray job submit -- python -m fupi_ray.cli stage --table /data/seq --source /data/batch7
     ray job submit -- python -m fupi_ray.cli publish --table /data/seq --stage-id wap-ab12
 
@@ -35,7 +37,7 @@ def main(argv=None) -> int:
         choices=[
             "ingest", "overwrite", "compact", "cluster", "merge", "expire",
             "scan", "add-column", "drop-column",
-            "delete", "update", "rollback", "changelog",
+            "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
             "export", "pack",
         ],
@@ -89,6 +91,7 @@ def main(argv=None) -> int:
     p.add_argument("--to-version", type=int, help="rollback target / changelog end version")
     p.add_argument("--from-version", type=int, help="changelog start version")
     p.add_argument("--raw", action="store_true", help="changelog: skip CDC netting")
+    p.add_argument("--replica", help="replicate: target table dir (the downstream copy)")
     p.add_argument("--output", help="changelog: write result parquet here")
     args = p.parse_args(argv)
 
@@ -273,6 +276,20 @@ def main(argv=None) -> int:
             out["fragments_released"] = abort_stage(t, args.stage_id)
         else:
             out["stages"] = list_stages(t)
+    elif args.op == "replicate":
+        from fupi_ray.ops import apply_changelog
+
+        if args.from_version is None or not args.replica:
+            p.error("replicate requires --from-version and --replica")
+        t = Table.open(args.table)
+        dst = Table.open(args.replica)
+        out["version"] = apply_changelog(
+            t, dst, args.from_version, args.to_version, job_id=args.job_id
+        )
+        props = dst.manifest(out["version"]).properties
+        out["cdc_keys"] = props.get("cdc_keys")
+        out["cdc_inserts"] = props.get("cdc_inserts")
+        out["replica"] = args.replica
     elif args.op == "export":
         from fupi_ray.ops import export_training_shards
 

@@ -95,3 +95,23 @@ def test_cli_mutation_cycle(tmp_path):
 
     r = run_cli("scan", "--table", table, "--where", "n_tok:<=:50")
     assert 0 < r["rows"] < 2000
+
+
+def test_cli_replicate(tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    run_cli("ingest", "--table", src, "--rows", "1500", "--rows-per-fragment", "500")
+    run_cli("ingest", "--table", dst, "--rows", "1500", "--rows-per-fragment", "300")
+
+    run_cli("delete", "--table", src, "--where", "n_tok:between:100..300")
+    r = run_cli("replicate", "--table", src, "--replica", dst, "--from-version", "1")
+    assert r["cdc_keys"] > 0 and r["cdc_inserts"] == 0
+    v = r["version"]
+
+    s = run_cli("scan", "--table", src)
+    d = run_cli("scan", "--table", dst)
+    assert s["rows"] == d["rows"]
+
+    # exactly-once: re-running the job returns the same version
+    r = run_cli("replicate", "--table", src, "--replica", dst, "--from-version", "1")
+    assert r["version"] == v
