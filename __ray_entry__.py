@@ -39,7 +39,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_evolve": lake.q_lake_evolve,
         "lake_expire": lake.q_lake_expire,
         "lake_delete": lake.q_lake_delete,
+        "lake_delete_dv": lake.q_lake_delete_dv,
         "lake_update": lake.q_lake_update,
+        "lake_update_dv": lake.q_lake_update_dv,
         "lake_rollback": lake.q_lake_rollback,
         "lake_changelog": lake.q_lake_changelog,
         "lake_cdc_apply": lake.q_lake_cdc_apply,
@@ -164,7 +166,9 @@ def oracle_sql() -> dict[str, str]:
         "lake_evolve": lake.SQL_LAKE_EVOLVE,
         "lake_expire": lake.SQL_LAKE_EXPIRE,
         "lake_delete": lake.SQL_LAKE_DELETE,
+        "lake_delete_dv": lake.SQL_LAKE_DELETE_DV,
         "lake_update": lake.SQL_LAKE_UPDATE,
+        "lake_update_dv": lake.SQL_LAKE_UPDATE_DV,
         "lake_rollback": lake.SQL_LAKE_ROLLBACK,
         "lake_changelog": lake.SQL_LAKE_CHANGELOG,
         "lake_cdc_apply": lake.SQL_LAKE_CDC_APPLY,

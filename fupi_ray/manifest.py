@@ -53,9 +53,23 @@ class FragmentMeta:
     # resurrect the stale physical values from pre-drop fragments.
     # None for metas recorded before this field (name-based fallback).
     col_ids: dict[str, int] | None = None
+    # deletion vector (merge-on-read DELETE): sidecar of sorted row
+    # positions logically deleted from this file. ``rows`` stays the
+    # PHYSICAL file row count; readers drop the positions, so logical
+    # rows = ``live_rows``. None = no deletes. Zone maps / blooms stay
+    # conservative (they may still cover deleted rows).
+    dv_path: str | None = None
+    dv_rows: int = 0
+    # sum of n_tok over DELETED rows (keeps total_tokens exact without
+    # a rewrite); 0 when no DV or the file has no n_tok column
+    dv_n_tok: int = 0
 
     def to_dict(self) -> dict:
-        return asdict(self)
+        d = asdict(self)
+        if self.dv_path is None:
+            # keep pre-DV manifests byte-identical (and small)
+            d.pop("dv_path"), d.pop("dv_rows"), d.pop("dv_n_tok")
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "FragmentMeta":
@@ -67,7 +81,18 @@ class FragmentMeta:
             zone_map=d.get("zone_map", {}),
             cols=d.get("cols"),
             col_ids=d.get("col_ids"),
+            dv_path=d.get("dv_path"),
+            dv_rows=int(d.get("dv_rows", 0)),
+            dv_n_tok=int(d.get("dv_n_tok", 0)),
         )
+
+    @property
+    def live_rows(self) -> int:
+        return self.rows - self.dv_rows
+
+    @property
+    def live_n_tok(self) -> int:
+        return self.sum_n_tok - self.dv_n_tok
 
     def has_column(self, name: str, manifest_ids: dict[str, int]) -> bool:
         """Does this fragment physically carry the CURRENT incarnation
@@ -111,7 +136,8 @@ class Manifest:
 
     @property
     def total_rows(self) -> int:
-        return sum(f.rows for f in self.fragments)
+        # logical rows: physical minus deletion-vector rows
+        return sum(f.live_rows for f in self.fragments)
 
     @property
     def total_bytes(self) -> int:
@@ -119,7 +145,7 @@ class Manifest:
 
     @property
     def total_tokens(self) -> int:
-        return sum(f.sum_n_tok for f in self.fragments)
+        return sum(f.live_n_tok for f in self.fragments)
 
     def to_json(self) -> str:
         d = {

@@ -72,10 +72,14 @@ def changelog(
     }
     shared = [c for c in out_cols if c in from_cols]
 
-    from_paths = {f.path for f in from_m.fragments}
-    to_paths = {f.path for f in to_m.fragments}
-    added = to_paths - from_paths
-    removed = from_paths - to_paths
+    # fragment identity includes the deletion vector: a DV-only delete
+    # keeps the Parquet path but changes the fragment's LOGICAL rows,
+    # so the (path, dv) pair lands on both sides of the diff and
+    # netting cancels the surviving rows, leaving the deleted ones
+    from_keys = {(f.path, f.dv_path) for f in from_m.fragments}
+    to_keys = {(f.path, f.dv_path) for f in to_m.fragments}
+    added = {p for p, _ in to_keys - from_keys}
+    removed = {p for p, _ in from_keys - to_keys}
 
     def tag(label: str):
         def fn(batch: pa.Table) -> pa.Table:

@@ -152,7 +152,7 @@ def _plan_groups(fragments, group_bytes: int | None):
 
 
 def _sort_and_write(
-    table: Table, paths: list[str], enc_ref, curve: str, prefix: str,
+    table: Table, group: list, enc_ref, curve: str, prefix: str,
     schema_info: tuple | None = None, cpu_limit: int | None = None,
 ) -> list:
     """One bounded cluster job: read → key (actor pool) → sort → write
@@ -166,8 +166,9 @@ def _sort_and_write(
     from fupi_ray.state import fs as _fs
 
     cfg = table.config
-    total_bytes = sum(_fs.size(p) for p in paths)
-    total_rows = sum(_fs.parquet_file(p).metadata.num_rows for p in paths)
+    # manifest stats, no footer reads; live_rows excludes DV'd rows
+    total_bytes = sum(f.bytes for f in group)
+    total_rows = sum(f.live_rows for f in group)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     # parallelism floor is useless once blocks drop under ~8 MiB — the
     # per-partition sort/exchange overhead then outweighs the extra
@@ -181,15 +182,13 @@ def _sort_and_write(
     # ImportError when aiohttp is absent (failed imports aren't cached,
     # so every thread retries the import simultaneously)
     with _READ_LOCK:
-        if _fs.is_uri(table.table_dir):
-            filesystem, _ = _fs.arrow_fs(table.table_dir)
-            ds = ray.data.read_parquet(
-                [_fs.get_fs(p)[1] for p in paths],
-                filesystem=filesystem,
-                override_num_blocks=int(nb),
-            )
-        else:
-            ds = ray.data.read_parquet(paths, override_num_blocks=int(nb))
+        from fupi_ray.ops import dv as _dvmod
+
+        # DV-aware: deleted rows never enter the sort; their fragments
+        # come out rewritten (clustering materializes deletion vectors)
+        ds = _dvmod.fragments_dataset(
+            table.table_dir, group, override_num_blocks=int(nb)
+        )
     if cpu_limit is not None:
         ds = _fanout.limit_dataset_cpu(ds, cpu_limit)
     if schema_info is not None:
@@ -304,14 +303,18 @@ def cluster(
 
     def run_group(gi: int, group) -> list:
         partition = f"group-{gi:05d}"
-        inputs = [f.path for f in group]
+        # input identity includes the DV: the same file with a newer
+        # deletion vector is a DIFFERENT logical input — a stale record
+        # would resurrect deleted rows on resume
+        inputs = [
+            f.path + (f"@{f.dv_path}" if f.dv_path else "") for f in group
+        ]
         rec = lineage.read_record(table.table_dir, job_id, partition)
         # reuse only when the record covers the SAME inputs — after an
         # intervening commit, group index gi can map to different files
         if rec is not None and rec.get("input_fragments") == inputs:
             return lineage.output_fragments(rec)
         t0 = time.perf_counter()
-        paths = [_lfs.join(table.table_dir, f.path) for f in group]
         # normalize only when the group's files disagree with the
         # declared schema (zero overhead on the homogeneous fast path)
         schema_info = None
@@ -320,7 +323,7 @@ def cluster(
         ):
             schema_info = (m.schema_names, m.schema_types, m.column_defaults)
         out = _sort_and_write(
-            table, paths, enc_ref, curve, f"cl-{job_id}-g{gi:04d}", schema_info,
+            table, group, enc_ref, curve, f"cl-{job_id}-g{gi:04d}", schema_info,
             cpu_limit=group_cpu_limit,
         )
         lineage.write_record(

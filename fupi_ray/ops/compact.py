@@ -63,8 +63,12 @@ def plan_compaction(
     output keeps key locality (tight zone maps survive compaction),
     then greedily packed under the byte budget with a row clamp.
     """
-    big = [f for f in fragments if f.bytes >= min_fill * target_bytes]
-    small = [f for f in fragments if f.bytes < min_fill * target_bytes]
+    # a fragment carrying a deletion vector is ALWAYS compactable —
+    # repacking drops its masked rows and clears the DV (merge-on-read
+    # deletes are materialized here, bounding the scan-side mask cost
+    # by the maintenance cadence)
+    big = [f for f in fragments if f.bytes >= min_fill * target_bytes and not f.dv_rows]
+    small = [f for f in fragments if f.bytes < min_fill * target_bytes or f.dv_rows]
     small.sort(key=lambda f: (f.zone_map.get("doc_id", {}).get("min") or "", f.path))
 
     packs: list[list[FragmentMeta]] = []
@@ -79,9 +83,10 @@ def plan_compaction(
         cur_rows += f.rows
     if cur:
         packs.append(cur)
-    # a pack of one gains nothing — leave the lone fragment in place
-    untouched = big + [p[0] for p in packs if len(p) == 1]
-    packs = [p for p in packs if len(p) > 1]
+    # a pack of one gains nothing — leave the lone fragment in place,
+    # UNLESS it has a deletion vector to materialize
+    untouched = big + [p[0] for p in packs if len(p) == 1 and not p[0].dv_rows]
+    packs = [p for p in packs if len(p) > 1 or p[0].dv_rows]
     return CompactionPlan(packs=packs, untouched=untouched)
 
 
@@ -95,22 +100,37 @@ def _repack(
     schema_types: list[str] | None = None,
     column_defaults: dict | None = None,
     bloom_bits: int | None = None,
+    input_dv_rels: list | None = None,
 ) -> dict:
     """Stream-merge one pack of small fragments into one fragment.
 
     Streams row groups through a ParquetWriter — peak memory is one
     row group, not the whole pack, so 256 MiB packs are safe in a
-    1-CPU worker. Idempotent: writes to a temp file then renames to a
-    job-deterministic name; lineage record written only after rename.
+    1-CPU worker. Deletion vectors are MATERIALIZED: masked rows are
+    dropped per row group (positions sliced by a running offset) and
+    the output carries no DV. Idempotent: writes to a temp file then
+    renames to a job-deterministic name; lineage record written only
+    after rename.
     """
     partition = f"pack-{pack_idx:05d}"
+    # DV identity of the pack; a pack with NO deletion vectors
+    # normalizes to "" so records written before the DV feature (or by
+    # callers that omit the argument) stay reusable
+    dv_ident = (
+        ",".join(d or "" for d in input_dv_rels)
+        if input_dv_rels and any(input_dv_rels)
+        else ""
+    )
     existing = lineage.read_record(table_dir, job_id, partition)
     if existing is not None:
         # a record is only reusable if it was computed over the SAME
         # inputs: after an intervening commit, pack index i can map to
-        # a different input set — reusing the stale outputs would
-        # silently drop/duplicate rows
-        if existing.get("input_fragments") == input_rel_paths:
+        # a different input set (or the same file to a NEWER deletion
+        # vector) — reusing the stale outputs would silently
+        # drop/duplicate rows
+        if existing.get("input_fragments") == input_rel_paths and (
+            existing.get("metrics", {}).get("input_dvs", "") == dv_ident
+        ):
             return existing
 
     rel_out = f"data/cp-{job_id}-{pack_idx:05d}.parquet"
@@ -170,10 +190,29 @@ def _repack(
             writer.write_table(tbl, row_group_size=row_group_rows)
             buf, buf_rows = [], 0
 
-        for rel in input_rel_paths:
+        import numpy as _np
+
+        dvs = input_dv_rels or [None] * len(input_rel_paths)
+        for rel, dv_rel in zip(input_rel_paths, dvs):
             pf = _fs.parquet_file(_fs.join(table_dir, rel))
+            pos = None
+            if dv_rel:
+                from fupi_ray.ops import dv as _dvmod
+
+                pos = _dvmod.read_dv(table_dir, dv_rel)
+            rg_offset = 0
             for rg in range(pf.metadata.num_row_groups):
                 tbl = pf.read_row_group(rg)
+                phys_rows = tbl.num_rows
+                if pos is not None and len(pos):
+                    plo = _np.searchsorted(pos, rg_offset)
+                    phi = _np.searchsorted(pos, rg_offset + phys_rows)
+                    local = (pos[plo:phi] - rg_offset).astype(_np.int64)
+                    if len(local):
+                        keep = _np.ones(phys_rows, dtype=bool)
+                        keep[local] = False
+                        tbl = tbl.filter(pa.array(keep))
+                rg_offset += phys_rows
                 if declared is not None:
                     tbl = normalize_batch(tbl, declared, fill, drop_extra=True)
                 rows += tbl.num_rows
@@ -224,7 +263,11 @@ def _repack(
         partition,
         input_fragments=input_rel_paths,
         output_fragments=[meta],
-        metrics={"seconds": time.perf_counter() - t0, "rows": rows},
+        metrics={
+            "seconds": time.perf_counter() - t0,
+            "rows": rows,
+            "input_dvs": dv_ident,
+        },
     )
     return lineage.read_record(table_dir, job_id, partition)
 
@@ -255,11 +298,12 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
             job_id,
             i,
             [f.path for f in p],
-            32 * 1024,
+            cfg.row_group_rows,
             m.schema_names,
             m.schema_types,
             m.column_defaults,
             cfg.bloom_bits_per_key,
+            [f.dv_path for f in p],
         )
         for i, p in enumerate(plan.packs)
     ]

@@ -101,6 +101,11 @@ def expire_snapshots(
     # a stage older than the grace window, published mid-expiry, would
     # be invisible to both snapshots and its committed fragments GC'd.
     live_paths: set[str] = set()
+    # deletion-vector sidecars are content-immutable per DV version:
+    # one is live exactly while some surviving manifest / staging /
+    # lineage record references it (an older snapshot keeps its older
+    # DV; a superseded DV with no referents is garbage)
+    live_dvs: set[str] = set()
     # fragments of staged (write-audit-publish) commits are live while
     # their staging record exists: an auditor may still be scanning
     # them, and publish must find them intact
@@ -109,6 +114,8 @@ def expire_snapshots(
     for rec in _stage.list_stages(table):
         for d in rec.get("fragments", []):
             live_paths.add(d.get("path"))
+            if d.get("dv_path"):
+                live_dvs.add(d["dv_path"])
     # outputs recorded by lineage (an in-flight or crashed job awaiting
     # --job-id resume) are live too: deleting them would make a later
     # resume commit a manifest pointing at vanished files
@@ -120,9 +127,16 @@ def expire_snapshots(
         for rec in recs.values():
             for frag in rec.get("output_fragments", []):
                 live_paths.add(frag.get("path"))
+                if frag.get("dv_path"):
+                    live_dvs.add(frag["dv_path"])
+            if rec.get("metrics", {}).get("dv_path"):
+                # a DV-mutation task's sidecar awaiting commit/resume
+                live_dvs.add(rec["metrics"]["dv_path"])
     for v in table.versions():
         for f in table.manifest(v).fragments:
             live_paths.add(f.path)
+            if f.dv_path:
+                live_dvs.add(f.dv_path)
     removed_files = 0
     freed = 0
     ddir = mf.data_dir(table.table_dir)
@@ -133,6 +147,10 @@ def expire_snapshots(
             # a bloom sidecar lives and dies with its fragment: keep it
             # exactly while data/<stem>.parquet is live
             if rel[: -len(".bloom")] in live_paths:
+                continue
+        elif ".dv-" in name and name.endswith(".bin"):
+            # deletion-vector sidecar: referenced-by-manifest liveness
+            if rel in live_dvs:
                 continue
         elif rel in live_paths or not name.endswith(".parquet"):
             continue

@@ -146,10 +146,13 @@ def _rewrite_fragment_task(
     keys_ref,
     bloom_bits: int | None = None,
     keys_digest: str | None = None,
+    dv_rel: str | None = None,
 ) -> dict:
     """Copy-on-write rewrite of one hit fragment: drop rows whose
-    doc_id is in the (broadcast, sorted) source key array. Idempotent +
-    lineage-recorded → a resumed job skips it."""
+    doc_id is in the (broadcast, sorted) source key array; an existing
+    deletion vector is applied first (and materialized away — the
+    output fragment carries no DV). Idempotent + lineage-recorded → a
+    resumed job skips it."""
     partition = f"frag-{frag_idx:05d}"
     existing = lineage.read_record(table_dir, job_id, partition)
     if existing is not None:
@@ -157,8 +160,10 @@ def _rewrite_fragment_task(
         # intervening commit can remap index i to a different file) AND
         # the SAME key set — a retried merge with a different source at
         # the same parent must not inherit the old run's rewrites
-        if existing.get("input_fragments") == [rel_path] and (
-            existing.get("metrics", {}).get("keys_digest") == keys_digest
+        if (
+            existing.get("input_fragments") == [rel_path]
+            and existing.get("metrics", {}).get("keys_digest") == keys_digest
+            and existing.get("metrics", {}).get("input_dv", "") == (dv_rel or "")
         ):
             return existing
 
@@ -191,10 +196,15 @@ def _rewrite_fragment_task(
                 "bloom_skip": True,
                 "rows_dropped": 0,
                 "keys_digest": keys_digest,
+                "input_dv": dv_rel or "",
             },
         )
         return lineage.read_record(table_dir, job_id, partition)
     tbl = _fs.read_parquet_table(abs_path)
+    if dv_rel:
+        from fupi_ray.ops import dv as _dv
+
+        tbl = _dv.apply_dv(tbl, _dv.read_dv(table_dir, dv_rel))
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     id_hashes = stable_hash(ids)
     lo = np.searchsorted(key_hashes, id_hashes, side="left")
@@ -239,6 +249,7 @@ def _rewrite_fragment_task(
             "rows_in": tbl.num_rows,
             "rows_dropped": int(matched.sum()),
             "keys_digest": keys_digest,
+            "input_dv": dv_rel or "",
         },
     )
     return lineage.read_record(table_dir, job_id, partition)
@@ -246,7 +257,7 @@ def _rewrite_fragment_task(
 
 def _merge_shuffle(
     table: Table,
-    hit_frag_paths: list[str],
+    hit_frags: list[FragmentMeta],
     deduped: ray.data.Dataset,
     parent: int,
     job_id: str,
@@ -257,15 +268,12 @@ def _merge_shuffle(
 ) -> list[FragmentMeta]:
     """Scale path: both sides tagged + bucketed by hash(doc_id); a
     source row wins over the target row of the same key inside each
-    bucket. One all-to-all exchange, vectorized resolution per bucket."""
-    paths = [_fs.join(table.table_dir, p) for p in hit_frag_paths]
-    if _fs.is_uri(table.table_dir):
-        filesystem, _ = _fs.arrow_fs(table.table_dir)
-        target = ray.data.read_parquet(
-            [_fs.get_fs(p)[1] for p in paths], filesystem=filesystem
-        )
-    else:
-        target = ray.data.read_parquet(paths)
+    bucket. One all-to-all exchange, vectorized resolution per bucket.
+    DV'd target fragments read through the masked per-fragment path
+    (ops/dv.py) so already-deleted rows never re-enter the resolve."""
+    from fupi_ray.ops import dv as _dvmod
+
+    target = _dvmod.fragments_dataset(table.table_dir, hit_frags)
     # project to the TABLE's schema (not the hardcoded canonical one):
     # a user table with extra columns round-trips them through MERGE;
     # fragments/sources predating an add-column are padded
@@ -443,7 +451,7 @@ def merge_into(
             [
                 (
                     table.table_dir, job_id, i, f.path, keys_ref,
-                    cfg.bloom_bits_per_key, keys_digest,
+                    cfg.bloom_bits_per_key, keys_digest, f.dv_path,
                 )
                 for i, f in enumerate(hit)
             ],
@@ -508,7 +516,7 @@ def merge_into(
             or not (f.zone_map["doc_id"]["max"] < lo or f.zone_map["doc_id"]["min"] > hi)
         ]
         hit_bytes = sum(f.bytes for f in hit) + src_bytes
-        hit_rows = sum(f.rows for f in hit) + n_src
+        hit_rows = sum(f.live_rows for f in hit) + n_src
         merged_rows_per_frag = max(
             1, int(hit_rows * min(cfg.target_fragment_bytes / max(hit_bytes, 1), 1.0))
         )
@@ -518,7 +526,7 @@ def merge_into(
         )
         new_frags = _merge_shuffle(
             table,
-            [f.path for f in hit],
+            hit,
             deduped,
             parent,
             job_id,

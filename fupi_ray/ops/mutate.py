@@ -74,6 +74,44 @@ def _pad_eval_table(tbl: pa.Table, pad_cols: list[tuple]) -> pa.Table:
     return tbl
 
 
+def _bloom_proves_no_match(
+    abs_path: str, predicate: list[tuple], doc_id_kind: str | None
+) -> bool:
+    """Bloom early-exit for point predicates: any doc_id ==/in conjunct
+    whose keys the fragment's sidecar proves absent makes the whole
+    conjunction unmatchable — the caller can skip the Parquet read
+    entirely (zone maps can't do this on an unclustered table). Keys
+    are hashed down the SAME stable_hash path the sidecar builder used
+    for the COLUMN (``doc_id_kind`` from the declared schema); a key
+    whose Python type doesn't match the column isn't probed — the
+    parquet read then raises the same Arrow type error a bloom-less
+    fragment would (never a silent skip). No false negatives: a real
+    match never skips."""
+    point_keys = [
+        (list(val) if op == "in" else [val])
+        for col, op, val in predicate
+        if col == "doc_id" and op in ("=", "==", "in")
+    ]
+    if not point_keys:
+        return False
+
+    def _key_hashes(ks: list):
+        arr = np.array(ks)
+        if doc_id_kind == "int" and arr.dtype.kind in ("i", "u"):
+            return stable_hash(arr)
+        if doc_id_kind == "string" and all(isinstance(k, str) for k in ks):
+            return stable_hash(arr.astype(object))
+        return None
+
+    blob = bloom.read_sidecar(abs_path)
+    if blob is None:
+        return False
+    return any(
+        h is not None and not bloom.may_contain_any(blob, h)
+        for h in (_key_hashes(ks) for ks in point_keys)
+    )
+
+
 @ray.remote(num_cpus=1)
 def _mutate_fragment_task(
     table_dir: str,
@@ -86,75 +124,55 @@ def _mutate_fragment_task(
     bloom_bits: int | None = None,
     mutation_digest: str | None = None,
     doc_id_kind: str | None = None,
+    dv_rel: str | None = None,
 ) -> dict:
     """COW rewrite of one hit fragment. ``assignments`` None = delete
     matching rows; else = replace assigned columns on matching rows
     (value spec ``("scalar", v, type_str)`` or ``("fn", callable,
     type_str)`` — the callable sees the padded row view and returns
-    per-row values). Idempotent via lineage (resume skips it) — a
-    record is reusable only when it covers the SAME input fragment AND
-    the SAME (predicate, assignments) digest: a first no-match run at
-    parent v leaves records under the default job_id, and a different
-    mutation at the same parent must not inherit them as silent no-ops."""
+    per-row values). An existing deletion vector is applied before the
+    predicate and materialized away by the rewrite. Idempotent via
+    lineage (resume skips it) — a record is reusable only when it
+    covers the SAME input fragment AND the SAME (predicate,
+    assignments) digest: a first no-match run at parent v leaves
+    records under the default job_id, and a different mutation at the
+    same parent must not inherit them as silent no-ops."""
     partition = f"frag-{frag_idx:05d}"
     existing = lineage.read_record(table_dir, job_id, partition)
     if (
         existing is not None
         and existing.get("input_fragments") == [rel_path]
         and existing.get("metrics", {}).get("mutation_digest") == mutation_digest
+        and existing.get("metrics", {}).get("input_dv", "") == (dv_rel or "")
     ):
         return existing
 
     t0 = time.perf_counter()
     abs_path = _fs.join(table_dir, rel_path)
 
-    # bloom early-exit for point predicates: any doc_id ==/in conjunct
-    # whose keys the fragment's sidecar proves absent makes the whole
-    # conjunction unmatchable — report "unchanged" without reading the
-    # Parquet (zone maps can't do this on an unclustered table).
-    point_keys = [
-        (list(val) if op == "in" else [val])
-        for col, op, val in predicate
-        if col == "doc_id" and op in ("=", "==", "in")
-    ]
-    def _key_hashes(ks: list):
-        # hash keys down the SAME stable_hash path the sidecar builder
-        # used for the COLUMN (``doc_id_kind`` from the declared
-        # schema): integer columns through the uint64 bit-mix, string
-        # columns through the object path. A key whose Python type
-        # doesn't match the column can't be hashed consistently —
-        # don't probe; the parquet read then raises the same Arrow
-        # type error a bloom-less fragment would (never a silent skip).
-        arr = np.array(ks)
-        if doc_id_kind == "int" and arr.dtype.kind in ("i", "u"):
-            return stable_hash(arr)
-        if doc_id_kind == "string" and all(isinstance(k, str) for k in ks):
-            return stable_hash(arr.astype(object))
-        return None
-
-    if point_keys:
-        blob = bloom.read_sidecar(abs_path)
-        hash_sets = [_key_hashes(ks) for ks in point_keys]
-        if blob is not None and any(
-            h is not None and not bloom.may_contain_any(blob, h) for h in hash_sets
-        ):
-            lineage.write_record(
-                table_dir,
-                job_id,
-                partition,
-                input_fragments=[rel_path],
-                output_fragments=[],
-                metrics={
-                    "seconds": round(time.perf_counter() - t0, 4),
-                    "rows_matched": 0,
-                    "unchanged": True,
-                    "bloom_skip": True,
-                    "mutation_digest": mutation_digest,
-                },
-            )
-            return lineage.read_record(table_dir, job_id, partition)
+    if _bloom_proves_no_match(abs_path, predicate, doc_id_kind):
+        lineage.write_record(
+            table_dir,
+            job_id,
+            partition,
+            input_fragments=[rel_path],
+            output_fragments=[],
+            metrics={
+                "seconds": round(time.perf_counter() - t0, 4),
+                "rows_matched": 0,
+                "unchanged": True,
+                "bloom_skip": True,
+                "mutation_digest": mutation_digest,
+                "input_dv": dv_rel or "",
+            },
+        )
+        return lineage.read_record(table_dir, job_id, partition)
 
     tbl = _fs.read_parquet_table(abs_path)
+    if dv_rel:
+        from fupi_ray.ops import dv as _dvmod
+
+        tbl = _dvmod.apply_dv(tbl, _dvmod.read_dv(table_dir, dv_rel))
     ev = _pad_eval_table(tbl, pad_cols)
     mask = mf.predicate_mask(ev, predicate)
     n_match = int(pc.sum(mask).as_py() or 0)
@@ -206,6 +224,7 @@ def _mutate_fragment_task(
             "rows_matched": n_match,
             "unchanged": unchanged,
             "mutation_digest": mutation_digest,
+            "input_dv": dv_rel or "",
         },
     )
     return lineage.read_record(table_dir, job_id, partition)
@@ -313,7 +332,7 @@ def _plan_mutation(
             (
                 table.table_dir, job_id, i, f.path, predicate, pad_cols,
                 assignments, table.config.bloom_bits_per_key, mutation_digest,
-                doc_id_kind,
+                doc_id_kind, f.dv_path,
             )
             for i, f in enumerate(hit)
         ],
@@ -343,10 +362,25 @@ def _plan_mutation(
     )
 
 
-def delete_where(table: Table, predicate: list[tuple], job_id: str | None = None) -> int:
+def delete_where(
+    table: Table,
+    predicate: list[tuple],
+    job_id: str | None = None,
+    mode: str = "cow",
+) -> int:
     """DELETE FROM table WHERE <conjunction>; returns the new version
-    (parent if nothing matched). Only fragments whose zone map can
-    contain a match are rewritten."""
+    (parent if nothing matched). ``mode="cow"`` (default) rewrites the
+    hit fragments without the matching rows — right when deletes are
+    wide. ``mode="dv"`` records the matching row positions in a
+    deletion-vector sidecar and leaves the Parquet untouched (merge-on
+    -read) — O(deleted rows) written instead of O(fragment bytes),
+    right for point/GDPR deletes at scale; compaction or clustering
+    later materializes the mask. Either way only fragments whose zone
+    map (and doc_id bloom) can contain a match are touched."""
+    if mode == "dv":
+        return _run_mutation_dv(table, predicate, None, "delete-dv", job_id)
+    if mode != "cow":
+        raise ValueError(f"unknown delete mode {mode!r} (cow | dv)")
     return _run_mutation(table, predicate, None, "delete", job_id)
 
 
@@ -355,6 +389,7 @@ def update_where(
     predicate: list[tuple],
     assignments: dict[str, Any],
     job_id: str | None = None,
+    mode: str = "cow",
 ) -> int:
     """UPDATE table SET <assignments> WHERE <conjunction>; returns the
     new version. Assignment values are scalars, or callables
@@ -376,7 +411,269 @@ def update_where(
         specs[col] = (kind, val, declared[col])
     if not specs:
         raise ValueError("update_where requires at least one assignment")
+    if mode == "dv":
+        # merge-on-read UPDATE = DV-delete the old rows + append the
+        # assigned rows as a new fragment; the callable sees only the
+        # MATCHED rows' padded view (it returns one value per matched
+        # row), unlike COW mode where it sees every row of a fragment
+        return _run_mutation_dv(table, predicate, specs, "update-dv", job_id)
+    if mode != "cow":
+        raise ValueError(f"unknown update mode {mode!r} (cow | dv)")
     return _run_mutation(table, predicate, specs, "update", job_id)
+
+
+# --- merge-on-read mutations (deletion vectors) -------------------------
+
+
+@ray.remote(num_cpus=1)
+def _dv_mutate_task(
+    table_dir: str,
+    job_id: str,
+    frag_idx: int,
+    rel_path: str,
+    dv_rel: str | None,
+    frag_cols: list[str] | None,
+    predicate: list[tuple],
+    pad_cols: list[tuple],
+    assignments: dict[str, tuple] | None,
+    bloom_bits: int | None,
+    mutation_digest: str | None,
+    doc_id_kind: str | None,
+) -> dict:
+    """Merge-on-read mutation of one hit fragment: record the matching
+    row POSITIONS in a new deletion-vector sidecar instead of
+    rewriting the Parquet. DELETE reads only the predicate columns
+    (plus n_tok for exact token accounting) — the write is O(deleted
+    positions), never O(fragment bytes). UPDATE additionally appends
+    the assigned rows as a new fragment (delete-old + insert-new, the
+    standard MOR update shape). Idempotent via lineage, keyed on the
+    (predicate, assignments) digest AND the input DV — the same file
+    under a newer deletion vector is a different logical input."""
+    from fupi_ray.ops import dv as _dvmod
+
+    partition = f"frag-{frag_idx:05d}"
+    existing = lineage.read_record(table_dir, job_id, partition)
+    if (
+        existing is not None
+        and existing.get("input_fragments") == [rel_path]
+        and existing.get("metrics", {}).get("mutation_digest") == mutation_digest
+        and existing.get("metrics", {}).get("input_dv", "") == (dv_rel or "")
+    ):
+        return existing
+
+    t0 = time.perf_counter()
+    abs_path = _fs.join(table_dir, rel_path)
+
+    def record(metrics: dict, outputs: list | None = None) -> dict:
+        metrics.update(
+            {
+                "seconds": round(time.perf_counter() - t0, 4),
+                "mutation_digest": mutation_digest,
+                "input_dv": dv_rel or "",
+            }
+        )
+        lineage.write_record(
+            table_dir,
+            job_id,
+            partition,
+            input_fragments=[rel_path],
+            output_fragments=outputs or [],
+            metrics=metrics,
+        )
+        return lineage.read_record(table_dir, job_id, partition)
+
+    if _bloom_proves_no_match(abs_path, predicate, doc_id_kind):
+        return record({"rows_matched": 0, "unchanged": True, "bloom_skip": True})
+
+    # DELETE reads just the predicate columns + n_tok; UPDATE needs the
+    # full rows (the matched subset becomes a new fragment)
+    cols = None
+    if assignments is None and frag_cols is not None:
+        need = {c for c, _, _ in predicate} | {"n_tok"}
+        cols = [c for c in frag_cols if c in need]
+        if not cols:
+            # every predicate column is evolution-padded: read one
+            # physical column so the row count (and positions) exist
+            cols = frag_cols[:1]
+    tbl = _fs.read_parquet_table(abs_path, columns=cols)
+    ev = _pad_eval_table(tbl, pad_cols)
+    mask = mf.predicate_mask(ev, predicate).to_numpy(zero_copy_only=False)
+    matched_pos = np.flatnonzero(mask).astype(np.uint64)
+    old_pos = (
+        _dvmod.read_dv(table_dir, dv_rel)
+        if dv_rel
+        else np.empty(0, dtype=np.uint64)
+    )
+    new_pos = np.setdiff1d(matched_pos, old_pos, assume_unique=True)
+    if len(new_pos) == 0:
+        return record({"rows_matched": 0, "unchanged": True})
+
+    merged = np.union1d(old_pos, new_pos)
+    # every physical row deleted (DELETE) or superseded (UPDATE): the
+    # old fragment has no live rows left — drop it instead of carrying
+    # an all-ones deletion vector
+    full_delete = len(merged) == tbl.num_rows
+    n_tok_delta = 0
+    if "n_tok" in tbl.column_names:
+        taken = tbl.column("n_tok").take(pa.array(new_pos.astype(np.int64)))
+        n_tok_delta = int(pc.sum(taken).as_py() or 0)
+
+    outputs: list[FragmentMeta] = []
+    if assignments is not None:
+        sub = ev.take(pa.array(new_pos.astype(np.int64)))
+        for col, (kind, spec, type_str) in assignments.items():
+            typ = mf.type_from_str(type_str)
+            if kind == "fn":
+                new_vals = spec(sub)
+                if not isinstance(new_vals, (pa.Array, pa.ChunkedArray)):
+                    new_vals = pa.array(new_vals)
+                new_vals = new_vals.cast(typ) if new_vals.type != typ else new_vals
+            else:
+                new_vals = pa.array([spec] * sub.num_rows, type=typ)
+            sub = sub.set_column(sub.column_names.index(col), col, new_vals)
+        rel_out = f"data/ud-{job_id}-{frag_idx:05d}.parquet"
+        abs_out = _fs.join(table_dir, rel_out)
+        _fs.write_parquet(sub, abs_out, row_group_size=32 * 1024)
+        if bloom_bits and "doc_id" in sub.column_names:
+            bloom.write_sidecar(abs_out, sub["doc_id"], bloom_bits)
+        outputs.append(fragment_meta_from_table(sub, abs_out, rel_out))
+
+    dv_out = None if full_delete else _dvmod.write_dv(table_dir, rel_path, merged)
+    return record(
+        {
+            "rows_matched": int(len(new_pos)),
+            "unchanged": False,
+            "dv_path": dv_out,
+            "dv_rows_total": int(len(merged)),
+            "dv_n_tok_delta": n_tok_delta,
+            "full_delete": bool(full_delete),
+        },
+        outputs,
+    )
+
+
+def _run_mutation_dv(
+    table: Table,
+    predicate: list[tuple],
+    assignments: dict[str, tuple] | None,
+    operation: str,
+    job_id: str | None,
+) -> int:
+    """Driver half of the merge-on-read mutation: same zone-map + bloom
+    pruning as the COW path, but hit fragments get a NEW deletion
+    vector (and, for UPDATE, a small insert fragment) instead of a
+    rewrite. The manifest swap replaces the hit fragments' metas with
+    DV-carrying copies — old snapshots keep pointing at the old (or
+    no) DV, so time travel and pinned readers are untouched."""
+    import dataclasses
+
+    if _fs.is_process_local(table.table_dir):
+        raise ValueError(
+            f"{operation} writes sidecars from Ray worker processes; "
+            "memory:// is process-local — use a shared protocol"
+        )
+    if not predicate:
+        raise ValueError(f"{operation} requires a predicate (refusing full-table match)")
+    parent = table.latest_version()
+    m = table.manifest(parent)
+    defaults = m.column_defaults
+
+    import hashlib as _hl
+    import json as _json
+    import uuid as _uuid
+
+    has_callable = any(kind == "fn" for kind, _, _ in (assignments or {}).values())
+    spec_ident = [
+        "dv",  # a COW run at the same parent must never share records
+        [list(p) for p in predicate],
+        sorted(
+            (k, kind, str(spec) if kind == "scalar" else getattr(spec, "__qualname__", "fn"), ts)
+            for k, (kind, spec, ts) in (assignments or {}).items()
+        ),
+    ]
+    if has_callable and job_id is None:
+        spec_ident.append(_uuid.uuid4().hex)
+    mutation_digest = _hl.md5(
+        _json.dumps(spec_ident, default=str).encode()
+    ).hexdigest()[:16]
+    job_id = job_id or f"{operation}-v{parent}-{mutation_digest[:8]}"
+
+    declared = {n: t for n, t in zip(m.schema_names, m.schema_types)}
+    for col, _, _ in predicate:
+        if declared and col not in declared:
+            raise ValueError(f"predicate column {col!r} is not in the table schema")
+    pad_cols = [
+        (c, declared[c], defaults.get(c))
+        for c in sorted({p[0] for p in predicate} | set(assignments or ()))
+        if c in declared
+    ]
+    hit = [f for f in m.fragments if _fragment_hit(m, f, predicate, defaults)]
+    if not hit:
+        return parent
+
+    _doc_t = declared.get("doc_id", "")
+    doc_id_kind = (
+        "int"
+        if _doc_t.startswith(("int", "uint"))
+        else ("string" if "string" in _doc_t else None)
+    )
+
+    t0 = time.perf_counter()
+    # no copy cap: these tasks read predicate columns and write tiny
+    # sidecars — they are not memory-bus-bound copies
+    records = ray.get(
+        [
+            _dv_mutate_task.remote(
+                table.table_dir, job_id, i, f.path, f.dv_path, f.cols,
+                predicate, pad_cols, assignments,
+                table.config.bloom_bits_per_key, mutation_digest, doc_id_kind,
+            )
+            for i, f in enumerate(hit)
+        ]
+    )
+    changed = [
+        (f, r) for f, r in zip(hit, records) if not r["metrics"].get("unchanged")
+    ]
+    if not changed:
+        return parent
+    removed: set[str] = set()
+    added: list[FragmentMeta] = []
+    for f, r in changed:
+        met = r["metrics"]
+        removed.add(f.path)
+        if not met.get("full_delete"):
+            added.append(
+                dataclasses.replace(
+                    f,
+                    dv_path=met["dv_path"],
+                    dv_rows=int(met["dv_rows_total"]),
+                    dv_n_tok=f.dv_n_tok + int(met["dv_n_tok_delta"]),
+                )
+            )
+        added.extend(lineage.output_fragments(r))
+    rows_matched = sum(r["metrics"].get("rows_matched", 0) for _, r in changed)
+    return table.commit_fragment_swap(
+        removed,
+        added,
+        operation=operation,
+        expected_parent=parent,
+        properties={
+            "mode": "dv",
+            "predicate": [list(p) for p in predicate],
+            "rows_matched": int(rows_matched),
+            "fragments_hit": len(hit),
+            "fragments_bloom_skipped": sum(
+                1 for r in records if r["metrics"].get("bloom_skip")
+            ),
+            "fragments_dv": sum(
+                1 for _, r in changed if not r["metrics"].get("full_delete")
+            ),
+            "fragments_dropped": sum(
+                1 for _, r in changed if r["metrics"].get("full_delete")
+            ),
+            "seconds": round(time.perf_counter() - t0, 3),
+        },
+    )
 
 
 def rollback(table: Table, to_version: int) -> int:

@@ -304,6 +304,45 @@ FROM documents
 """
 
 
+def q_lake_delete_dv(sf_dir: str):
+    """Merge-on-read DELETE as a query: the matching row positions go
+    into deletion-vector sidecars (ops/dv.py) and the Parquet files
+    stay untouched — write amplification O(deleted rows), the only
+    delete shape that stays cheap at 100 TB. The scan result must be
+    value-identical to the COW twin (same SQL oracle as lake_delete),
+    and the query itself asserts the zero-rewrite property."""
+    t = _build(sf_dir, "delete_dv")
+    paths_before = {f.path for f in t.manifest().fragments}
+    delete_where(t, [("n_tok", "between", (150, 450))], mode="dv")
+    m = t.manifest()
+    # merge-on-read contract: no fragment was rewritten, only DVs added
+    # (fully-deleted fragments may drop out of the manifest)
+    assert {f.path for f in m.fragments} <= paths_before, "dv delete must not rewrite"
+    assert m.operation == "delete-dv"
+    return canonical_scan(t)
+
+
+SQL_LAKE_DELETE_DV = SQL_LAKE_DELETE
+
+
+def q_lake_update_dv(sf_dir: str):
+    """Merge-on-read UPDATE as a query: DV-delete the old rows + append
+    the assigned rows as a new fragment, one atomic commit. Same SQL
+    oracle as the COW update twin."""
+    t = _build(sf_dir, "update_dv")
+    update_where(
+        t,
+        [("source", "==", "src7"), ("n_tok", "<", 300)],
+        {"source": "curated"},
+        mode="dv",
+    )
+    assert t.manifest().operation == "update-dv"
+    return canonical_scan(t)
+
+
+SQL_LAKE_UPDATE_DV = SQL_LAKE_UPDATE
+
+
 def q_lake_rollback(sf_dir: str):
     """Rollback as a query: delete + update, then restore the original
     version as a new commit — the scan must be bit-identical to the

@@ -195,7 +195,7 @@ class Table:
                     "version": v,
                     "operation": m.operation,
                     "parent_version": m.parent_version,
-                    "rows": sum(f.rows for f in m.fragments),
+                    "rows": sum(f.live_rows for f in m.fragments),
                     "fragments": len(m.fragments),
                     "bytes": sum(f.bytes for f in m.fragments),
                     "created_unix": m.created_unix,
@@ -374,7 +374,7 @@ class Table:
         # fragment `col_ids`/`cols` from the manifest; footer read only
         # for pre-evolution metas. A stale column (re-added name, old
         # field id) counts as missing so its old values are never read.
-        groups: dict[frozenset, list[str]] = {}
+        groups: dict[frozenset, list[FragmentMeta]] = {}
         if declared is not None and read_cols is not None:
             need = (set(read_cols) | set(pred_cols)) & set(declared.names)
             for f in frags:
@@ -385,58 +385,48 @@ class Table:
                     missing = frozenset(
                         c for c in need if not f.has_column(c, m.column_ids)
                     )
-                groups.setdefault(missing, []).append(
-                    _fs.join(self.table_dir, f.path)
-                )
+                groups.setdefault(missing, []).append(f)
         else:
-            groups[frozenset()] = [_fs.join(self.table_dir, f.path) for f in frags]
+            groups[frozenset()] = list(frags)
 
-        def build(paths: list[str], missing: frozenset) -> ray.data.Dataset:
+        def build(group: list[FragmentMeta], missing: frozenset) -> ray.data.Dataset:
+            # deletion-vector fragments need a positional mask BEFORE
+            # any predicate/limit — plain read_parquet pushdown would
+            # shift row positions, so they read via per-fragment tasks
+            # (ops/dv.py) and take the in-memory predicate branch
+            dv_frags = [f for f in group if f.dv_path]
+            paths = [
+                _fs.join(self.table_dir, f.path) for f in group if not f.dv_path
+            ]
             kwargs: dict[str, Any] = dict(read_kwargs)
             pushdown = predicate and not any(c in missing for c, _, _ in predicate)
             # predicate columns the pad/mask step needs that weren't
             # requested: read them (when present) so the mask can be
             # evaluated in-memory, then drop them from the output
             mask_cols: list[str] = []
-            if predicate and not pushdown:
+            if predicate and (not pushdown or dv_frags) and read_cols is not None:
                 mask_cols = [
                     c
                     for c in pred_cols
-                    if c not in set(read_cols or []) and declared is not None
+                    if c not in set(read_cols) and declared is not None
                     and c in declared.names
                 ]
-            if read_cols is not None:
-                kwargs["columns"] = [
-                    c for c in read_cols + mask_cols if c not in missing
-                ]
-            if pushdown:
-                kwargs["filter"] = mf.predicate_to_arrow(predicate)
-            if "override_num_blocks" not in kwargs:
-                if self.config.read_override_num_blocks:
-                    kwargs["override_num_blocks"] = self.config.read_override_num_blocks
-                else:
-                    # default: one block per fragment. Ray's auto-estimate
-                    # inserts a SplitBlocks step that BREAKS read↔map
-                    # fusion, pushing the whole payload through the object
-                    # store between the two operators; one task per
-                    # target-sized fragment keeps the read fused with the
-                    # consumer and makes the fragment the parallelism unit
-                    kwargs["override_num_blocks"] = len(paths)
-            if _fs.is_uri(self.table_dir):
-                # route every scheme through one fsspec-backed pyarrow
-                # filesystem; the wrapper pickles into the read tasks so
-                # worker processes resolve the same protocol (S8)
-                filesystem, _ = _fs.arrow_fs(self.table_dir)
-                kwargs["filesystem"] = filesystem
-                paths = [_fs.get_fs(p)[1] for p in paths]
-            ds = ray.data.read_parquet(paths, **kwargs)
-            if missing:
+            file_cols = (
+                [c for c in read_cols + mask_cols if c not in missing]
+                if read_cols is not None
+                else None
+            )
+
+            def make_pad(apply_pred: bool):
+                """Normalize a batch to the declared shape: fill
+                evolution-missing columns, optionally evaluate the
+                predicate in memory, drop mask-only columns."""
                 defaults = dict(m.column_defaults)
                 fields = [
                     (c, declared.field(c).type, defaults.get(c))
                     for c in read_cols + mask_cols
                 ]
-                pred = list(predicate) if (predicate and not pushdown) else None
+                pred = list(predicate) if (predicate and apply_pred) else None
 
                 def pad(batch: pa.Table) -> pa.Table:
                     cols_out = {}
@@ -454,10 +444,68 @@ class Table:
                         out = out.filter(mf.predicate_mask(out, pred))
                     return out.select(read_cols) if mask_cols else out
 
-                ds = ds.map_batches(pad, batch_format="pyarrow")
+                return pad
+
+            parts: list[ray.data.Dataset] = []
+            if paths:
+                if file_cols is not None:
+                    kwargs["columns"] = file_cols
+                if pushdown:
+                    kwargs["filter"] = mf.predicate_to_arrow(predicate)
+                if "override_num_blocks" not in kwargs:
+                    if self.config.read_override_num_blocks:
+                        kwargs["override_num_blocks"] = (
+                            self.config.read_override_num_blocks
+                        )
+                    else:
+                        # default: one block per fragment. Ray's auto-estimate
+                        # inserts a SplitBlocks step that BREAKS read↔map
+                        # fusion, pushing the whole payload through the object
+                        # store between the two operators; one task per
+                        # target-sized fragment keeps the read fused with the
+                        # consumer and makes the fragment the parallelism unit
+                        kwargs["override_num_blocks"] = len(paths)
+                if _fs.is_uri(self.table_dir):
+                    # route every scheme through one fsspec-backed pyarrow
+                    # filesystem; the wrapper pickles into the read tasks so
+                    # worker processes resolve the same protocol (S8)
+                    filesystem, _ = _fs.arrow_fs(self.table_dir)
+                    kwargs["filesystem"] = filesystem
+                    paths = [_fs.get_fs(p)[1] for p in paths]
+                ds = ray.data.read_parquet(paths, **kwargs)
+                if missing or (mask_cols and not pushdown):
+                    ds = ds.map_batches(
+                        make_pad(apply_pred=not pushdown), batch_format="pyarrow"
+                    )
+                parts.append(ds)
+            if dv_frags:
+                from fupi_ray.ops import dv as _dv
+
+                dds = _dv.dv_fragments_dataset(
+                    self.table_dir, dv_frags, columns=file_cols
+                )
+                # the predicate ALWAYS runs in memory here — file-level
+                # pushdown would shift the positions the mask needs
+                if (missing or predicate or mask_cols) and (
+                    declared is not None and read_cols is not None
+                ):
+                    dds = dds.map_batches(
+                        make_pad(apply_pred=bool(predicate)),
+                        batch_format="pyarrow",
+                    )
+                elif predicate:
+                    pred = list(predicate)
+                    dds = dds.map_batches(
+                        lambda b: b.filter(mf.predicate_mask(b, pred)),
+                        batch_format="pyarrow",
+                    )
+                parts.append(dds)
+            ds = parts[0]
+            for other in parts[1:]:
+                ds = ds.union(other)
             return ds
 
-        datasets = [build(paths, missing) for missing, paths in groups.items()]
+        datasets = [build(group, missing) for missing, group in groups.items()]
         ds = datasets[0]
         for other in datasets[1:]:
             ds = ds.union(other)

@@ -1,0 +1,223 @@
+"""Deletion-vector (merge-on-read) tests: DV delete/update golden
+results vs the COW twin, stacking, mixed-fragment scans, maintenance
+materialization (compact/cluster/merge), CDC semantics, snapshot
+isolation + GC, and the write-amplification claim itself."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fupi_ray.config import EngineConfig
+from fupi_ray.fixtures import merge_source_dataset, sequences_dataset, write_fragmented_table
+from fupi_ray.ops import (
+    changelog,
+    cluster,
+    compact,
+    delete_where,
+    expire_snapshots,
+    merge_into,
+    update_where,
+)
+from fupi_ray.state import fs as _fs
+from fupi_ray.table import Table
+
+CFG = EngineConfig(target_fragment_bytes=256 * 1024)
+
+
+def full_df(t: Table, version=None) -> pd.DataFrame:
+    df = t.scan(version).to_pandas()
+    df["tokens"] = df["tokens"].map(
+        lambda a: tuple(a.tolist() if hasattr(a, "tolist") else a)
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return write_fragmented_table(
+        str(tmp_path / "tbl"), 2_000, rows_per_fragment=250, config=CFG
+    )
+
+
+def dv_sidecars(t: Table) -> list[str]:
+    return [n for n in _fs.ls_names(f"{t.table_dir}/data") if ".dv-" in n]
+
+
+def test_dv_delete_matches_cow_golden(tbl):
+    before = full_df(tbl)
+    pred = [("n_tok", "between", (100, 400))]
+    v = delete_where(tbl, pred, mode="dv")
+    assert v == tbl.latest_version()
+    m = tbl.manifest()
+    assert m.operation == "delete-dv"
+    assert m.properties["mode"] == "dv"
+    # the Parquet files were NOT rewritten — same physical paths as parent
+    parent_paths = {f.path for f in tbl.manifest(m.parent_version).fragments}
+    assert {f.path for f in m.fragments} <= parent_paths
+    assert any(f.dv_path for f in m.fragments)
+    got = full_df(tbl)
+    want = before[~before.n_tok.between(100, 400)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert m.properties["rows_matched"] == int(before.n_tok.between(100, 400).sum())
+    # manifest-level logical stats agree with the data
+    assert m.total_rows == len(want)
+    assert m.total_tokens == int(want.n_tok.sum())
+
+
+def test_dv_deletes_stack_and_snapshots_isolate(tbl):
+    before = full_df(tbl)
+    v0 = tbl.latest_version()
+    v1 = delete_where(tbl, [("source", "=", "forums")], mode="dv")
+    v2 = delete_where(tbl, [("n_tok", "<", 64)], mode="dv")
+    want = before[(before.source != "forums") & (before.n_tok >= 64)]
+    pd.testing.assert_frame_equal(full_df(tbl), want.reset_index(drop=True))
+    # every snapshot still reads ITS dv state
+    pd.testing.assert_frame_equal(full_df(tbl, v0), before)
+    want1 = before[before.source != "forums"].reset_index(drop=True)
+    pd.testing.assert_frame_equal(full_df(tbl, v1), want1)
+    assert v2 == tbl.latest_version()
+
+
+def test_dv_scan_predicate_over_mixed_fragments(tbl):
+    # leave some fragments DV-free: delete a doc_id point (bloom/zone
+    # prune keeps most fragments untouched)
+    df = full_df(tbl)
+    victim = df.doc_id.iloc[37]
+    delete_where(tbl, [("doc_id", "=", victim)], mode="dv")
+    m = tbl.manifest()
+    assert sum(1 for f in m.fragments if f.dv_path) == 1  # point delete: 1 DV
+    assert tbl.scan(predicate=[("doc_id", "=", victim)]).count() == 0
+    # predicate + projection across the dv/non-dv union
+    got = (
+        tbl.scan(columns=["doc_id", "n_tok"], predicate=[("n_tok", ">", 500)])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        df[(df.n_tok > 500) & (df.doc_id != victim)][["doc_id", "n_tok"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_dv_update_golden_and_changelog(tbl):
+    before = full_df(tbl)
+    v0 = tbl.latest_version()
+    n_match = int((before.source == "books").sum())
+    v1 = update_where(tbl, [("source", "=", "books")], {"source": "press"}, mode="dv")
+    got = full_df(tbl)
+    want = before.copy()
+    want.loc[want.source == "books", "source"] = "press"
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    # CDC across a DV mutation: delete(old) + insert(new) per updated row
+    counts = {
+        r["change_type"]: r["count()"]
+        for r in changelog(tbl, v0, v1).groupby("change_type").count().take_all()
+    }
+    assert counts == {"delete": n_match, "insert": n_match}
+
+
+def test_dv_full_fragment_delete_drops_fragment(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 1_000, rows_per_fragment=250, config=CFG)
+    n_frags = len(t.manifest().fragments)
+    before = full_df(t)
+    # delete EVERYTHING via dv: all fragments must be dropped, no DV left
+    delete_where(t, [("n_tok", ">=", 0)], mode="dv")
+    m = t.manifest()
+    assert len(m.fragments) == 0 and m.total_rows == 0
+    assert t.scan().count() == 0
+    assert m.properties["fragments_dropped"] == n_frags
+    # history intact
+    assert len(full_df(t, m.parent_version)) == len(before)
+
+
+def test_compact_materializes_dvs(tbl):
+    delete_where(tbl, [("source", "=", "forums")], mode="dv")
+    want = full_df(tbl)
+    v = compact(tbl)
+    assert v is not None
+    m = tbl.manifest(v)
+    assert not any(f.dv_path for f in m.fragments)
+    pd.testing.assert_frame_equal(full_df(tbl), want)
+
+
+def test_cluster_materializes_dvs(tbl):
+    delete_where(tbl, [("n_tok", "<", 200)], mode="dv")
+    want = full_df(tbl)
+    v = cluster(tbl)
+    m = tbl.manifest(v)
+    assert not any(f.dv_path for f in m.fragments)
+    pd.testing.assert_frame_equal(full_df(tbl), want)
+
+
+def test_merge_into_does_not_resurrect_dv_deleted_rows(tmp_path):
+    t = Table.create(str(tmp_path / "t"), config=CFG)
+    t.commit_append(sequences_dataset(4_000))
+    deleted = set(
+        r["doc_id"]
+        for r in t.scan(predicate=[("source", "=", "forums")], columns=["doc_id"]).take_all()
+    )
+    delete_where(t, [("source", "=", "forums")], mode="dv")
+    src = merge_source_dataset(4_000)
+    src_ids = set(r["doc_id"] for r in src.select_columns(["doc_id"]).take_all())
+    merge_into(t, src)
+    ids = [r["doc_id"] for r in t.scan(columns=["doc_id"]).take_all()]
+    assert len(ids) == len(set(ids))
+    assert not (set(ids) & deleted) - src_ids  # only source re-inserts return
+
+
+def test_dv_write_amplification_is_sidecar_sized(tbl):
+    """The point of MOR: a narrow delete writes a few KB of sidecar,
+    not a rewrite of every hit fragment."""
+    data_bytes_before = sum(f.bytes for f in tbl.manifest().fragments)
+    paths_before = {f.path for f in tbl.manifest().fragments}
+    df = full_df(tbl)
+    victims = df.doc_id.iloc[:3].tolist()
+    delete_where(tbl, [("doc_id", "in", victims)], mode="dv")
+    m = tbl.manifest()
+    assert {f.path for f in m.fragments} == paths_before  # zero rewrites
+    sidecar_bytes = sum(
+        _fs.size(_fs.join(tbl.table_dir, f.dv_path)) for f in m.fragments if f.dv_path
+    )
+    assert 0 < sidecar_bytes < 4096
+    assert sum(f.bytes for f in m.fragments) == data_bytes_before
+
+
+def test_dv_expiry_gc_keeps_referenced_sidecars(tbl):
+    import time
+
+    delete_where(tbl, [("source", "=", "forums")], mode="dv")
+    want = full_df(tbl)
+    dv_live = {f.dv_path for f in tbl.manifest().fragments if f.dv_path}
+    # second delete supersedes the first DV on re-hit fragments
+    delete_where(tbl, [("source", "=", "books")], mode="dv")
+    time.sleep(1.1)
+    expire_snapshots(tbl, keep_last=1, gc_grace_seconds=0.0, clear_stale_lineage_seconds=1.0)
+    remaining = set(f"data/{n}" for n in dv_sidecars(tbl))
+    live_now = {f.dv_path for f in tbl.manifest().fragments if f.dv_path}
+    assert live_now <= remaining  # everything referenced survived
+    assert not (remaining - live_now)  # everything unreferenced was GC'd
+    assert remaining.isdisjoint(dv_live - live_now)
+    got = full_df(tbl)
+    assert (got.source != "books").all() and (got.source != "forums").all()
+    assert len(got) == len(want[want.source != "books"])
+
+
+def test_cow_mutation_on_dv_fragment_applies_mask_first(tbl):
+    """A COW delete over a DV'd fragment must not resurrect the
+    DV-deleted rows in its rewrite output."""
+    before = full_df(tbl)
+    delete_where(tbl, [("source", "=", "forums")], mode="dv")
+    delete_where(tbl, [("n_tok", "<", 100)])  # COW over DV'd fragments
+    got = full_df(tbl)
+    want = before[(before.source != "forums") & (before.n_tok >= 100)]
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+    # the rewrite materialized the DVs of every rewritten fragment
+    m = tbl.manifest()
+    rewritten = {f.path for f in m.fragments} - {
+        f.path for f in tbl.manifest(m.parent_version).fragments
+    }
+    assert rewritten  # something was rewritten
+    assert not any(f.dv_path for f in m.fragments if f.path in rewritten)
