@@ -4,6 +4,7 @@ from fupi_ray.ops.cluster import cluster
 from fupi_ray.ops.evolve import add_column, drop_column
 from fupi_ray.ops.export import export_training_shards, read_export_manifest
 from fupi_ray.ops.expire import expire_snapshots
+from fupi_ray.ops.matview import create_matview, matview_watermark, refresh_matview
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.ops.mutate import delete_where, rollback, update_where
 from fupi_ray.ops.stage import (
@@ -26,6 +27,9 @@ __all__ = [
     "changelog",
     "compact",
     "cluster",
+    "create_matview",
+    "matview_watermark",
+    "refresh_matview",
     "add_column",
     "drop_column",
     "delete_where",

@@ -378,6 +378,56 @@ def _cdc_mutation_source(batch: pa.Table) -> pa.Table:
     return both.append_column("_src_order", order)
 
 
+def q_lake_matview(sf_dir: str):
+    """Incremental materialized view: a grouped count/sum view is
+    created at v1, the base table then takes a merge-on-read DELETE and
+    a COW UPDATE, and ONE incremental refresh (pure delta arithmetic —
+    the query asserts the base table was never re-scanned) must land
+    the view exactly where a full GROUP BY over the mutated table
+    lands. Oracle = that full GROUP BY."""
+    from fupi_ray.ops.matview import create_matview, refresh_matview
+
+    t = _build(sf_dir, "matview")
+    view = create_matview(
+        t,
+        _tmp_table(sf_dir, "matview_view"),
+        "source",
+        {"n": ("count", ""), "tok_sum": ("sum", "n_tok")},
+    )
+    delete_where(t, [("n_tok", "between", (150, 450))], mode="dv")
+    update_where(t, [("source", "==", "src7"), ("n_tok", "<", 300)], {"source": "curated"})
+    refresh_matview(view, t)
+    props = view.manifest().properties
+    assert props["rescan"] is False, "count/sum view must refresh without a base rescan"
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b["source"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "tok_sum": pc.cast(b["tok_sum"], pa.int64()),
+            }
+        )
+
+    return view.scan(columns=["source", "n", "tok_sum"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
+SQL_LAKE_MATVIEW = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+FROM (
+  SELECT CASE WHEN source = 'src7' AND n_tok < 300 THEN 'curated' ELSE source END AS source,
+         n_tok
+  FROM (
+    SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok
+    FROM documents WHERE n_chars < 150 OR n_chars > 450
+  )
+)
+GROUP BY source
+"""
+
+
 def q_lake_changelog(sf_dir: str):
     """CDC as a query: MERGE a batch of updates + inserts, then read
     the netted changelog between the two versions — each update
