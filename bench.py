@@ -191,6 +191,54 @@ def run_bench() -> dict:
         )
 
     timed("delete_point", point_delete)
+
+    # the same point delete merge-on-read: a deletion-vector sidecar
+    # instead of a fragment rewrite — write amplification drops from
+    # O(fragment bytes) to O(1 position)
+    dv_stats = {}
+
+    def point_delete_dv():
+        from fupi_ray.ops import delete_where
+
+        v = delete_where(
+            table, [("doc_id", "==", "doc-000000000042")], mode="dv"
+        )
+        props = table.manifest(v).properties
+        dv_stats.update(
+            fragments_hit=props.get("fragments_hit"),
+            fragments_bloom_skipped=props.get("fragments_bloom_skipped"),
+            fragments_dv=props.get("fragments_dv"),
+        )
+
+    timed("delete_point_dv", point_delete_dv)
+
+    # incremental materialized view: create a grouped count/sum view,
+    # mutate the base, refresh from the changelog window — the refresh
+    # must be O(delta), never a re-aggregation of the table
+    mv_stats = {}
+
+    def matview_cycle():
+        from fupi_ray.ops import create_matview, delete_where, refresh_matview
+
+        view = create_matview(
+            table,
+            os.path.join(tdir, "mv_by_source"),
+            "source",
+            {"n": ("count", ""), "tok_sum": ("sum", "n_tok")},
+        )
+        t0 = time.perf_counter()
+        delete_where(table, [("doc_id", "between", ("doc-000000001000", "doc-000000002000"))], mode="dv")
+        t1 = time.perf_counter()
+        refresh_matview(view, table)
+        props = view.manifest().properties
+        mv_stats.update(
+            affected_groups=props.get("affected_groups"),
+            rescan=props.get("rescan"),
+            delete_sec=round(t1 - t0, 3),
+            refresh_sec=round(time.perf_counter() - t1, 3),
+        )
+
+    timed("matview_cycle", matview_cycle)
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
@@ -243,6 +291,8 @@ def run_bench() -> dict:
         "phases": phase_detail,
         "prune": prune_stats,
         "bloom": bloom_stats,
+        "dv": dv_stats,
+        "matview": mv_stats,
         "copy_cap": {"measured": probe_cap, "probe_seconds": probe_seconds},
     }
     ray.shutdown()

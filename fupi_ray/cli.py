@@ -7,6 +7,12 @@ jobs launched as Ray jobs on a fixed-size cluster).
     ray job submit -- python -m fupi_ray.cli expire --table /data/seq --keep-last 3
     ray job submit -- python -m fupi_ray.cli ingest --table /data/seq --rows 1000000
     ray job submit -- python -m fupi_ray.cli delete --table /data/seq --where n_tok:<:8
+    ray job submit -- python -m fupi_ray.cli delete --table /data/seq \
+        --where doc_id:in:doc-1,doc-2 --mode dv   # merge-on-read point delete
+    ray job submit -- python -m fupi_ray.cli matview --table /data/seq \
+        --view /data/seq_by_source --group-col source --agg n=count --agg tok=sum:n_tok
+    ray job submit -- python -m fupi_ray.cli refresh-view --table /data/seq \
+        --view /data/seq_by_source
     ray job submit -- python -m fupi_ray.cli update --table /data/seq \
         --where source:==:spam --set source=quarantined
     ray job submit -- python -m fupi_ray.cli rollback --table /data/seq --to-version 41
@@ -39,7 +45,7 @@ def main(argv=None) -> int:
             "scan", "add-column", "drop-column",
             "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
-            "export", "pack",
+            "export", "pack", "matview", "refresh-view",
         ],
     )
     p.add_argument("--table", required=True)
@@ -93,6 +99,22 @@ def main(argv=None) -> int:
     p.add_argument("--raw", action="store_true", help="changelog: skip CDC netting")
     p.add_argument("--replica", help="replicate: target table dir (the downstream copy)")
     p.add_argument("--output", help="changelog: write result parquet here")
+    p.add_argument(
+        "--mode",
+        default="cow",
+        choices=["cow", "dv"],
+        help="delete/update: cow rewrites hit fragments; dv records a "
+        "deletion-vector sidecar (merge-on-read, O(deleted rows) write)",
+    )
+    p.add_argument("--view", help="matview/refresh-view: view table dir")
+    p.add_argument("--group-col", help="matview: GROUP BY column")
+    p.add_argument(
+        "--agg",
+        action="append",
+        default=[],
+        dest="aggs",
+        help="matview: out=fn[:src_col] (fn in count,sum,mean,min,max; repeatable)",
+    )
     args = p.parse_args(argv)
 
     def coerce(s: str):
@@ -208,11 +230,15 @@ def main(argv=None) -> int:
         if not args.where:
             p.error("delete requires at least one --where col:op:value")
         t = Table.open(args.table)
-        out["version"] = delete_where(t, parse_where(args.where), job_id=args.job_id)
-        props = t.manifest(out["version"]).properties
-        if t.manifest(out["version"]).operation == "delete":
+        out["version"] = delete_where(
+            t, parse_where(args.where), job_id=args.job_id, mode=args.mode
+        )
+        m = t.manifest(out["version"])
+        props = m.properties
+        if m.operation in ("delete", "delete-dv"):
             out["rows_deleted"] = props.get("rows_matched")
             out["fragments_rewritten"] = props.get("fragments_rewritten")
+            out["fragments_dv"] = props.get("fragments_dv")
     elif args.op == "update":
         from fupi_ray.ops import update_where
 
@@ -223,7 +249,9 @@ def main(argv=None) -> int:
         for a in args.assignments:
             col, val = a.split("=", 1)
             sets[col] = coerce(val)
-        out["version"] = update_where(t, parse_where(args.where), sets, job_id=args.job_id)
+        out["version"] = update_where(
+            t, parse_where(args.where), sets, job_id=args.job_id, mode=args.mode
+        )
     elif args.op == "rollback":
         from fupi_ray.ops import rollback
 
@@ -276,6 +304,33 @@ def main(argv=None) -> int:
             out["fragments_released"] = abort_stage(t, args.stage_id)
         else:
             out["stages"] = list_stages(t)
+    elif args.op == "matview":
+        from fupi_ray.ops import create_matview
+
+        if not args.view or not args.group_col or not args.aggs:
+            p.error("matview requires --view, --group-col and at least one --agg out=fn[:col]")
+        aggs = {}
+        for a in args.aggs:
+            out_col, spec = a.split("=", 1)
+            fn, _, col = spec.partition(":")
+            aggs[out_col] = (fn, col)
+        t = Table.open(args.table)
+        view = create_matview(t, args.view, args.group_col, aggs)
+        out["version"] = view.latest_version()
+        out["groups"] = view.scan().count()
+        out["watermark"] = t.latest_version()
+    elif args.op == "refresh-view":
+        from fupi_ray.ops import matview_watermark, refresh_matview
+
+        if not args.view:
+            p.error("refresh-view requires --view")
+        t = Table.open(args.table)
+        view = Table.open(args.view)
+        out["version"] = refresh_matview(view, t, job_id=args.job_id)
+        props = view.manifest(out["version"]).properties
+        out["watermark"] = matview_watermark(view)
+        out["affected_groups"] = props.get("affected_groups", 0)
+        out["rescan"] = props.get("rescan", False)
     elif args.op == "replicate":
         from fupi_ray.ops import apply_changelog
 

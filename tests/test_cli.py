@@ -115,3 +115,32 @@ def test_cli_replicate(tmp_path):
     # exactly-once: re-running the job returns the same version
     r = run_cli("replicate", "--table", src, "--replica", dst, "--from-version", "1")
     assert r["version"] == v
+
+
+def test_cli_dv_and_matview(tmp_path):
+    table = str(tmp_path / "tbl")
+    view = str(tmp_path / "view")
+    run_cli("ingest", "--table", table, "--rows", "2000", "--rows-per-fragment", "500")
+
+    r = run_cli(
+        "matview", "--table", table, "--view", view,
+        "--group-col", "source", "--agg", "n=count", "--agg", "tok=sum:n_tok",
+    )
+    assert r["groups"] > 0 and r["watermark"] == 1
+
+    before = run_cli("scan", "--table", table)["rows"]
+    r = run_cli(
+        "delete", "--table", table, "--where", "n_tok:between:100..300", "--mode", "dv"
+    )
+    assert r["rows_deleted"] > 0 and r["fragments_dv"] > 0
+    after = run_cli("scan", "--table", table)["rows"]
+    assert after == before - r["rows_deleted"]
+
+    r = run_cli("refresh-view", "--table", table, "--view", view)
+    assert r["watermark"] == 2 and r["affected_groups"] > 0 and r["rescan"] is False
+
+    r = run_cli(
+        "update", "--table", table, "--where", "source:==:wiki",
+        "--set", "source=curated", "--mode", "dv",
+    )
+    assert run_cli("scan", "--table", table, "--where", "source:==:wiki")["rows"] == 0
