@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_update_dv": lake.q_lake_update_dv,
         "lake_rollback": lake.q_lake_rollback,
         "lake_matview": lake.q_lake_matview,
+        "lake_fork": lake.q_lake_fork,
         "lake_changelog": lake.q_lake_changelog,
         "lake_cdc_apply": lake.q_lake_cdc_apply,
         "lake_wap": lake.q_lake_wap,
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_update_dv": lake.SQL_LAKE_UPDATE_DV,
         "lake_rollback": lake.SQL_LAKE_ROLLBACK,
         "lake_matview": lake.SQL_LAKE_MATVIEW,
+        "lake_fork": lake.SQL_LAKE_FORK,
         "lake_changelog": lake.SQL_LAKE_CHANGELOG,
         "lake_cdc_apply": lake.SQL_LAKE_CDC_APPLY,
         "lake_wap": lake.SQL_LAKE_WAP,

@@ -13,6 +13,10 @@ jobs launched as Ray jobs on a fixed-size cluster).
         --view /data/seq_by_source --group-col source --agg n=count --agg tok=sum:n_tok
     ray job submit -- python -m fupi_ray.cli refresh-view --table /data/seq \
         --view /data/seq_by_source
+    ray job submit -- python -m fupi_ray.cli fork --table /data/seq \
+        --fork-dir /data/seq_dev --name dev   # zero-copy branch
+    ray job submit -- python -m fupi_ray.cli drop-fork --table /data/seq \
+        --fork-dir /data/seq_dev
     ray job submit -- python -m fupi_ray.cli update --table /data/seq \
         --where source:==:spam --set source=quarantined
     ray job submit -- python -m fupi_ray.cli rollback --table /data/seq --to-version 41
@@ -46,6 +50,7 @@ def main(argv=None) -> int:
             "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
+            "fork", "drop-fork",
         ],
     )
     p.add_argument("--table", required=True)
@@ -107,6 +112,8 @@ def main(argv=None) -> int:
         "deletion-vector sidecar (merge-on-read, O(deleted rows) write)",
     )
     p.add_argument("--view", help="matview/refresh-view: view table dir")
+    p.add_argument("--fork-dir", help="fork/drop-fork: the fork's table dir")
+    p.add_argument("--name", help="fork: ref name (default: fork dir basename)")
     p.add_argument("--group-col", help="matview: GROUP BY column")
     p.add_argument(
         "--agg",
@@ -331,6 +338,27 @@ def main(argv=None) -> int:
         out["watermark"] = matview_watermark(view)
         out["affected_groups"] = props.get("affected_groups", 0)
         out["rescan"] = props.get("rescan", False)
+    elif args.op == "fork":
+        from fupi_ray.ops import fork_table
+
+        if not args.fork_dir:
+            p.error("fork requires --fork-dir")
+        t = Table.open(args.table)
+        fork = fork_table(t, args.fork_dir, version=args.version, name=args.name)
+        props = fork.manifest().properties
+        out["version"] = fork.latest_version()
+        out["fork_of"] = props["fork_of"]
+        out["fork_version"] = props["fork_version"]
+        out["pin"] = props["fork_pin"]
+    elif args.op == "drop-fork":
+        from fupi_ray.ops import drop_fork
+
+        if not args.fork_dir:
+            p.error("drop-fork requires --fork-dir")
+        t = Table.open(args.table)
+        fork = Table.open(args.fork_dir)
+        drop_fork(t, fork)
+        out["dropped"] = True
     elif args.op == "replicate":
         from fupi_ray.ops import apply_changelog
 

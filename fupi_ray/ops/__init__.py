@@ -4,6 +4,7 @@ from fupi_ray.ops.cluster import cluster
 from fupi_ray.ops.evolve import add_column, drop_column
 from fupi_ray.ops.export import export_training_shards, read_export_manifest
 from fupi_ray.ops.expire import expire_snapshots
+from fupi_ray.ops.fork import drop_fork, fork_base_version, fork_source, fork_table
 from fupi_ray.ops.matview import create_matview, matview_watermark, refresh_matview
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.ops.mutate import delete_where, rollback, update_where
@@ -30,6 +31,10 @@ __all__ = [
     "create_matview",
     "matview_watermark",
     "refresh_matview",
+    "drop_fork",
+    "fork_base_version",
+    "fork_source",
+    "fork_table",
     "add_column",
     "drop_column",
     "delete_where",

@@ -1,0 +1,132 @@
+"""Zero-copy table forks: branch-style isolation without data copies.
+
+The reference has exactly one isolation primitive — rebuild the whole
+table under another name (``create_table(mode='overwrite')``,
+/root/reference/fupi/utils.py:39-49). At 100 TB a physical copy per
+experiment is a non-starter; the lakehouse answer is a NAMED REF whose
+snapshots stay alive while the ref exists (Iceberg branches, Nessie).
+
+A fork here is a full, independent :class:`~fupi_ray.table.Table`
+whose first manifest references the source's fragments BY ABSOLUTE
+PATH (``state/fs.join`` resolves absolute/URI fragment paths as-is, so
+every read site — scans, compaction, clustering, COW rewrites, bloom
+probes, DV masks — works on foreign fragments unchanged). Zero bytes
+are copied at fork time:
+
+- reads on the fork see the source's data at the forked version;
+- writes/mutations land in the FORK's own directory (a COW rewrite of
+  a foreign fragment materializes the survivors locally — divergence
+  is copy-on-first-write, proportional to what actually changed);
+- the forked source version is pinned (``fork-<name>``), so the
+  source's snapshot expiry can never GC fragments the fork references;
+  ``drop_fork`` releases the pin;
+- merge-back is the existing CDC consumer:
+  ``apply_changelog(fork, src, from_version=fork_base_version(fork))``
+  replicates the fork's net changes onto the source exactly-once.
+
+Constraint: source and fork must live on the same protocol (both
+local paths or both the same ``scheme://``) — a fragment path must be
+readable through one filesystem stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from fupi_ray import manifest as mf
+from fupi_ray.config import EngineConfig
+from fupi_ray.manifest import Manifest
+from fupi_ray.state import commit as commit_mod
+from fupi_ray.state import fs as _fs
+from fupi_ray.table import Table
+
+
+def _same_protocol(a: str, b: str) -> bool:
+    ua, ub = _fs.is_uri(a), _fs.is_uri(b)
+    if ua != ub:
+        return False
+    if not ua:
+        return True
+    return a.split("://", 1)[0] == b.split("://", 1)[0]
+
+
+def _absolutize(src_dir: str, f: mf.FragmentMeta) -> mf.FragmentMeta:
+    return dataclasses.replace(
+        f,
+        path=_fs.join(src_dir, f.path),
+        dv_path=_fs.join(src_dir, f.dv_path) if f.dv_path else None,
+    )
+
+
+def fork_table(
+    src: Table,
+    dst_dir: str,
+    version: int | None = None,
+    name: str | None = None,
+    config: EngineConfig | None = None,
+) -> Table:
+    """Fork ``src`` at ``version`` (default latest) into a new table at
+    ``dst_dir`` without copying data. Returns the fork; its v1 manifest
+    carries the source's schema, field ids, defaults and fragment list
+    (absolutized), and the source gains a ``fork-<name>`` pin."""
+    if not _same_protocol(src.table_dir, dst_dir):
+        raise ValueError(
+            "fork must live on the source's protocol (its manifests "
+            f"reference the source's files): {src.table_dir!r} vs {dst_dir!r}"
+        )
+    version = src.latest_version() if version is None else version
+    name = name or dst_dir.rstrip("/").rsplit("/", 1)[-1]
+    pin_name = f"fork-{name}"
+    if pin_name in src.pins():
+        raise ValueError(f"fork name {name!r} already pins {src.table_dir}")
+    # pin FIRST: from this point the source's expiry cannot GC the
+    # forked snapshot, so the fork's manifest can never dangle
+    src.pin(pin_name, version)
+    sm = src.manifest(version)
+    fork = Table.create(dst_dir, schema=src.schema(version), config=config or src.config)
+    m = Manifest(
+        version=-1,
+        parent_version=None,
+        operation="fork",
+        schema_names=list(sm.schema_names),
+        schema_types=list(sm.schema_types),
+        fragments=[_absolutize(src.table_dir, f) for f in sm.fragments],
+        properties={
+            "fork_of": src.table_dir,
+            "fork_version": version,
+            "fork_pin": pin_name,
+        },
+        column_defaults=dict(sm.column_defaults),
+        # carry the source's field ids verbatim: evolution history up
+        # to the fork point must resolve identically on both sides
+        column_ids=dict(sm.column_ids),
+        next_column_id=sm.next_column_id,
+    )
+    commit_mod.commit(fork.table_dir, m, expected_parent=fork.latest_version())
+    return fork
+
+
+def fork_base_version(fork: Table) -> int:
+    """The fork's own version at which it diverged (the 'fork' commit)
+    — the ``from_version`` for a merge-back ``apply_changelog``."""
+    for h in reversed(fork.history()):  # oldest-first
+        if h["operation"] == "fork":
+            return h["version"]
+    raise ValueError(f"{fork.table_dir} is not a fork (no 'fork' commit)")
+
+
+def fork_source(fork: Table) -> tuple[str, int, str]:
+    """(source table_dir, forked version, pin name) of a fork."""
+    for h in reversed(fork.history()):
+        p = h["properties"]
+        if h["operation"] == "fork":
+            return p["fork_of"], int(p["fork_version"]), p["fork_pin"]
+    raise ValueError(f"{fork.table_dir} is not a fork (no 'fork' commit)")
+
+
+def drop_fork(src: Table, fork: Table) -> None:
+    """Release the fork's pin on the source. The fork's directory stays
+    (caller deletes it); after the pin is gone the source may GC the
+    forked snapshot, so the fork must not be read anymore."""
+    _, _, pin_name = fork_source(fork)
+    src.unpin(pin_name)

@@ -428,6 +428,37 @@ GROUP BY source
 """
 
 
+def q_lake_fork(sf_dir: str):
+    """Zero-copy fork workflow as a query: fork the table (no data
+    copied — the query asserts the fork's data dir starts empty),
+    mutate the FORK in isolation (merge-on-read delete + COW update),
+    then merge the net changes back onto the source via the CDC
+    consumer. Oracle = the mutations applied directly."""
+    import os
+
+    from fupi_ray.ops import apply_changelog
+    from fupi_ray.ops.fork import fork_base_version, fork_table
+
+    t = _build(sf_dir, "fork_src")
+    fork = fork_table(t, _tmp_table(sf_dir, "fork_dev"), name="dev")
+    assert os.listdir(os.path.join(fork.table_dir, "data")) == [], "fork must be zero-copy"
+    delete_where(fork, [("n_tok", "between", (150, 450))], mode="dv")
+    update_where(fork, [("source", "==", "src7"), ("n_tok", "<", 300)], {"source": "curated"})
+    apply_changelog(fork, t, from_version=fork_base_version(fork))
+    return canonical_scan(t)
+
+
+SQL_LAKE_FORK = f"""
+SELECT doc_id,
+       CASE WHEN source = 'src7' AND n_tok < 300 THEN 'curated' ELSE source END AS source,
+       n_tok
+FROM (
+  SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok
+  FROM documents WHERE n_chars < 150 OR n_chars > 450
+)
+"""
+
+
 def q_lake_changelog(sf_dir: str):
     """CDC as a query: MERGE a batch of updates + inserts, then read
     the netted changelog between the two versions — each update

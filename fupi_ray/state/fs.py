@@ -39,13 +39,20 @@ def is_process_local(path: str) -> bool:
 
 def join(base: str, *parts: str) -> str:
     """Path join that never corrupts a URI (``os.path.join`` would
-    backslash it on Windows and can swallow the scheme)."""
-    if is_uri(base):
-        out = str(base).rstrip("/")
-        for p in parts:
-            out += "/" + str(p).strip("/")
-        return out
-    return os.path.join(base, *parts)
+    backslash it on Windows and can swallow the scheme). A part that is
+    itself a URI or an absolute path stands alone — zero-copy table
+    forks reference the source table's fragments by absolute path, and
+    every read site resolves them through this join."""
+    out = str(base)
+    for p in parts:
+        p = str(p)
+        if is_uri(p) or os.path.isabs(p):
+            out = p
+        elif is_uri(out):
+            out = out.rstrip("/") + "/" + p.strip("/")
+        else:
+            out = os.path.join(out, p)
+    return out
 
 
 def dirname(path: str) -> str:

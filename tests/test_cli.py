@@ -144,3 +144,21 @@ def test_cli_dv_and_matview(tmp_path):
         "--set", "source=curated", "--mode", "dv",
     )
     assert run_cli("scan", "--table", table, "--where", "source:==:wiki")["rows"] == 0
+
+
+def test_cli_fork_cycle(tmp_path):
+    src = str(tmp_path / "src")
+    dev = str(tmp_path / "dev")
+    run_cli("ingest", "--table", src, "--rows", "1500", "--rows-per-fragment", "500")
+
+    r = run_cli("fork", "--table", src, "--fork-dir", dev, "--name", "dev")
+    assert r["fork_of"] == src and r["pin"] == "fork-dev"
+    assert run_cli("scan", "--table", dev)["rows"] == 1500
+
+    run_cli("delete", "--table", dev, "--where", "n_tok:<:100", "--mode", "dv")
+    assert run_cli("scan", "--table", src)["rows"] == 1500  # isolation
+
+    r = run_cli("replicate", "--table", dev, "--replica", src, "--from-version", "1")
+    assert run_cli("scan", "--table", src)["rows"] == run_cli("scan", "--table", dev)["rows"]
+
+    run_cli("drop-fork", "--table", src, "--fork-dir", dev)

@@ -1,0 +1,114 @@
+"""Zero-copy fork tests: isolation in both directions, copy-on-first-
+write divergence, DV interplay, CDC merge-back equality, pin-protected
+source GC, and fork-name collision handling."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from fupi_ray.config import EngineConfig
+from fupi_ray.fixtures import sequences_dataset, write_fragmented_table
+from fupi_ray.ops import (
+    apply_changelog,
+    compact,
+    delete_where,
+    drop_fork,
+    expire_snapshots,
+    fork_base_version,
+    fork_source,
+    fork_table,
+    update_where,
+)
+from fupi_ray.table import Table
+
+CFG = EngineConfig(target_fragment_bytes=256 * 1024)
+
+
+def canon(t: Table, version=None) -> pd.DataFrame:
+    df = t.scan(version).to_pandas()
+    df["tokens"] = df["tokens"].map(lambda a: tuple(a))
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.fixture()
+def src(tmp_path):
+    return write_fragmented_table(
+        str(tmp_path / "src"), 2_000, rows_per_fragment=400, config=CFG
+    )
+
+
+def test_fork_is_zero_copy_and_reads_source(src, tmp_path):
+    before = canon(src)
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    assert os.listdir(os.path.join(fork.table_dir, "data")) == []
+    pd.testing.assert_frame_equal(canon(fork), before)
+    assert src.pins()["fork-dev"] == fork_source(fork)[1]
+    # predicate scan + zone-map prune work over foreign fragments
+    assert fork.scan(predicate=[("source", "=", "wiki")]).count() == int(
+        (before.source == "wiki").sum()
+    )
+
+
+def test_fork_isolation_both_directions(src, tmp_path):
+    before = canon(src)
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    # fork-side writes never touch the source
+    delete_where(fork, [("source", "=", "forums")], mode="dv")
+    update_where(fork, [("n_tok", "<", 50)], {"source": "tiny"})
+    fork.commit_append(sequences_dataset(300, seed=5, start=10_000_000))
+    pd.testing.assert_frame_equal(canon(src), before)
+    # source-side writes never move the fork (it reads the PINNED version)
+    delete_where(src, [("source", "=", "cc")])
+    f = canon(fork)
+    assert (f.source == "cc").any()
+    # divergence is copy-on-write: only the fork's own mutation outputs
+    own = os.listdir(os.path.join(fork.table_dir, "data"))
+    assert own and all(n.endswith((".parquet", ".bloom")) or ".dv-" in n for n in own)
+
+
+def test_fork_of_dv_source_reads_masked(src, tmp_path):
+    delete_where(src, [("n_tok", "between", (100, 400))], mode="dv")
+    want = canon(src)
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    pd.testing.assert_frame_equal(canon(fork), want)
+    # and the fork can materialize the foreign DVs via compaction
+    compact(fork)
+    pd.testing.assert_frame_equal(canon(fork), want)
+    assert not any(f.dv_path for f in fork.manifest().fragments)
+
+
+def test_fork_merge_back_exactly_once(src, tmp_path):
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    delete_where(fork, [("source", "=", "books")], mode="dv")
+    update_where(fork, [("n_tok", ">", 800)], {"source": "long"})
+    base_v = fork_base_version(fork)
+    v = apply_changelog(fork, src, from_version=base_v)
+    pd.testing.assert_frame_equal(canon(src), canon(fork))
+    # retry returns the same version (exactly-once watermark)
+    assert apply_changelog(fork, src, from_version=base_v) == v
+
+
+def test_fork_pin_blocks_source_gc(src, tmp_path):
+    import time
+
+    forked_v = src.latest_version()
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    want = canon(fork)
+    # source rewrites everything, then expires aggressively
+    delete_where(src, [("n_tok", ">=", 0)])
+    time.sleep(1.1)
+    expire_snapshots(src, keep_last=1, gc_grace_seconds=0.0, clear_stale_lineage_seconds=1.0)
+    assert forked_v in src.versions()  # pinned snapshot survived
+    pd.testing.assert_frame_equal(canon(fork), want)  # fork still reads
+    # releasing the pin lets the next expiry reclaim it
+    drop_fork(src, fork)
+    res = expire_snapshots(src, keep_last=1, gc_grace_seconds=0.0)
+    assert forked_v not in src.versions()
+    assert res["gc_files"] > 0
+
+
+def test_fork_name_collision_refused(src, tmp_path):
+    fork_table(src, str(tmp_path / "dev"), name="dev")
+    with pytest.raises(ValueError, match="already pins"):
+        fork_table(src, str(tmp_path / "dev2"), name="dev")
