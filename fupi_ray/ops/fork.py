@@ -32,6 +32,7 @@ readable through one filesystem stack.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from fupi_ray import manifest as mf
 from fupi_ray.config import EngineConfig
@@ -75,6 +76,12 @@ def fork_table(
             f"reference the source's files): {src.table_dir!r} vs {dst_dir!r}"
         )
     version = src.latest_version() if version is None else version
+    # the manifest stores the SOURCE's fragment paths verbatim; a
+    # relative source dir would later resolve UNDER the fork dir and
+    # make every read dangle — absolutize local paths up front
+    src_dir = (
+        src.table_dir if _fs.is_uri(src.table_dir) else os.path.abspath(src.table_dir)
+    )
     name = name or dst_dir.rstrip("/").rsplit("/", 1)[-1]
     pin_name = f"fork-{name}"
     if pin_name in src.pins():
@@ -90,9 +97,9 @@ def fork_table(
         operation="fork",
         schema_names=list(sm.schema_names),
         schema_types=list(sm.schema_types),
-        fragments=[_absolutize(src.table_dir, f) for f in sm.fragments],
+        fragments=[_absolutize(src_dir, f) for f in sm.fragments],
         properties={
-            "fork_of": src.table_dir,
+            "fork_of": src_dir,
             "fork_version": version,
             "fork_pin": pin_name,
         },

@@ -279,11 +279,7 @@ def refresh_matview(view: Table, src: Table, job_id: str | None = None) -> int:
 
     from fupi_ray.ops.mutate import _plan_mutation
 
-    parent = view.latest_version()
-    removed: set[str] = set()
-    added: list = []
-    props: dict = {}
-    parent, removed, added, props = _plan_mutation(
+    parent, removed, added, _props = _plan_mutation(
         view, [(group_col, "in", affected)], None, "matview_refresh", job_id
     )
     new_frags = (

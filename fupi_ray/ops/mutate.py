@@ -230,6 +230,82 @@ def _mutate_fragment_task(
     return lineage.read_record(table_dir, job_id, partition)
 
 
+def _mutation_prologue(
+    table: Table,
+    predicate: list[tuple],
+    assignments: dict[str, tuple] | None,
+    operation: str,
+    job_id: str | None,
+    marker: str | None = None,
+) -> tuple:
+    """Shared driver prologue of the COW and DV mutation planners:
+    validation, mutation-identity digest, evolution pad spec, zone-map
+    + bloom hit pruning, and the doc_id hash kind for bloom probes.
+
+    The mutation's identity: tasks refuse to reuse lineage records
+    written by a DIFFERENT predicate/assignment set (a no-match run
+    leaves records behind without committing, so records at the same
+    parent are not otherwise distinguishable). A CALLABLE assignment
+    has no reliable content identity (closure state is invisible to
+    __qualname__), so without an explicit job_id it gets a unique
+    digest — no reuse, correctness over resume. Passing job_id is the
+    user's assertion that the callable is unchanged. ``marker``
+    separates planner families (a COW and a DV run at the same parent
+    must never share records)."""
+    if _fs.is_process_local(table.table_dir):
+        raise ValueError(
+            f"{operation} rewrites fragments from Ray worker processes; "
+            "memory:// is process-local — use a shared protocol"
+        )
+    if not predicate:
+        raise ValueError(f"{operation} requires a predicate (refusing full-table match)")
+    parent = table.latest_version()
+    m = table.manifest(parent)
+    defaults = m.column_defaults
+    import hashlib as _hl
+    import json as _json
+    import uuid as _uuid
+
+    has_callable = any(kind == "fn" for kind, _, _ in (assignments or {}).values())
+    spec_ident = [
+        [list(p) for p in predicate],
+        sorted(
+            (k, kind, str(spec) if kind == "scalar" else getattr(spec, "__qualname__", "fn"), ts)
+            for k, (kind, spec, ts) in (assignments or {}).items()
+        ),
+    ]
+    if marker:
+        spec_ident.insert(0, marker)
+    if has_callable and job_id is None:
+        spec_ident.append(_uuid.uuid4().hex)  # unique run: never reuse
+    mutation_digest = _hl.md5(
+        _json.dumps(spec_ident, default=str).encode()
+    ).hexdigest()[:16]
+    job_id = job_id or f"{operation}-v{parent}-{mutation_digest[:8]}"
+
+    declared = {n: t for n, t in zip(m.schema_names, m.schema_types)}
+    for col, _, _ in predicate:
+        if declared and col not in declared:
+            raise ValueError(f"predicate column {col!r} is not in the table schema")
+    # columns the predicate / callable assignments may need that some
+    # fragment's FILE lacks (schema evolution): pad spec shipped to tasks
+    pad_cols = [
+        (c, declared[c], defaults.get(c))
+        for c in sorted({p[0] for p in predicate} | set(assignments or ()))
+        if c in declared
+    ]
+    hit = [f for f in m.fragments if _fragment_hit(m, f, predicate, defaults)]
+    # declared doc_id type class, so the bloom probe hashes keys down
+    # the same path the sidecar builder used for the column
+    _doc_t = declared.get("doc_id", "")
+    doc_id_kind = (
+        "int"
+        if _doc_t.startswith(("int", "uint"))
+        else ("string" if "string" in _doc_t else None)
+    )
+    return parent, m, pad_cols, hit, doc_id_kind, mutation_digest, job_id
+
+
 def _run_mutation(
     table: Table,
     predicate: list[tuple],
@@ -259,67 +335,11 @@ def _plan_mutation(
     empty removed/added when nothing matched. Callers that combine the
     swap with other fragment changes (``apply_changelog``) commit the
     union atomically via ``commit_fragment_swap``."""
-    if _fs.is_process_local(table.table_dir):
-        raise ValueError(
-            f"{operation} rewrites fragments from Ray worker processes; "
-            "memory:// is process-local — use a shared protocol"
-        )
-    if not predicate:
-        raise ValueError(f"{operation} requires a predicate (refusing full-table match)")
-    parent = table.latest_version()
-    m = table.manifest(parent)
-    defaults = m.column_defaults
-    # the mutation's identity: tasks refuse to reuse lineage records
-    # written by a DIFFERENT predicate/assignment set (a no-match run
-    # leaves records behind without committing, so records at the same
-    # parent are not otherwise distinguishable). A CALLABLE assignment
-    # has no reliable content identity (closure state is invisible to
-    # __qualname__), so without an explicit job_id it gets a unique
-    # digest — no reuse, correctness over resume. Passing job_id is
-    # the user's assertion that the callable is unchanged.
-    import hashlib as _hl
-    import json as _json
-    import uuid as _uuid
-
-    has_callable = any(kind == "fn" for kind, _, _ in (assignments or {}).values())
-    spec_ident = [
-        [list(p) for p in predicate],
-        sorted(
-            (k, kind, str(spec) if kind == "scalar" else getattr(spec, "__qualname__", "fn"), ts)
-            for k, (kind, spec, ts) in (assignments or {}).items()
-        ),
-    ]
-    if has_callable and job_id is None:
-        spec_ident.append(_uuid.uuid4().hex)  # unique run: never reuse
-    mutation_digest = _hl.md5(
-        _json.dumps(spec_ident, default=str).encode()
-    ).hexdigest()[:16]
-    job_id = job_id or f"{operation}-v{parent}-{mutation_digest[:8]}"
-
-    declared = {n: t for n, t in zip(m.schema_names, m.schema_types)}
-    for col, _, _ in predicate:
-        if declared and col not in declared:
-            raise ValueError(f"predicate column {col!r} is not in the table schema")
-    # columns the predicate / callable assignments may need that some
-    # fragment's FILE lacks (schema evolution): pad spec shipped to tasks
-    pad_cols = [
-        (c, declared[c], defaults.get(c))
-        for c in sorted({p[0] for p in predicate} | set(assignments or ()))
-        if c in declared
-    ]
-
-    hit = [f for f in m.fragments if _fragment_hit(m, f, predicate, defaults)]
+    parent, m, pad_cols, hit, doc_id_kind, mutation_digest, job_id = _mutation_prologue(
+        table, predicate, assignments, operation, job_id
+    )
     if not hit:
         return parent, set(), [], {}
-
-    # declared doc_id type class, so the bloom probe hashes keys down
-    # the same path the sidecar builder used for the column
-    _doc_t = declared.get("doc_id", "")
-    doc_id_kind = (
-        "int"
-        if _doc_t.startswith(("int", "uint"))
-        else ("string" if "string" in _doc_t else None)
-    )
 
     t0 = time.perf_counter()
     # capped fan-out: COW rewrites are pure copies that anti-scale past
@@ -567,70 +587,35 @@ def _run_mutation_dv(
     no) DV, so time travel and pinned readers are untouched."""
     import dataclasses
 
-    if _fs.is_process_local(table.table_dir):
-        raise ValueError(
-            f"{operation} writes sidecars from Ray worker processes; "
-            "memory:// is process-local — use a shared protocol"
-        )
-    if not predicate:
-        raise ValueError(f"{operation} requires a predicate (refusing full-table match)")
-    parent = table.latest_version()
-    m = table.manifest(parent)
-    defaults = m.column_defaults
-
-    import hashlib as _hl
-    import json as _json
-    import uuid as _uuid
-
-    has_callable = any(kind == "fn" for kind, _, _ in (assignments or {}).values())
-    spec_ident = [
-        "dv",  # a COW run at the same parent must never share records
-        [list(p) for p in predicate],
-        sorted(
-            (k, kind, str(spec) if kind == "scalar" else getattr(spec, "__qualname__", "fn"), ts)
-            for k, (kind, spec, ts) in (assignments or {}).items()
-        ),
-    ]
-    if has_callable and job_id is None:
-        spec_ident.append(_uuid.uuid4().hex)
-    mutation_digest = _hl.md5(
-        _json.dumps(spec_ident, default=str).encode()
-    ).hexdigest()[:16]
-    job_id = job_id or f"{operation}-v{parent}-{mutation_digest[:8]}"
-
-    declared = {n: t for n, t in zip(m.schema_names, m.schema_types)}
-    for col, _, _ in predicate:
-        if declared and col not in declared:
-            raise ValueError(f"predicate column {col!r} is not in the table schema")
-    pad_cols = [
-        (c, declared[c], defaults.get(c))
-        for c in sorted({p[0] for p in predicate} | set(assignments or ()))
-        if c in declared
-    ]
-    hit = [f for f in m.fragments if _fragment_hit(m, f, predicate, defaults)]
+    parent, m, pad_cols, hit, doc_id_kind, mutation_digest, job_id = _mutation_prologue(
+        table, predicate, assignments, operation, job_id, marker="dv"
+    )
     if not hit:
         return parent
 
-    _doc_t = declared.get("doc_id", "")
-    doc_id_kind = (
-        "int"
-        if _doc_t.startswith(("int", "uint"))
-        else ("string" if "string" in _doc_t else None)
-    )
-
     t0 = time.perf_counter()
-    # no copy cap: these tasks read predicate columns and write tiny
-    # sidecars — they are not memory-bus-bound copies
-    records = ray.get(
-        [
-            _dv_mutate_task.remote(
-                table.table_dir, job_id, i, f.path, f.dv_path, f.cols,
-                predicate, pad_cols, assignments,
-                table.config.bloom_bits_per_key, mutation_digest, doc_id_kind,
-            )
-            for i, f in enumerate(hit)
-        ]
-    )
+    from fupi_ray.ops import _fanout
+
+    task_args = [
+        (
+            table.table_dir, job_id, i, f.path, f.dv_path, f.cols,
+            predicate, pad_cols, assignments,
+            table.config.bloom_bits_per_key, mutation_digest, doc_id_kind,
+        )
+        for i, f in enumerate(hit)
+    ]
+    if assignments is None:
+        # DELETE tasks read predicate columns and write tiny sidecars —
+        # not memory-bus-bound copies, no cap needed
+        records = ray.get([_dv_mutate_task.remote(*a) for a in task_args])
+    else:
+        # UPDATE tasks read whole fragments and write replacement rows:
+        # the same copy shape the COW path caps at bus saturation
+        records = _fanout.run_capped(
+            _dv_mutate_task,
+            task_args,
+            _fanout.copy_concurrency_cap(table.config.memcpy_max_concurrency),
+        )
     changed = [
         (f, r) for f, r in zip(hit, records) if not r["metrics"].get("unchanged")
     ]

@@ -113,6 +113,13 @@ class Table:
     """A versioned Parquet table with explicit manifests."""
 
     def __init__(self, table_dir: str, config: EngineConfig | None = None):
+        # absolutize local dirs up front: worker tasks and the DETACHED
+        # commit actor run with their own cwd, so a relative table_dir
+        # would scatter manifests/fragments across process working
+        # directories (and a fork manifest would record dangling
+        # relative references)
+        if not _fs.is_uri(table_dir):
+            table_dir = os.path.abspath(table_dir)
         self.table_dir = table_dir
         self.config = config or DEFAULT_CONFIG
 
@@ -125,6 +132,10 @@ class Table:
         config: EngineConfig | None = None,
     ) -> "Table":
         """Create an empty table (manifest v0, no fragments)."""
+        if not _fs.is_uri(table_dir):
+            # same normalization __init__ applies: the commit actor and
+            # worker tasks have their own cwd
+            table_dir = os.path.abspath(table_dir)
         # URI-safe: os.makedirs on a scheme:// path would create a
         # literal "file:" directory relative to the cwd.
         _fs.makedirs(mf.data_dir(table_dir))
@@ -411,20 +422,26 @@ class Table:
                     if c not in set(read_cols) and declared is not None
                     and c in declared.names
                 ]
-            file_cols = (
-                [c for c in read_cols + mask_cols if c not in missing]
-                if read_cols is not None
-                else None
-            )
+            # mask-only columns are PER BRANCH: the plain read needs
+            # them only when the predicate runs in memory (no
+            # pushdown); the DV read always evaluates in memory. A
+            # shared column list would leak null-padded mask columns
+            # out of the pushdown branch and union mismatched schemas.
+            plain_mask_cols = [] if pushdown else mask_cols
 
-            def make_pad(apply_pred: bool):
+            def branch_cols(mcols: list[str]) -> list[str] | None:
+                if read_cols is None:
+                    return None
+                return [c for c in read_cols + mcols if c not in missing]
+
+            def make_pad(apply_pred: bool, mcols: list[str]):
                 """Normalize a batch to the declared shape: fill
                 evolution-missing columns, optionally evaluate the
                 predicate in memory, drop mask-only columns."""
                 defaults = dict(m.column_defaults)
                 fields = [
                     (c, declared.field(c).type, defaults.get(c))
-                    for c in read_cols + mask_cols
+                    for c in read_cols + mcols
                 ]
                 pred = list(predicate) if (predicate and apply_pred) else None
 
@@ -442,12 +459,13 @@ class Table:
                     out = pa.table(cols_out)
                     if pred:
                         out = out.filter(mf.predicate_mask(out, pred))
-                    return out.select(read_cols) if mask_cols else out
+                    return out.select(read_cols) if mcols else out
 
                 return pad
 
             parts: list[ray.data.Dataset] = []
             if paths:
+                file_cols = branch_cols(plain_mask_cols)
                 if file_cols is not None:
                     kwargs["columns"] = file_cols
                 if pushdown:
@@ -473,16 +491,17 @@ class Table:
                     kwargs["filesystem"] = filesystem
                     paths = [_fs.get_fs(p)[1] for p in paths]
                 ds = ray.data.read_parquet(paths, **kwargs)
-                if missing or (mask_cols and not pushdown):
+                if missing or plain_mask_cols:
                     ds = ds.map_batches(
-                        make_pad(apply_pred=not pushdown), batch_format="pyarrow"
+                        make_pad(apply_pred=not pushdown, mcols=plain_mask_cols),
+                        batch_format="pyarrow",
                     )
                 parts.append(ds)
             if dv_frags:
                 from fupi_ray.ops import dv as _dv
 
                 dds = _dv.dv_fragments_dataset(
-                    self.table_dir, dv_frags, columns=file_cols
+                    self.table_dir, dv_frags, columns=branch_cols(mask_cols)
                 )
                 # the predicate ALWAYS runs in memory here — file-level
                 # pushdown would shift the positions the mask needs
@@ -490,7 +509,7 @@ class Table:
                     declared is not None and read_cols is not None
                 ):
                     dds = dds.map_batches(
-                        make_pad(apply_pred=bool(predicate)),
+                        make_pad(apply_pred=bool(predicate), mcols=mask_cols),
                         batch_format="pyarrow",
                     )
                 elif predicate:

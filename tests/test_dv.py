@@ -221,3 +221,15 @@ def test_cow_mutation_on_dv_fragment_applies_mask_first(tbl):
     }
     assert rewritten  # something was rewritten
     assert not any(f.dv_path for f in m.fragments if f.path in rewritten)
+
+
+def test_mixed_scan_never_leaks_mask_columns(tbl):
+    """Regression: with DV'd and plain fragments in one scan, a
+    predicate on a non-projected column must not leak that column (or
+    union mismatched schemas) out of the pushdown branch."""
+    df = full_df(tbl)
+    victim = df.doc_id.iloc[10]
+    delete_where(tbl, [("doc_id", "=", victim)], mode="dv")
+    out = tbl.scan(columns=["doc_id"], predicate=[("n_tok", ">", 500)]).to_pandas()
+    assert list(out.columns) == ["doc_id"]
+    assert len(out) == int(((df.n_tok > 500) & (df.doc_id != victim)).sum())

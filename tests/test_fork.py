@@ -112,3 +112,15 @@ def test_fork_name_collision_refused(src, tmp_path):
     fork_table(src, str(tmp_path / "dev"), name="dev")
     with pytest.raises(ValueError, match="already pins"):
         fork_table(src, str(tmp_path / "dev2"), name="dev")
+
+
+def test_fork_from_relative_source_dir(tmp_path, monkeypatch):
+    """Regression: a fork of a table opened via a RELATIVE path must
+    store absolute references (worker tasks and the detached commit
+    actor have their own cwd)."""
+    write_fragmented_table(str(tmp_path / "src"), 500, rows_per_fragment=250, config=CFG)
+    monkeypatch.chdir(tmp_path)
+    fork = fork_table(Table.open("src"), "dev", name="dev")
+    n = fork.scan().count()
+    monkeypatch.chdir("/")
+    assert Table.open(str(tmp_path / "dev")).scan().count() == n == 500
