@@ -63,6 +63,13 @@ def main(argv=None) -> int:
     )
     p.add_argument("--curve", default="zorder", choices=["zorder", "hilbert"])
     p.add_argument("--keep-last", type=int, default=2)
+    p.add_argument(
+        "--older-than",
+        type=float,
+        default=None,
+        help="expire: keep every version committed within this many "
+        "seconds, even past --keep-last (time-based retention)",
+    )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(
         "--rows-per-fragment",
@@ -206,7 +213,11 @@ def main(argv=None) -> int:
             out["compacted_version"] = compact(t)
     elif args.op == "expire":
         t = Table.open(args.table)
-        out.update(expire_snapshots(t, keep_last=args.keep_last))
+        out.update(
+            expire_snapshots(
+                t, keep_last=args.keep_last, older_than_seconds=args.older_than
+            )
+        )
     elif args.op in ("add-column", "drop-column"):
         from fupi_ray import manifest as mf_
         from fupi_ray.ops import add_column, drop_column

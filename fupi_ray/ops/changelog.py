@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -125,27 +126,66 @@ def changelog(
     if not net:
         return ds
 
+    # Netting exchange: ONE coarse bucket shuffle (same pattern as the
+    # exact-dedup and hash-join ops), then fully-vectorized run-length
+    # netting inside each bucket. Grouping by the row key itself would
+    # hand map_groups one PYTHON CALLBACK PER DISTINCT ROW — measured
+    # ~20s for a 2-fragment window at 2M rows; the bucketed form nets
+    # the same window in the cost of one sort per ~128MB bucket.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nbuckets = int(
+        max(cpus, (ds.size_bytes() or 0) // (128 * 1024 * 1024), 1)
+    )
+
     def add_key(batch: pa.Table) -> pa.Table:
         key = _content_key(batch, out_cols).astype(np.int64) & np.int64(
             0x7FFFFFFFFFFFFFFF
         )
-        return batch.append_column("_row_key", pa.array(key, pa.int64()))
+        batch = batch.append_column("_row_key", pa.array(key, pa.int64()))
+        return batch.append_column(
+            "_bucket", pa.array((key % nbuckets).astype(np.int32))
+        )
 
-    def net_group(g: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ct = g[CHANGE_COL]
-        n_ins = int(pc.sum(pc.equal(ct, "insert")).as_py() or 0)
-        n_del = g.num_rows - n_ins
-        keep_type = "insert" if n_ins > n_del else "delete"
-        k = abs(n_ins - n_del)
-        out = g.filter(pc.equal(ct, keep_type)).slice(0, k)
-        return out.drop_columns(["_row_key"])
+    def net_bucket(g: pa.Table) -> pa.Table:
+        keys = g["_row_key"].to_numpy()
+        sign = np.where(
+            pc.equal(g[CHANGE_COL], "insert").to_numpy(zero_copy_only=False), 1, -1
+        ).astype(np.int64)
+        order = np.argsort(keys, kind="stable")
+        k, s = keys[order], sign[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        net = np.add.reduceat(s, starts)
+        cnt = np.diff(np.r_[starts, len(k)])
+        run_of = np.repeat(np.arange(len(starts)), cnt)
+        # cnt<=2 runs (the overwhelmingly common CDC shape: a row key
+        # appears once per side at most): net==0 cancels both rows,
+        # net!=0 keeps every row of the run — the survivors are all the
+        # majority type, |net| of them, exactly the netting contract
+        keep = (net != 0)[run_of]
+        heavy = cnt > 2
+        if heavy.any():
+            # duplicate-content rows (cnt>2) are rare: slice |net| rows
+            # of the majority type per heavy run, plain loop over RUNS
+            maj = np.where(net > 0, 1, -1)
+            rank = np.arange(len(k)) - starts[run_of]  # position in run
+            is_maj = s == maj[run_of]
+            maj_rank = np.zeros(len(k), dtype=np.int64)
+            for r in np.flatnonzero(heavy):
+                lo, hi = starts[r], starts[r] + cnt[r]
+                maj_rank[lo:hi] = np.cumsum(is_maj[lo:hi]) - 1
+            keep = np.where(
+                heavy[run_of],
+                is_maj & (maj_rank < np.abs(net)[run_of]) & (net != 0)[run_of],
+                keep,
+            )
+            del rank
+        out = g.take(pa.array(order[keep]))
+        return out.drop_columns(["_row_key", "_bucket"])
 
     return (
         ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_row_key")
-        .map_groups(net_group, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(net_bucket, batch_format="pyarrow")
     )
 
 

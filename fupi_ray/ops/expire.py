@@ -34,16 +34,22 @@ def expire_snapshots(
     gc_grace_seconds: float = DEFAULT_GC_GRACE_SECONDS,
     versions: list[int] | None = None,
     clear_stale_lineage_seconds: float | None = None,
+    older_than_seconds: float | None = None,
 ) -> dict:
     """Drop old versions and GC unreferenced fragments.
 
     ``versions`` names explicit versions to expire (refused if pinned);
     otherwise all versions except the trailing ``keep_last`` and any
-    pinned ones are expired. Fragments recorded in lineage (awaiting a
-    ``--job-id`` resume) are treated as live; pass
-    ``clear_stale_lineage_seconds`` to first drop lineage namespaces
-    whose newest record is older than that (abandoned jobs), letting
-    their outputs be GC'd. Returns a summary dict.
+    pinned ones are expired. ``older_than_seconds`` adds the time-based
+    retention tier (Iceberg's ``expire_snapshots(older_than=...)``):
+    versions committed within the window are kept EVEN past keep_last —
+    it only ever widens retention, so timestamp time travel
+    (``scan(as_of_unix=)``) stays answerable across the window.
+    Fragments recorded in lineage (awaiting a ``--job-id`` resume) are
+    treated as live; pass ``clear_stale_lineage_seconds`` to first drop
+    lineage namespaces whose newest record is older than that
+    (abandoned jobs), letting their outputs be GC'd. Returns a summary
+    dict.
     """
     keep_last = table.config.expire_keep_last if keep_last is None else keep_last
     all_versions = table.versions()
@@ -64,6 +70,12 @@ def expire_snapshots(
         keep = set(all_versions[-keep_last:]) if keep_last > 0 else set()
         keep.add(latest)
         keep |= pins
+        if older_than_seconds is not None:
+            cutoff = time.time() - older_than_seconds
+            for v in all_versions:
+                # header-only read: no shard member lists for retention
+                if mf.read_manifest_header(table.table_dir, v).created_unix >= cutoff:
+                    keep.add(v)
         dead = set(all_versions) - keep
 
     # drop dead manifests (fs helpers route scheme:// through fsspec,

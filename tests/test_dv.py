@@ -233,3 +233,22 @@ def test_mixed_scan_never_leaks_mask_columns(tbl):
     out = tbl.scan(columns=["doc_id"], predicate=[("n_tok", ">", 500)]).to_pandas()
     assert list(out.columns) == ["doc_id"]
     assert len(out) == int(((df.n_tok > 500) & (df.doc_id != victim)).sum())
+
+
+def test_expire_older_than_widens_retention(tbl):
+    """Time-based retention: versions inside the window survive even
+    past keep_last, so timestamp time travel stays answerable."""
+    import time as _t
+
+    from fupi_ray.ops import delete_where as _dw
+
+    _dw(tbl, [("n_tok", "<", 100)], mode="dv")
+    _dw(tbl, [("n_tok", ">", 900)], mode="dv")
+    all_vs = tbl.versions()
+    res = expire_snapshots(tbl, keep_last=1, older_than_seconds=3600.0)
+    # everything was committed seconds ago → nothing expired
+    assert res["expired_versions"] == []
+    assert tbl.versions() == all_vs
+    # without the window, keep_last=1 drops the old ones
+    res = expire_snapshots(tbl, keep_last=1, older_than_seconds=0.0)
+    assert res["expired_versions"] != []

@@ -308,3 +308,31 @@ class TestApplyChangelog:
         assert full_df(dst, v).equals(before)
         # the watermark commit still makes the retry a no-op
         assert apply_changelog(tbl, dst, from_version=v1, to_version=v1) == v
+
+
+def test_changelog_netting_duplicate_content_rows(tmp_path):
+    """Heavy-run netting: a row whose full content appears MULTIPLE
+    times must net by multiset difference — |inserts - deletes| copies
+    of the majority type survive."""
+    import pyarrow as pa
+    import ray.data
+
+    from fupi_ray.ops.changelog import changelog
+
+    def mk(n_dup: int):
+        rows = {
+            "doc_id": ["dup"] * n_dup + ["solo"],
+            "tokens": [[1, 2, 3]] * n_dup + [[9]],
+            "n_tok": [3] * n_dup + [1],
+            "source": ["cc"] * (n_dup + 1),
+        }
+        return ray.data.from_arrow(pa.table(rows))
+
+    t = Table.create(str(tmp_path / "t"), config=CFG)
+    v1 = t.commit_append(mk(4))  # 4 identical 'dup' rows + 1 solo
+    v2 = t.commit_overwrite(mk(1))  # 1 'dup' row + the same solo
+    cl = changelog(t, v1, v2).to_pandas()
+    counts = cl.groupby("change_type").size().to_dict()
+    # solo cancels; dup nets 4 deletes vs 1 insert -> 3 deletes
+    assert counts == {"delete": 3}, counts
+    assert (cl.doc_id == "dup").all()
