@@ -74,13 +74,24 @@ def changelog(
     shared = [c for c in out_cols if c in from_cols]
 
     # fragment identity includes the deletion vector: a DV-only delete
-    # keeps the Parquet path but changes the fragment's LOGICAL rows,
-    # so the (path, dv) pair lands on both sides of the diff and
-    # netting cancels the surviving rows, leaving the deleted ones
-    from_keys = {(f.path, f.dv_path) for f in from_m.fragments}
-    to_keys = {(f.path, f.dv_path) for f in to_m.fragments}
-    added = {p for p, _ in to_keys - from_keys}
-    removed = {p for p, _ in from_keys - to_keys}
+    # keeps the Parquet path but changes the fragment's LOGICAL rows.
+    # A pair whose PATH survived with a different DV takes the exact
+    # fast path below (the net delta IS the position diff — no content
+    # hashing, no shuffle); a path on only one side goes through the
+    # scan + netting pipeline.
+    from_by_path = {f.path: f for f in from_m.fragments}
+    to_by_path = {f.path: f for f in to_m.fragments}
+    added = {
+        p for p in to_by_path if p not in from_by_path
+    }
+    removed = {
+        p for p in from_by_path if p not in to_by_path
+    }
+    dv_pairs = [
+        (from_by_path[p], to_by_path[p])
+        for p in from_by_path.keys() & to_by_path.keys()
+        if from_by_path[p].dv_path != to_by_path[p].dv_path
+    ]
 
     def tag(label: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -102,6 +113,7 @@ def changelog(
         return fn
 
     parts = []
+    exact_parts = []  # already-net rows: bypass the netting shuffle
     if added:
         parts.append(
             table.scan(to_version, columns=out_cols, paths_subset=added).map_batches(
@@ -114,17 +126,95 @@ def changelog(
                 from_version, columns=shared, paths_subset=removed
             ).map_batches(tag("delete"), batch_format="pyarrow")
         )
-    if not parts:
+    if dv_pairs:
+        # DV-only fast path: positions added to the DV are deletes,
+        # positions removed from it (rollback) are re-inserts. One
+        # fragment read per pair, taking ONLY the changed positions —
+        # O(changed rows), no content hashing, already net.
+        items = [
+            {
+                "path": old.path,
+                "old_dv": old.dv_path or "",
+                "new_dv": new.dv_path or "",
+                # columns to READ: requested columns the file carries in
+                # their CURRENT incarnation (evolution-padded / stale
+                # re-added columns are filled by tag(), never read raw)
+                "cols": ",".join(
+                    c for c in out_cols if new.has_column(c, to_m.column_ids)
+                ),
+            }
+            for old, new in dv_pairs
+        ]
+        table_dir = table.table_dir
+
+        def dv_delta(batch: pa.Table) -> pa.Table:
+            from fupi_ray.ops import dv as _dvmod
+            from fupi_ray.state import fs as _fs
+
+            outs = []
+            for path, old_rel, new_rel, cols in zip(
+                batch["path"].to_pylist(),
+                batch["old_dv"].to_pylist(),
+                batch["new_dv"].to_pylist(),
+                batch["cols"].to_pylist(),
+            ):
+                old_pos = (
+                    _dvmod.read_dv(table_dir, old_rel)
+                    if old_rel
+                    else np.empty(0, np.uint64)
+                )
+                new_pos = (
+                    _dvmod.read_dv(table_dir, new_rel)
+                    if new_rel
+                    else np.empty(0, np.uint64)
+                )
+                deleted = np.setdiff1d(new_pos, old_pos, assume_unique=True)
+                restored = np.setdiff1d(old_pos, new_pos, assume_unique=True)
+                if not len(deleted) and not len(restored):
+                    continue
+                tbl = _fs.read_parquet_table(
+                    _fs.join(table_dir, path),
+                    columns=cols.split(",") if cols else None,
+                )
+                if len(deleted):
+                    outs.append(
+                        tag("delete")(tbl.take(pa.array(deleted.astype(np.int64))))
+                    )
+                if len(restored):
+                    outs.append(
+                        tag("insert")(tbl.take(pa.array(restored.astype(np.int64))))
+                    )
+            if not outs:
+                schema = pa.schema(
+                    [table.schema(to_version).field(c) for c in out_cols]
+                    + [pa.field(CHANGE_COL, pa.string())]
+                )
+                return schema.empty_table()
+            return pa.concat_tables(outs, promote_options="default")
+
+        exact_parts.append(
+            ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+                dv_delta, batch_format="pyarrow"
+            )
+        )
+    if not parts and not exact_parts:
         schema = pa.schema(
             [table.schema(to_version).field(c) for c in out_cols]
             + [pa.field(CHANGE_COL, pa.string())]
         )
         return ray.data.from_arrow(schema.empty_table())
+    exact = None
+    if exact_parts:
+        exact = exact_parts[0]
+        for p in exact_parts[1:]:
+            exact = exact.union(p)
+    if not parts:
+        return exact  # dv-only window: the delta is exact by construction
     ds = parts[0]
     for p in parts[1:]:
         ds = ds.union(p)
     if not net:
-        return ds
+        return ds.union(exact) if exact is not None else ds
 
     # Netting exchange: ONE coarse bucket shuffle (same pattern as the
     # exact-dedup and hash-join ops), then fully-vectorized run-length
@@ -182,11 +272,12 @@ def changelog(
         out = g.take(pa.array(order[keep]))
         return out.drop_columns(["_row_key", "_bucket"])
 
-    return (
+    netted = (
         ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
         .map_groups(net_bucket, batch_format="pyarrow")
     )
+    return netted.union(exact) if exact is not None else netted
 
 
 def apply_changelog(

@@ -89,31 +89,28 @@ def _work_aggs(aggs: dict) -> dict[str, tuple[str, str]]:
     return work
 
 
-def _ray_aggs(aggs: dict[str, tuple[str, str]]):
+def _aggregate(ds: ray.data.Dataset, group_col: str, aggs: dict) -> pa.Table:
+    """Distributed grouped aggregation → one small Arrow table with the
+    view's output column names (affected-group-bounded, driver-safe).
+    Aggregate specs are deduplicated by (fn, col): two outputs backed
+    by the same physical aggregate (e.g. any count + the hidden _rows
+    count) share one computed column — Ray would otherwise suffix the
+    duplicate's result name (count()_2) out from under the lookup."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     mapping = {"count": Count, "sum": Sum, "min": Min, "max": Max}
-    out = []
-    for name, (fn, col) in aggs.items():
-        if fn == "mean":
-            continue  # computed from the hidden pair
-        agg = mapping[fn]() if fn == "count" else mapping[fn](col)
-        out.append((name, agg, fn, col))
-    return out
-
-
-def _aggregate(ds: ray.data.Dataset, group_col: str, aggs: dict) -> pa.Table:
-    """Distributed grouped aggregation → one small Arrow table with the
-    view's output column names (affected-group-bounded, driver-safe)."""
     work = _work_aggs(aggs)
-    specs = _ray_aggs(work)
-    res = ds.groupby(group_col).aggregate(*(a for _, a, _, _ in specs)).take_all()
+    uniq: dict[tuple[str, str], object] = {}
+    for _, (fn, col) in work.items():
+        if (fn, col) not in uniq:
+            uniq[(fn, col)] = mapping[fn]() if fn == "count" else mapping[fn](col)
+    res = ds.groupby(group_col).aggregate(*uniq.values()).take_all()
     cols: dict[str, list] = {group_col: []}
-    for name, _, _, _ in specs:
+    for name in work:
         cols[name] = []
     for row in res:
         cols[group_col].append(row[group_col])
-        for name, _, fn, col in specs:
+        for name, (fn, col) in work.items():
             key = "count()" if fn == "count" else f"{fn}({col})"
             cols[name].append(row[key])
     tbl = pa.table(cols)

@@ -252,3 +252,50 @@ def test_expire_older_than_widens_retention(tbl):
     # without the window, keep_last=1 drops the old ones
     res = expire_snapshots(tbl, keep_last=1, older_than_seconds=0.0)
     assert res["expired_versions"] != []
+
+
+def test_dv_changelog_fast_path_exact_rows(tbl):
+    """A DV-only window (same Parquet paths, new DV) must take the
+    position-diff fast path and return EXACTLY the deleted rows —
+    content-correct, no COW carry-over, no netting artifacts."""
+    before = full_df(tbl)
+    v0 = tbl.latest_version()
+    v1 = delete_where(tbl, [("n_tok", "between", (300, 350))], mode="dv")
+    # precondition: pure DV window — every path survived
+    p0 = {f.path for f in tbl.manifest(v0).fragments}
+    p1 = {f.path for f in tbl.manifest(v1).fragments}
+    assert p1 <= p0
+    cdc = changelog(tbl, v0, v1).to_pandas()
+    assert (cdc.change_type == "delete").all()
+    cdc["tokens"] = cdc["tokens"].map(
+        lambda a: tuple(a.tolist() if hasattr(a, "tolist") else a)
+    )
+    got = (
+        cdc.drop(columns=["change_type"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        before[before.n_tok.between(300, 350)]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_dv_changelog_rollback_restores_as_inserts(tbl):
+    """Rolling back a DV delete shrinks the DV: the changelog across
+    the rollback window must surface the restored rows as inserts."""
+    from fupi_ray.ops import rollback
+
+    before = full_df(tbl)
+    v0 = tbl.latest_version()
+    v1 = delete_where(tbl, [("source", "=", "books")], mode="dv")
+    v2 = rollback(tbl, v0)
+    n_books = int((before.source == "books").sum())
+    cdc = changelog(tbl, v1, v2).to_pandas()
+    assert (cdc.change_type == "insert").all()
+    assert len(cdc) == n_books
+    assert set(cdc.source) == {"books"}
+    # and the full round trip nets to nothing
+    assert changelog(tbl, v0, v2).count() == 0
