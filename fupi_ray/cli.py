@@ -115,8 +115,8 @@ def main(argv=None) -> int:
         "--mode",
         default="cow",
         choices=["cow", "dv"],
-        help="delete/update: cow rewrites hit fragments; dv records a "
-        "deletion-vector sidecar (merge-on-read, O(deleted rows) write)",
+        help="delete/update/merge: cow rewrites hit fragments; dv records "
+        "a deletion-vector sidecar (merge-on-read, O(changed rows) write)",
     )
     p.add_argument("--view", help="matview/refresh-view: view table dir")
     p.add_argument("--fork-dir", help="fork/drop-fork: the fork's table dir")
@@ -208,7 +208,7 @@ def main(argv=None) -> int:
 
         t = Table.open(args.table)
         src = ray.data.read_parquet(args.source)
-        out["version"] = merge_into(t, src, job_id=args.job_id)
+        out["version"] = merge_into(t, src, job_id=args.job_id, mode=args.mode)
         if args.auto_compact:
             out["compacted_version"] = compact(t)
     elif args.op == "expire":

@@ -137,6 +137,125 @@ def _dedup_source(source: ray.data.Dataset, num_buckets: int) -> ray.data.Datase
     )
 
 
+def _probe_keys(
+    ids: np.ndarray, key_hashes: np.ndarray, key_bytes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Membership of each ``doc_id`` in the broadcast key set: sorted-
+    hash ``searchsorted`` probe, then exact utf-8 byte confirmation on
+    hash hits so collisions between distinct keys cannot match a wrong
+    row. Returns ``(matched bool mask, id hashes)`` — the hashes are
+    reused by callers (bloom sidecar rebuild)."""
+    id_hashes = stable_hash(ids)
+    lo = np.searchsorted(key_hashes, id_hashes, side="left")
+    hi = np.searchsorted(key_hashes, id_hashes, side="right")
+    matched = np.zeros(len(ids), dtype=bool)
+    ci = np.nonzero(hi > lo)[0]
+    if len(ci):
+        # scan the FULL run of equal hashes (hash collisions between
+        # distinct doc_ids would otherwise hide the second key): runs
+        # are length 1 almost always, so this loops over the max run
+        # width, vectorized across rows at each width
+        ids_b = np.char.encode(ids[ci].astype(str), "utf-8")
+        run_lo, run_hi = lo[ci], hi[ci]
+        width = int((run_hi - run_lo).max())
+        hit = np.zeros(len(ci), dtype=bool)
+        for w in range(width):
+            sel = run_lo + w < run_hi
+            if not sel.any():
+                break
+            idx = np.minimum(run_lo + w, len(key_bytes) - 1)
+            hit |= sel & (key_bytes[idx] == ids_b)
+        matched[ci] = hit
+    return matched, id_hashes
+
+
+@ray.remote(num_cpus=1)
+def _dv_merge_task(
+    table_dir: str,
+    job_id: str,
+    frag_idx: int,
+    rel_path: str,
+    dv_rel: str | None,
+    read_cols: list[str] | None,
+    keys_ref,
+    keys_digest: str | None,
+) -> dict:
+    """Merge-on-read half of MERGE INTO, one hit fragment: probe ONLY
+    the key column (+ n_tok for exact token accounting) against the
+    broadcast source keys and record matched row POSITIONS in a new
+    deletion-vector sidecar. The Parquet payload is never read or
+    rewritten — a merge whose source touches k rows in this fragment
+    costs O(key-column bytes) read + O(k) written, vs the COW task's
+    O(fragment bytes) both ways. Idempotent via lineage, keyed on the
+    key-set digest AND the input DV."""
+    from fupi_ray.ops import dv as _dvmod
+
+    partition = f"frag-{frag_idx:05d}"
+    existing = lineage.read_record(table_dir, job_id, partition)
+    if (
+        existing is not None
+        and existing.get("input_fragments") == [rel_path]
+        and existing.get("metrics", {}).get("keys_digest") == keys_digest
+        and existing.get("metrics", {}).get("input_dv", "") == (dv_rel or "")
+    ):
+        return existing
+
+    t0 = time.perf_counter()
+    abs_path = _fs.join(table_dir, rel_path)
+
+    def record(metrics: dict) -> dict:
+        metrics.update(
+            {
+                "seconds": round(time.perf_counter() - t0, 4),
+                "keys_digest": keys_digest,
+                "input_dv": dv_rel or "",
+            }
+        )
+        lineage.write_record(
+            table_dir,
+            job_id,
+            partition,
+            input_fragments=[rel_path],
+            output_fragments=[],
+            metrics=metrics,
+        )
+        return lineage.read_record(table_dir, job_id, partition)
+
+    key_hashes, key_bytes = keys_ref
+    blob = bloom.read_sidecar(abs_path)
+    if blob is not None and not bloom.may_contain_any(blob, key_hashes):
+        return record({"rows_matched": 0, "unchanged": True, "bloom_skip": True})
+
+    tbl = _fs.read_parquet_table(abs_path, columns=read_cols)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    matched, _ = _probe_keys(ids, key_hashes, key_bytes)
+    matched_pos = np.flatnonzero(matched).astype(np.uint64)
+    old_pos = (
+        _dvmod.read_dv(table_dir, dv_rel) if dv_rel else np.empty(0, np.uint64)
+    )
+    new_pos = np.setdiff1d(matched_pos, old_pos, assume_unique=True)
+    if len(new_pos) == 0:
+        return record({"rows_matched": 0, "unchanged": True})
+
+    merged = np.union1d(old_pos, new_pos)
+    full_delete = len(merged) == tbl.num_rows
+    n_tok_delta = 0
+    if "n_tok" in tbl.column_names:
+        taken = tbl.column("n_tok").take(pa.array(new_pos.astype(np.int64)))
+        n_tok_delta = int(pc.sum(taken).as_py() or 0)
+    dv_out = None if full_delete else _dvmod.write_dv(table_dir, rel_path, merged)
+    return record(
+        {
+            "rows_matched": int(len(new_pos)),
+            "unchanged": False,
+            "dv_path": dv_out,
+            "dv_rows_total": int(len(merged)),
+            "dv_n_tok_delta": n_tok_delta,
+            "full_delete": bool(full_delete),
+        }
+    )
+
+
 @ray.remote(num_cpus=1)
 def _rewrite_fragment_task(
     table_dir: str,
@@ -206,27 +325,7 @@ def _rewrite_fragment_task(
 
         tbl = _dv.apply_dv(tbl, _dv.read_dv(table_dir, dv_rel))
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-    id_hashes = stable_hash(ids)
-    lo = np.searchsorted(key_hashes, id_hashes, side="left")
-    hi = np.searchsorted(key_hashes, id_hashes, side="right")
-    matched = np.zeros(len(ids), dtype=bool)
-    ci = np.nonzero(hi > lo)[0]
-    if len(ci):
-        # scan the FULL run of equal hashes (hash collisions between
-        # distinct doc_ids would otherwise hide the second key): runs
-        # are length 1 almost always, so this loops over the max run
-        # width, vectorized across rows at each width
-        ids_b = np.char.encode(ids[ci].astype(str), "utf-8")
-        run_lo, run_hi = lo[ci], hi[ci]
-        width = int((run_hi - run_lo).max())
-        hit = np.zeros(len(ci), dtype=bool)
-        for w in range(width):
-            sel = run_lo + w < run_hi
-            if not sel.any():
-                break
-            idx = np.minimum(run_lo + w, len(key_bytes) - 1)
-            hit |= sel & (key_bytes[idx] == ids_b)
-        matched[ci] = hit
+    matched, id_hashes = _probe_keys(ids, key_hashes, key_bytes)
     out = tbl.filter(pa.array(~matched))
 
     outputs: list[FragmentMeta] = []
@@ -337,14 +436,206 @@ def _merge_shuffle(
     )
 
 
+def _merge_dv_shuffle_positions(
+    table: Table,
+    hit_frags: list[FragmentMeta],
+    deduped: ray.data.Dataset,
+    num_buckets: int,
+    job_id: str,
+) -> dict[str, dict]:
+    """Scale path of the merge-on-read MERGE: discover matched target
+    row positions WITHOUT broadcasting the key set. Per hit fragment,
+    read only the key column (+ n_tok) with physical positions
+    attached; bucket both sides by ``hash(doc_id)``; one exchange of
+    key-sized rows resolves membership; a second tiny groupby on
+    fragment path writes one deletion-vector sidecar per matched
+    fragment. Total I/O is O(key-column bytes + matched rows) — the
+    Parquet payloads never move."""
+    from fupi_ray.ops import dv as _dvmod
+
+    table_dir = table.table_dir
+    items = [
+        {
+            "path": f.path,
+            "dv": f.dv_path or "",
+            "cols": ",".join(
+                ("doc_id", "n_tok")
+                if f.cols is None
+                else [c for c in f.cols if c in ("doc_id", "n_tok")]
+            ),
+        }
+        for f in hit_frags
+    ]
+    key_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("_path", pa.string()),
+            ("_pos", pa.int64()),
+            ("_ntok", pa.int64()),
+            ("_src", pa.int8()),
+        ]
+    )
+
+    def read_keys(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p, d, cols in zip(
+            batch["path"].to_pylist(),
+            batch["dv"].to_pylist(),
+            batch["cols"].to_pylist(),
+        ):
+            tbl = _fs.read_parquet_table(
+                _fs.join(table_dir, p), columns=cols.split(",")
+            )
+            pos = np.arange(tbl.num_rows, dtype=np.int64)
+            if d:
+                # rows already deleted by the existing DV can't re-match
+                mask = _dvmod.live_mask(tbl.num_rows, _dvmod.read_dv(table_dir, d))
+                tbl = tbl.filter(pa.array(mask))
+                pos = pos[mask]
+            ntok = (
+                tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+                if "n_tok" in tbl.column_names
+                else np.zeros(len(pos), np.int64)
+            )
+            outs.append(
+                pa.table(
+                    {
+                        "doc_id": tbl["doc_id"].cast(pa.string()),
+                        "_path": pa.array([p] * len(pos), pa.string()),
+                        "_pos": pa.array(pos),
+                        "_ntok": pa.array(ntok),
+                        "_src": pa.array(np.zeros(len(pos), np.int8)),
+                    }
+                )
+            )
+        if not outs:
+            return key_schema.empty_table()
+        return pa.concat_tables(outs, promote_options="default")
+
+    tgt = ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        read_keys, batch_format="pyarrow"
+    )
+
+    def tag_src(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.string()),
+                "_path": pa.array([""] * n, pa.string()),
+                "_pos": pa.array(np.zeros(n, np.int64)),
+                "_ntok": pa.array(np.zeros(n, np.int64)),
+                "_src": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    src = deduped.select_columns(["doc_id"]).map_batches(
+        tag_src, batch_format="pyarrow"
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (stable_hash(batch["doc_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    both = tgt.union(src).map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    match_schema = pa.schema(
+        [("_path", pa.string()), ("_pos", pa.int64()), ("_ntok", pa.int64())]
+    )
+
+    def match(g: pa.Table) -> pa.Table:
+        is_src = g["_src"].to_numpy(zero_copy_only=False) == 1
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        src_ids = np.unique(ids[is_src])
+        if not len(src_ids) or is_src.all():
+            return match_schema.empty_table()
+        tgt_ids = ids[~is_src]
+        li = np.searchsorted(src_ids, tgt_ids, side="left")
+        li = np.minimum(li, len(src_ids) - 1)
+        hit = src_ids[li] == tgt_ids
+        if not hit.any():
+            return match_schema.empty_table()
+        sub = g.filter(pa.array(~is_src)).filter(pa.array(hit))
+        return sub.select(["_path", "_pos", "_ntok"])
+
+    matched = both.groupby("_bucket").map_groups(match, batch_format="pyarrow")
+
+    # per-fragment facts the DV writer needs; ray.put once — a million-
+    # fragment table would otherwise pickle the dict into every task
+    info_ref = ray.put(
+        {f.path: (f.dv_path or "", f.rows) for f in hit_frags}
+    )
+    res_schema = pa.schema(
+        [
+            ("_path", pa.string()),
+            ("dv_path", pa.string()),
+            ("dv_rows_total", pa.int64()),
+            ("rows_matched", pa.int64()),
+            ("dv_n_tok_delta", pa.int64()),
+            ("full_delete", pa.bool_()),
+        ]
+    )
+
+    def write_dvs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return res_schema.empty_table()
+        info = ray.get(info_ref)
+        path = g["_path"][0].as_py()
+        dv_rel, phys_rows = info[path]
+        new_pos = np.unique(g["_pos"].to_numpy(zero_copy_only=False)).astype(
+            np.uint64
+        )
+        old = (
+            _dvmod.read_dv(table_dir, dv_rel) if dv_rel else np.empty(0, np.uint64)
+        )
+        merged = np.union1d(old, new_pos)
+        full = len(merged) == phys_rows
+        ntok_delta = int(pc.sum(g["_ntok"]).as_py() or 0)
+        dv_out = "" if full else _dvmod.write_dv(table_dir, path, merged)
+        return pa.table(
+            {
+                "_path": [path],
+                "dv_path": [dv_out],
+                "dv_rows_total": [len(merged)],
+                "rows_matched": [g.num_rows],
+                "dv_n_tok_delta": [ntok_delta],
+                "full_delete": [full],
+            },
+            schema=res_schema,
+        )
+
+    rows = matched.groupby("_path").map_groups(
+        write_dvs, batch_format="pyarrow"
+    ).take_all()
+    return {
+        r["_path"]: {
+            "dv_path": r["dv_path"] or None,
+            "dv_rows_total": int(r["dv_rows_total"]),
+            "rows_matched": int(r["rows_matched"]),
+            "dv_n_tok_delta": int(r["dv_n_tok_delta"]),
+            "full_delete": bool(r["full_delete"]),
+        }
+        for r in rows
+    }
+
+
 def merge_into(
     table: Table,
     source: ray.data.Dataset,
     job_id: str | None = None,
     strategy: str = "auto",
+    mode: str = "cow",
 ) -> int:
     """Upsert ``source`` into ``table`` on ``doc_id``; returns the new
-    version. ``strategy``: "broadcast", "shuffle" or "auto"."""
+    version. ``strategy``: "broadcast", "shuffle" or "auto".
+
+    ``mode="cow"`` (default) rewrites hit fragments without the
+    matched rows; ``mode="dv"`` masks the matched rows behind
+    deletion-vector sidecars instead — the merge writes O(source +
+    matched positions) bytes, never O(hit-fragment bytes), which is
+    the only shape that stays cheap when a small upsert lands on a
+    100 TB table. Scans pay a transient per-fragment mask until
+    compaction materializes the DVs (``ops/compact.py``)."""
     if _fs.is_process_local(table.table_dir):
         raise ValueError(
             "merge_into rewrites fragments from Ray worker processes; "
@@ -409,6 +700,14 @@ def merge_into(
     )
 
     m = table.manifest(parent)
+
+    if mode == "dv":
+        return _merge_into_dv(
+            table, deduped, n_src, parent, job_id, strategy, num_buckets,
+            tbl_schema, fill_missing, rows_per_frag, m, phase_t, mark,
+        )
+    if mode != "cow":
+        raise ValueError(f"unknown merge mode {mode!r} (cow | dv)")
 
     if strategy == "broadcast":
         key_df = deduped.select_columns(["doc_id"]).to_pandas()
@@ -546,4 +845,151 @@ def merge_into(
 
     return table.commit_fragment_swap(
         removed, new_frags, operation="merge", expected_parent=parent, properties=stats
+    )
+
+
+def _merge_into_dv(
+    table: Table,
+    deduped: ray.data.Dataset,
+    n_src: int,
+    parent: int,
+    job_id: str,
+    strategy: str,
+    num_buckets: int,
+    tbl_schema: pa.Schema,
+    fill_missing: dict,
+    rows_per_frag: int,
+    m,
+    phase_t: dict,
+    mark,
+) -> int:
+    """Driver half of the merge-on-read MERGE INTO: matched target
+    rows become deletion-vector positions (broadcast probe of the key
+    column, or the position-join exchange above the broadcast budget);
+    source rows land as new fragments; one atomic manifest swap
+    replaces hit fragments' metas with DV-carrying copies. Old
+    snapshots keep pointing at the old (or no) DV — time travel and
+    pinned readers are untouched."""
+    import dataclasses
+
+    cfg = table.config
+
+    def probeable(f: FragmentMeta) -> bool:
+        # a fragment that physically lacks doc_id (pre-evolution) or
+        # has no rows can never match a source key
+        return f.rows > 0 and (f.cols is None or "doc_id" in f.cols)
+
+    candidates = [f for f in m.fragments if probeable(f)]
+
+    if strategy == "broadcast":
+        key_df = deduped.select_columns(["doc_id"]).to_pandas()
+        keys = np.sort(key_df["doc_id"].to_numpy(dtype=object))
+        if len(keys) == 0:
+            return parent
+        h = stable_hash(keys)
+        order = np.argsort(h, kind="stable")
+        key_bytes = np.char.encode(keys[order].astype(str), "utf-8")
+        keys_ref = ray.put((h[order], key_bytes))
+        import hashlib as _hl
+
+        keys_digest = _hl.md5(h[order].tobytes()).hexdigest()[:16]
+        mark("collect_keys")
+
+        hit = []
+        for f in candidates:
+            zm = f.zone_map.get("doc_id")
+            if zm is None:
+                hit.append(f)
+                continue
+            lo_i = np.searchsorted(keys, zm["min"], side="left")
+            if lo_i < len(keys) and keys[lo_i] <= zm["max"]:
+                hit.append(f)
+        # key-column reads + tiny sidecar writes: not memory-bus-bound
+        # copies, no fan-out cap needed (same shape as the DV DELETE)
+        records = ray.get(
+            [
+                _dv_merge_task.remote(
+                    table.table_dir,
+                    job_id,
+                    i,
+                    f.path,
+                    f.dv_path,
+                    None
+                    if f.cols is None
+                    else [c for c in f.cols if c in ("doc_id", "n_tok")],
+                    keys_ref,
+                    keys_digest,
+                )
+                for i, f in enumerate(hit)
+            ]
+        )
+        mark("dv_probe")
+        per_path = {
+            f.path: r["metrics"]
+            for f, r in zip(hit, records)
+            if not r["metrics"].get("unchanged")
+        }
+        extra = {
+            "strategy": "broadcast",
+            "source_keys": int(len(keys)),
+            "fragments_hit": len(hit),
+            "fragments_bloom_skipped": sum(
+                1 for r in records if r["metrics"].get("bloom_skip")
+            ),
+        }
+    else:
+        per_path = _merge_dv_shuffle_positions(
+            table, candidates, deduped, num_buckets, job_id
+        )
+        mark("dv_position_join")
+        extra = {"strategy": "shuffle", "fragments_hit": len(candidates)}
+
+    frag_by_path = {f.path: f for f in m.fragments}
+    removed: set[str] = set()
+    added: list[FragmentMeta] = []
+    rows_matched = 0
+    for path, met in per_path.items():
+        f = frag_by_path[path]
+        removed.add(path)
+        rows_matched += int(met["rows_matched"])
+        if not met.get("full_delete"):
+            added.append(
+                dataclasses.replace(
+                    f,
+                    dv_path=met["dv_path"],
+                    dv_rows=int(met["dv_rows_total"]),
+                    dv_n_tok=f.dv_n_tok + int(met["dv_n_tok_delta"]),
+                )
+            )
+
+    src_frags = write_dataset_fragments(
+        deduped.map_batches(
+            lambda b: normalize_batch(b, tbl_schema, fill_missing),
+            batch_format="pyarrow",
+        ),
+        table.table_dir,
+        f"mg-{job_id}-src",
+        target_fragment_rows=rows_per_frag,
+        bloom_bits=cfg.bloom_bits_per_key,
+        row_group_rows=cfg.row_group_rows,
+    )
+    mark("write_source")
+    stats = {
+        "mode": "dv",
+        "phase_seconds": phase_t,
+        "rows_matched": int(rows_matched),
+        "fragments_dv": sum(
+            1 for met in per_path.values() if not met.get("full_delete")
+        ),
+        "fragments_dropped": sum(
+            1 for met in per_path.values() if met.get("full_delete")
+        ),
+        **extra,
+    }
+    return table.commit_fragment_swap(
+        removed,
+        added + src_frags,
+        operation="merge",
+        expected_parent=parent,
+        properties=stats,
     )

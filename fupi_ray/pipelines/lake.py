@@ -197,6 +197,45 @@ UNION ALL SELECT b.* FROM base b WHERE b.doc_id NOT IN (SELECT doc_id FROM upd)
 """
 
 
+def q_lake_merge_dv(sf_dir: str):
+    """The same upsert as ``q_lake_merge`` through ``mode="dv"``:
+    matched target rows are masked by deletion-vector sidecars instead
+    of rewritten — the scan result (and the SQL oracle) must be
+    IDENTICAL to the copy-on-write twin while no surviving pre-merge
+    Parquet path is rewritten (asserted inline)."""
+    t = _build(sf_dir, "merge_dv")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def mk_source(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        upd_m = ids % 3 == 0
+        ins_m = ids % 5 == 0
+        upd = sequences_batch(
+            ids[upd_m], n[upd_m] + 7, ["merged"] * int(upd_m.sum()), salt=101
+        )
+        ins = sequences_batch(
+            ids[ins_m] + 1_000_000, n[ins_m] + 3, ["inserted"] * int(ins_m.sum()), salt=102
+        )
+        both = pa.concat_tables([upd, ins])
+        order = pc.cast(pc.utf8_slice_codeunits(both["doc_id"], 4, 99), pa.int64())
+        return both.append_column("_src_order", order)
+
+    src = docs.map_batches(mk_source, batch_format="pyarrow")
+    parent_paths = {f.path for f in t.manifest().fragments}
+    v = merge_into(t, src, strategy="broadcast", mode="dv")
+    m = t.manifest(v)
+    surviving = {f.path for f in m.fragments} & parent_paths
+    assert surviving, "dv merge rewrote every target fragment"
+    assert any(f.dv_path for f in m.fragments), "dv merge wrote no deletion vector"
+    return canonical_scan(t)
+
+
+SQL_LAKE_MERGE_DV = SQL_LAKE_MERGE
+
+
 def q_lake_evolve(sf_dir: str):
     """Schema evolution as a query: build → metadata-only
     ``add_column('quality', double, default=0.5)`` → MERGE a source

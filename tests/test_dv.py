@@ -299,3 +299,110 @@ def test_dv_changelog_rollback_restores_as_inserts(tbl):
     assert set(cdc.source) == {"books"}
     # and the full round trip nets to nothing
     assert changelog(tbl, v0, v2).count() == 0
+
+
+# -- MERGE INTO mode="dv" ----------------------------------------------------
+
+
+def _merge_oracle_df(base: pd.DataFrame, src) -> pd.DataFrame:
+    """pandas oracle: keep-first dedup of source by _src_order, then
+    last-write-wins upsert over the LIVE base rows."""
+    s = src.to_pandas() if hasattr(src, "to_pandas") else src
+    s = s.sort_values("_src_order").drop_duplicates("doc_id").drop(columns=["_src_order"])
+    s["tokens"] = s["tokens"].map(
+        lambda a: tuple(a.tolist() if hasattr(a, "tolist") else a)
+    )
+    keep = base[~base.doc_id.isin(set(s.doc_id))]
+    out = pd.concat([keep, s[base.columns.tolist()]], ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_merge_dv_matches_cow_golden(tbl, strategy):
+    import pyarrow as pa
+    import ray.data
+
+    from fupi_ray.fixtures import generate_rows
+
+    before = full_df(tbl)
+    upd = generate_rows(100, 80, token_salt=7)
+    ins = generate_rows(5_000_000, 40)
+    src = pa.concat_tables([upd, ins])
+    src = src.append_column(
+        "_src_order", pa.array(np.arange(src.num_rows, dtype=np.int64))
+    )
+    parent_paths = {f.path for f in tbl.manifest().fragments}
+    v = merge_into(tbl, ray.data.from_arrow(src), strategy=strategy, mode="dv")
+    got = full_df(tbl, v)
+    want = _merge_oracle_df(before, src)
+    pd.testing.assert_frame_equal(got, want)
+    m = tbl.manifest(v)
+    props = m.properties
+    assert props["mode"] == "dv" and props["strategy"] == strategy
+    assert props["rows_matched"] == 80
+    # merge-on-read: every surviving pre-merge path is UNREWRITTEN —
+    # the only new Parquet is the source fragments
+    old_side = {f.path for f in m.fragments if f.path in parent_paths}
+    new_side = {f.path for f in m.fragments} - parent_paths
+    assert old_side and new_side
+    assert any(f.dv_path for f in m.fragments if f.path in parent_paths)
+    # time travel: the parent still shows the pre-merge rows
+    pd.testing.assert_frame_equal(full_df(tbl, m.parent_version), before)
+
+
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_merge_dv_stacks_on_dv_delete(tbl, strategy):
+    """A DV merge over fragments that already carry a DV unions the
+    positions; rows deleted earlier never re-match, never resurrect,
+    and the matched count covers only LIVE rows."""
+    import pyarrow as pa
+    import ray.data
+
+    from fupi_ray.fixtures import generate_rows
+
+    # doc ids are doc-%012d: delete docs 0..49 via DV first
+    delete_where(tbl, [("doc_id", "<", "doc-000000000050")], mode="dv")
+    before = full_df(tbl)
+    assert len(before) == 2_000 - 50
+    # source overlaps 30 deleted ids (0..29) and 40 live ids (100..139)
+    src = pa.concat_tables(
+        [generate_rows(0, 30, token_salt=3), generate_rows(100, 40, token_salt=3)]
+    )
+    src = src.append_column("_src_order", pa.array(np.arange(70, dtype=np.int64)))
+    v = merge_into(tbl, ray.data.from_arrow(src), strategy=strategy, mode="dv")
+    got = full_df(tbl, v)
+    want = _merge_oracle_df(before, src)
+    pd.testing.assert_frame_equal(got, want)
+    # only the 40 live overlapping rows matched; the 30 dead ones were
+    # already masked and must not double-count
+    assert tbl.manifest(v).properties["rows_matched"] == 40
+
+
+def test_merge_dv_write_amplification_is_source_sized(tmp_path):
+    """The DV merge must not rewrite target Parquet: bytes of new
+    .parquet under data/ ≈ source size, not hit-fragment size."""
+    import pyarrow as pa
+    import ray.data
+
+    from fupi_ray.fixtures import generate_rows
+
+    t = write_fragmented_table(str(tmp_path / "big"), 4_000, rows_per_fragment=500, config=CFG)
+    pre = {n for n in _fs.ls_names(f"{t.table_dir}/data") if n.endswith(".parquet")}
+    src = generate_rows(0, 4_000, token_salt=1).filter(
+        pa.array([i % 400 == 0 for i in range(4_000)])
+    )  # 10 updates spread across every fragment
+    src = src.append_column("_src_order", pa.array(np.arange(src.num_rows, dtype=np.int64)))
+    v = merge_into(t, ray.data.from_arrow(src), strategy="broadcast", mode="dv")
+    post = {n for n in _fs.ls_names(f"{t.table_dir}/data") if n.endswith(".parquet")}
+    new_parquet = post - pre
+    m = t.manifest(v)
+    live_new = {f.path.rsplit("/", 1)[-1] for f in m.fragments} - {
+        p.rsplit("/", 1)[-1] for p in pre
+    }
+    # every REFERENCED new parquet is a source fragment (mg-*-src)
+    assert live_new and all(n.startswith("mg-") and "-src" in n for n in live_new)
+    # the 8 hit fragments each got a DV, none was rewritten
+    assert sum(1 for f in m.fragments if f.dv_path) == m.properties["fragments_dv"]
+    assert m.properties["rows_matched"] == 10
+    # pure-update merge: row count is unchanged
+    assert t.scan(v).count() == 4_000
