@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_cluster": lake.q_lake_cluster,
         "lake_merge": lake.q_lake_merge,
         "lake_merge_dv": lake.q_lake_merge_dv,
+        "lake_merge_delete": lake.q_lake_merge_delete,
         "lake_evolve": lake.q_lake_evolve,
         "lake_expire": lake.q_lake_expire,
         "lake_delete": lake.q_lake_delete,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,
         "lake_merge_dv": lake.SQL_LAKE_MERGE_DV,
+        "lake_merge_delete": lake.SQL_LAKE_MERGE_DELETE,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,
         "lake_expire": lake.SQL_LAKE_EXPIRE,
         "lake_delete": lake.SQL_LAKE_DELETE,

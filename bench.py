@@ -174,6 +174,28 @@ def run_bench() -> dict:
 
     timed("merge", do_merge)
 
+    # the same-sized upsert merge-on-read: matched rows become
+    # deletion-vector positions, source lands as new fragments, and no
+    # hit fragment is rewritten — the wall-time gap vs `merge` above IS
+    # the COW write amplification on this table
+    merge_dv_stats = {}
+
+    def do_merge_dv():
+        n_upd = bench_rows // 10
+        upd = sequences_dataset(n_upd, rows_per_partition=10_000, token_salt=6)
+        ins = sequences_dataset(
+            bench_rows // 20, rows_per_partition=10_000, start=bench_rows + 2_000_000
+        )
+        v = merge_into(table, upd.union(ins), strategy="auto", mode="dv")
+        props = table.manifest(v).properties
+        merge_dv_stats.update(
+            rows_matched=props.get("rows_matched"),
+            fragments_dv=props.get("fragments_dv"),
+            strategy=props.get("strategy"),
+        )
+
+    timed("merge_dv", do_merge_dv)
+
     # point DELETE: bloom sidecars let the COW rewrite skip every
     # fragment that provably lacks the key — rewrite work is O(hits),
     # not O(zone-overlapping fragments)
@@ -242,12 +264,17 @@ def run_bench() -> dict:
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
+        "merge_dv_phases": None,
     }
     for v in reversed(table.versions()):
         props = table.manifest(v).properties
         ph = props.get("phase_seconds")
-        if ph and props.get("strategy") and phase_detail["merge_phases"] is None:
-            phase_detail["merge_phases"] = ph
+        if ph and props.get("strategy"):
+            slot = (
+                "merge_dv_phases" if props.get("mode") == "dv" else "merge_phases"
+            )
+            if phase_detail[slot] is None:
+                phase_detail[slot] = ph
         if ph and props.get("curve") and phase_detail["cluster_phases"] is None:
             phase_detail["cluster_phases"] = ph
 
@@ -292,6 +319,7 @@ def run_bench() -> dict:
         "prune": prune_stats,
         "bloom": bloom_stats,
         "dv": dv_stats,
+        "merge_dv": merge_dv_stats,
         "matview": mv_stats,
         "copy_cap": {"measured": probe_cap, "probe_seconds": probe_seconds},
     }

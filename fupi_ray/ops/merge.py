@@ -364,12 +364,16 @@ def _merge_shuffle(
     rows_per_frag: int | None = None,
     tbl_schema: pa.Schema | None = None,
     fill_missing: dict | None = None,
+    when_matched: str = "update",
 ) -> list[FragmentMeta]:
     """Scale path: both sides tagged + bucketed by hash(doc_id); a
     source row wins over the target row of the same key inside each
     bucket. One all-to-all exchange, vectorized resolution per bucket.
     DV'd target fragments read through the masked per-fragment path
-    (ops/dv.py) so already-deleted rows never re-enter the resolve."""
+    (ops/dv.py) so already-deleted rows never re-enter the resolve.
+    ``when_matched="delete"``: a key present on the source side drops
+    the WHOLE key group (no source row is ever emitted), so the source
+    may be key-only — it is projected to ``doc_id`` before the tag."""
     from fupi_ray.ops import dv as _dvmod
 
     target = _dvmod.fragments_dataset(table.table_dir, hit_frags)
@@ -413,14 +417,27 @@ def _merge_shuffle(
         keep = np.ones(len(ids), dtype=bool)
         if len(ids) > 1:
             keep[1:] = ids[1:] != ids[:-1]
+        if when_matched == "delete":
+            # the first row of a matched key is the source tombstone:
+            # keeping only first-of-key TARGET rows deletes the key
+            keep &= g["_prio"].to_numpy(zero_copy_only=False) == 1
         return g.filter(pa.array(keep)).drop_columns(["_bucket", "_prio"])
 
     # the dedup shuffle returns list columns as Ray tensor-extension
     # arrays; normalize so union blocks share one schema
     norm = lambda b: normalize_batch(b, tbl_schema, fill_missing)  # noqa: E731
+    if when_matched == "delete":
+        # tombstones carry only the key; tag() null-pads the rest of
+        # the schema (those rows are never emitted by resolve)
+        src_side = deduped.select_columns(["doc_id"]).map_batches(
+            tag(0), batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        src_side = deduped.map_batches(norm, batch_format="pyarrow").map_batches(
+            tag(0), batch_format="pyarrow", zero_copy_batch=True
+        )
     merged = (
-        deduped.map_batches(norm, batch_format="pyarrow")
-        .map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        src_side
         .union(target.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True))
         .groupby("_bucket")
         .map_groups(resolve, batch_format="pyarrow")
@@ -625,6 +642,7 @@ def merge_into(
     job_id: str | None = None,
     strategy: str = "auto",
     mode: str = "cow",
+    when_matched: str = "update",
 ) -> int:
     """Upsert ``source`` into ``table`` on ``doc_id``; returns the new
     version. ``strategy``: "broadcast", "shuffle" or "auto".
@@ -635,7 +653,19 @@ def merge_into(
     matched positions) bytes, never O(hit-fragment bytes), which is
     the only shape that stays cheap when a small upsert lands on a
     100 TB table. Scans pay a transient per-fragment mask until
-    compaction materializes the DVs (``ops/compact.py``)."""
+    compaction materializes the DVs (``ops/compact.py``).
+
+    ``when_matched="update"`` (default) is the upsert: matched target
+    rows are replaced by their source rows and unmatched source rows
+    are inserted. ``when_matched="delete"`` applies the source as a
+    TOMBSTONE FEED (``MERGE ... WHEN MATCHED THEN DELETE``): matched
+    target rows are removed, NO source row is ever written, and the
+    source may carry only ``doc_id`` — the CDC shape for applying an
+    upstream delete stream. Unmatched source keys are ignored."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"unknown when_matched {when_matched!r} (update | delete)"
+        )
     if _fs.is_process_local(table.table_dir):
         raise ValueError(
             "merge_into rewrites fragments from Ray worker processes; "
@@ -705,6 +735,7 @@ def merge_into(
         return _merge_into_dv(
             table, deduped, n_src, parent, job_id, strategy, num_buckets,
             tbl_schema, fill_missing, rows_per_frag, m, phase_t, mark,
+            when_matched,
         )
     if mode != "cow":
         raise ValueError(f"unknown merge mode {mode!r} (cow | dv)")
@@ -771,22 +802,26 @@ def merge_into(
             for fm in lineage.output_fragments(rec)
         ]
 
-        src_frags = write_dataset_fragments(
-            deduped.map_batches(
-                lambda b: normalize_batch(b, tbl_schema, fill_missing),
-                batch_format="pyarrow",
-            ),
-            table.table_dir,
-            f"mg-{job_id}-src",
-            target_fragment_rows=rows_per_frag,
-            bloom_bits=cfg.bloom_bits_per_key,
-            row_group_rows=cfg.row_group_rows,
-        )
-        mark("write_source")
+        if when_matched == "delete":
+            src_frags = []  # tombstone feed: matched rows drop, nothing lands
+        else:
+            src_frags = write_dataset_fragments(
+                deduped.map_batches(
+                    lambda b: normalize_batch(b, tbl_schema, fill_missing),
+                    batch_format="pyarrow",
+                ),
+                table.table_dir,
+                f"mg-{job_id}-src",
+                target_fragment_rows=rows_per_frag,
+                bloom_bits=cfg.bloom_bits_per_key,
+                row_group_rows=cfg.row_group_rows,
+            )
+            mark("write_source")
         removed = {f.path for f in hit}
         new_frags = survivors + src_frags
         stats = {
             "strategy": "broadcast",
+            "when_matched": when_matched,
             "phase_seconds": phase_t,
             "source_keys": int(len(keys)),
             "fragments_hit": len(hit),
@@ -833,16 +868,20 @@ def merge_into(
             rows_per_frag=merged_rows_per_frag,
             tbl_schema=tbl_schema,
             fill_missing=fill_missing,
+            when_matched=when_matched,
         )
         mark("shuffle_resolve")
         removed = {f.path for f in hit}
         stats = {
             "strategy": "shuffle",
+            "when_matched": when_matched,
             "phase_seconds": phase_t,
             "fragments_hit": len(hit),
             "fragments_untouched": len(m.fragments) - len(hit),
         }
 
+    if when_matched == "delete" and not removed and not new_frags:
+        return parent  # tombstone feed matched nothing: no-op, no commit
     return table.commit_fragment_swap(
         removed, new_frags, operation="merge", expected_parent=parent, properties=stats
     )
@@ -862,6 +901,7 @@ def _merge_into_dv(
     m,
     phase_t: dict,
     mark,
+    when_matched: str = "update",
 ) -> int:
     """Driver half of the merge-on-read MERGE INTO: matched target
     rows become deletion-vector positions (broadcast probe of the key
@@ -869,7 +909,9 @@ def _merge_into_dv(
     source rows land as new fragments; one atomic manifest swap
     replaces hit fragments' metas with DV-carrying copies. Old
     snapshots keep pointing at the old (or no) DV — time travel and
-    pinned readers are untouched."""
+    pinned readers are untouched. ``when_matched="delete"`` writes the
+    DVs but NO source fragments: the cheapest possible delete stream —
+    O(matched positions) bytes end to end."""
     import dataclasses
 
     cfg = table.config
@@ -962,20 +1004,24 @@ def _merge_into_dv(
                 )
             )
 
-    src_frags = write_dataset_fragments(
-        deduped.map_batches(
-            lambda b: normalize_batch(b, tbl_schema, fill_missing),
-            batch_format="pyarrow",
-        ),
-        table.table_dir,
-        f"mg-{job_id}-src",
-        target_fragment_rows=rows_per_frag,
-        bloom_bits=cfg.bloom_bits_per_key,
-        row_group_rows=cfg.row_group_rows,
-    )
-    mark("write_source")
+    if when_matched == "delete":
+        src_frags = []
+    else:
+        src_frags = write_dataset_fragments(
+            deduped.map_batches(
+                lambda b: normalize_batch(b, tbl_schema, fill_missing),
+                batch_format="pyarrow",
+            ),
+            table.table_dir,
+            f"mg-{job_id}-src",
+            target_fragment_rows=rows_per_frag,
+            bloom_bits=cfg.bloom_bits_per_key,
+            row_group_rows=cfg.row_group_rows,
+        )
+        mark("write_source")
     stats = {
         "mode": "dv",
+        "when_matched": when_matched,
         "phase_seconds": phase_t,
         "rows_matched": int(rows_matched),
         "fragments_dv": sum(
@@ -986,6 +1032,8 @@ def _merge_into_dv(
         ),
         **extra,
     }
+    if when_matched == "delete" and not removed and not src_frags:
+        return parent  # tombstone feed matched nothing: no-op, no commit
     return table.commit_fragment_swap(
         removed,
         added + src_frags,

@@ -236,6 +236,39 @@ def q_lake_merge_dv(sf_dir: str):
 SQL_LAKE_MERGE_DV = SQL_LAKE_MERGE
 
 
+def q_lake_merge_delete(sf_dir: str):
+    """MERGE ... WHEN MATCHED THEN DELETE as a query: the source is a
+    key-only tombstone feed (doc_id % 7 = 0, plus keys that don't
+    exist); matched rows vanish via deletion vectors, nothing is
+    inserted, unmatched tombstones are ignored. The shuffle strategy is
+    forced so the position-join scale path gets a driver-oracle row."""
+    t = _build(sf_dir, "merge_del")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def mk_tombstones(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hit = ids[ids % 7 == 0]
+        ghost = ids[ids % 11 == 0] + 5_000_000  # never existed
+        return pa.table({"doc_id": _doc_id_str(np.concatenate([hit, ghost]))})
+
+    src = docs.map_batches(mk_tombstones, batch_format="pyarrow")
+    n_before = t.scan().count()
+    v = merge_into(t, src, strategy="shuffle", mode="dv", when_matched="delete")
+    m = t.manifest(v)
+    assert m.properties["when_matched"] == "delete"
+    assert not any("-src" in f.path for f in m.fragments), "tombstone merge inserted rows"
+    assert t.scan(v).count() < n_before
+    return canonical_scan(t)
+
+
+SQL_LAKE_MERGE_DELETE = f"""
+SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok
+FROM documents WHERE doc_id % 7 <> 0
+"""
+
+
 def q_lake_evolve(sf_dir: str):
     """Schema evolution as a query: build → metadata-only
     ``add_column('quality', double, default=0.5)`` → MERGE a source

@@ -406,3 +406,61 @@ def test_merge_dv_write_amplification_is_source_sized(tmp_path):
     assert m.properties["rows_matched"] == 10
     # pure-update merge: row count is unchanged
     assert t.scan(v).count() == 4_000
+
+
+# -- MERGE INTO when_matched="delete" (tombstone feed) ------------------------
+
+
+@pytest.mark.parametrize("mode", ["cow", "dv"])
+@pytest.mark.parametrize("strategy", ["broadcast", "shuffle"])
+def test_merge_tombstone_feed(tbl, mode, strategy):
+    """WHEN MATCHED THEN DELETE: a key-only source removes matched
+    rows, inserts nothing, ignores unmatched keys — identical results
+    through all four (mode x strategy) paths."""
+    import pyarrow as pa
+    import ray.data
+
+    before = full_df(tbl)
+    # 120 live keys + 30 keys that don't exist in the table
+    ids = [f"doc-{i:012d}" for i in range(40, 160)] + [
+        f"doc-{i:012d}" for i in range(9_000_000, 9_000_030)
+    ]
+    src = pa.table({"doc_id": pa.array(ids, pa.string())})
+    v = merge_into(
+        tbl, ray.data.from_arrow(src), strategy=strategy, mode=mode,
+        when_matched="delete",
+    )
+    got = full_df(tbl, v)
+    want = before[~before.doc_id.isin(set(ids))].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 2_000 - 120
+    props = tbl.manifest(v).properties
+    assert props["when_matched"] == "delete"
+    if mode == "dv":
+        assert props["mode"] == "dv"
+        # no source fragment was written — pure sidecar bytes
+        assert not any("-src" in f.path for f in tbl.manifest(v).fragments)
+    # unmatched tombstones do not resurrect as rows anywhere
+    assert not set(got.doc_id) & {f"doc-{i:012d}" for i in range(9_000_000, 9_000_030)}
+
+
+def test_merge_tombstone_no_match_is_noop(tbl):
+    import pyarrow as pa
+    import ray.data
+
+    v0 = tbl.latest_version()
+    src = pa.table({"doc_id": pa.array(["doc-999999999999"], pa.string())})
+    v = merge_into(
+        tbl, ray.data.from_arrow(src), strategy="broadcast", mode="dv",
+        when_matched="delete",
+    )
+    assert v == v0  # nothing matched: no commit at all
+
+
+def test_merge_when_matched_validated(tbl):
+    import pyarrow as pa
+    import ray.data
+
+    src = pa.table({"doc_id": pa.array(["doc-000000000001"], pa.string())})
+    with pytest.raises(ValueError, match="when_matched"):
+        merge_into(tbl, ray.data.from_arrow(src), when_matched="upsert")
