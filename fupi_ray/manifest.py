@@ -63,12 +63,21 @@ class FragmentMeta:
     # sum of n_tok over DELETED rows (keeps total_tokens exact without
     # a rewrite); 0 when no DV or the file has no n_tok column
     dv_n_tok: int = 0
+    # physical column types (name -> display form) at write time.
+    # Exists for type widening: a fragment written before
+    # ``widen_column`` keeps the NARROW physical type; scans cast it
+    # to the declared type per batch. None = physical types match the
+    # declared schema (the overwhelmingly common case — kept out of
+    # the manifest so pre-widen manifests stay byte-identical).
+    col_types: dict[str, str] | None = None
 
     def to_dict(self) -> dict:
         d = asdict(self)
         if self.dv_path is None:
             # keep pre-DV manifests byte-identical (and small)
             d.pop("dv_path"), d.pop("dv_rows"), d.pop("dv_n_tok")
+        if self.col_types is None:
+            d.pop("col_types")
         return d
 
     @staticmethod
@@ -84,6 +93,7 @@ class FragmentMeta:
             dv_path=d.get("dv_path"),
             dv_rows=int(d.get("dv_rows", 0)),
             dv_n_tok=int(d.get("dv_n_tok", 0)),
+            col_types=d.get("col_types"),
         )
 
     @property
@@ -99,11 +109,40 @@ class FragmentMeta:
         of declared column ``name``? Id-aware when both sides have ids;
         name-based for legacy metas; True (conservative: a footer read
         will settle it) when the meta predates the ``cols`` field."""
+        return self.physical_name(name, manifest_ids) is not None
+
+    def physical_name(self, name: str, manifest_ids: dict[str, int]) -> str | None:
+        """The FILE column name carrying declared column ``name``, or
+        None if the fragment physically lacks it. Usually ``name``
+        itself; differs after ``rename_column`` (Iceberg-style: the
+        field id survives the rename, so an old fragment serves the
+        renamed column under its original file name until the fragment
+        is next rewritten)."""
         if self.col_ids is not None and name in manifest_ids:
-            return self.col_ids.get(name) == manifest_ids[name]
+            want = manifest_ids[name]
+            if self.col_ids.get(name) == want:
+                return name
+            for phys, fid in self.col_ids.items():
+                if fid == want:
+                    return phys
+            return None
         if self.cols is not None:
-            return name in self.cols
-        return True
+            return name if name in self.cols else None
+        return name  # legacy meta: conservative (footer read settles it)
+
+    def rename_map(self, manifest_ids: dict[str, int]) -> dict[str, str]:
+        """physical file name -> declared name, for every column whose
+        field id survives under a different declared name; {} when
+        nothing is renamed (the common case, checked cheaply)."""
+        if not self.col_ids:
+            return {}
+        id_to_decl = {i: n for n, i in manifest_ids.items()}
+        out = {}
+        for phys, fid in self.col_ids.items():
+            decl = id_to_decl.get(fid)
+            if decl is not None and decl != phys:
+                out[phys] = decl
+        return out
 
 
 @dataclass
@@ -561,13 +600,39 @@ def _scalar(v):
     return v
 
 
+def frag_recon(f: FragmentMeta, manifest_ids: dict) -> dict | None:
+    """Per-fragment schema reconciliation for COW rewrite tasks: the
+    rename map (file name -> declared name) and the physical-type
+    stamp. None (no task-arg overhead) in the overwhelmingly common
+    aligned case."""
+    rmap = f.rename_map(manifest_ids)
+    if not rmap and not f.col_types:
+        return None
+    return {"rmap": rmap, "col_types": f.col_types or {}}
+
+
+def apply_rename(tbl: pa.Table, rmap: dict[str, str]) -> pa.Table:
+    """Rename raw-read file columns to their declared names (zero-copy
+    metadata operation). ``rmap`` comes from
+    ``FragmentMeta.rename_map`` — {} short-circuits."""
+    if not rmap:
+        return tbl
+    return tbl.rename_columns([rmap.get(n, n) for n in tbl.column_names])
+
+
 def fragment_meta_from_table(
-    tbl: pa.Table, path_abs: str, rel_path: str
+    tbl: pa.Table,
+    path_abs: str,
+    rel_path: str,
+    col_types: dict[str, str] | None = None,
 ) -> FragmentMeta:
     """Compute fragment metadata from the in-memory table just written.
 
     Zone map = min/max of the pruning columns; ``sum_n_tok`` feeds
     bytes/token accounting for bin-packing and throughput metrics.
+    ``col_types`` passes through the INPUT fragment's physical-type
+    stamp when a rewrite copies narrow pre-widen data verbatim
+    (merge/mutate COW tasks); filtered to columns actually written.
     """
     zone: dict[str, dict[str, Any]] = {}
     for col in ZONE_MAP_COLUMNS:
@@ -577,6 +642,11 @@ def fragment_meta_from_table(
     sum_n_tok = 0
     if "n_tok" in tbl.column_names and tbl.num_rows:
         sum_n_tok = int(pc.sum(tbl.column("n_tok")).as_py() or 0)
+    kept_types = (
+        {c: t for c, t in col_types.items() if c in tbl.column_names}
+        if col_types
+        else None
+    )
     return FragmentMeta(
         path=rel_path,
         rows=tbl.num_rows,
@@ -584,6 +654,7 @@ def fragment_meta_from_table(
         sum_n_tok=sum_n_tok,
         zone_map=zone,
         cols=list(tbl.column_names),
+        col_types=kept_types or None,
     )
 
 

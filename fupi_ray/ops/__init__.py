@@ -1,7 +1,7 @@
 from fupi_ray.ops.changelog import apply_changelog, changelog
 from fupi_ray.ops.compact import compact
 from fupi_ray.ops.cluster import cluster
-from fupi_ray.ops.evolve import add_column, drop_column
+from fupi_ray.ops.evolve import add_column, drop_column, rename_column, widen_column
 from fupi_ray.ops.export import export_training_shards, read_export_manifest
 from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.fork import drop_fork, fork_base_version, fork_source, fork_table
@@ -37,6 +37,8 @@ __all__ = [
     "fork_table",
     "add_column",
     "drop_column",
+    "rename_column",
+    "widen_column",
     "delete_where",
     "expire_snapshots",
     "merge_into",

@@ -131,32 +131,51 @@ def changelog(
         # positions removed from it (rollback) are re-inserts. One
         # fragment read per pair, taking ONLY the changed positions —
         # O(changed rows), no content hashing, already net.
-        items = [
-            {
-                "path": old.path,
-                "old_dv": old.dv_path or "",
-                "new_dv": new.dv_path or "",
-                # columns to READ: requested columns the file carries in
-                # their CURRENT incarnation (evolution-padded / stale
-                # re-added columns are filled by tag(), never read raw)
-                "cols": ",".join(
-                    c for c in out_cols if new.has_column(c, to_m.column_ids)
-                ),
-            }
-            for old, new in dv_pairs
-        ]
+        import json as _json
+
+        items = []
+        for old, new in dv_pairs:
+            # columns to READ: requested columns the file carries in
+            # their CURRENT incarnation (evolution-padded / stale
+            # re-added columns are filled by tag(), never read raw) —
+            # by PHYSICAL file name, renamed back after the read
+            phys_cols, rmap = [], {}
+            for c in out_cols:
+                p = new.physical_name(c, to_m.column_ids)
+                if p is None:
+                    continue
+                phys_cols.append(p)
+                if p != c:
+                    rmap[p] = c
+            items.append(
+                {
+                    "path": old.path,
+                    "old_dv": old.dv_path or "",
+                    "new_dv": new.dv_path or "",
+                    "cols": ",".join(phys_cols),
+                    "rmap": _json.dumps(rmap),
+                }
+            )
         table_dir = table.table_dir
+        decl_types = {
+            c: table.schema(to_version).field(c).type for c in out_cols
+        }
 
         def dv_delta(batch: pa.Table) -> pa.Table:
             from fupi_ray.ops import dv as _dvmod
             from fupi_ray.state import fs as _fs
 
+            import json as _json
+
+            from fupi_ray import manifest as _mf
+
             outs = []
-            for path, old_rel, new_rel, cols in zip(
+            for path, old_rel, new_rel, cols, rmap_s in zip(
                 batch["path"].to_pylist(),
                 batch["old_dv"].to_pylist(),
                 batch["new_dv"].to_pylist(),
                 batch["cols"].to_pylist(),
+                batch["rmap"].to_pylist(),
             ):
                 old_pos = (
                     _dvmod.read_dv(table_dir, old_rel)
@@ -176,6 +195,15 @@ def changelog(
                     _fs.join(table_dir, path),
                     columns=cols.split(",") if cols else None,
                 )
+                tbl = _mf.apply_rename(tbl, _json.loads(rmap_s))
+                # pre-widen fragments carry the narrow physical type:
+                # cast to the declared type so every CDC block agrees
+                for ci, cn in enumerate(tbl.column_names):
+                    want = decl_types.get(cn)
+                    if want is not None and tbl.column(ci).type != want:
+                        tbl = tbl.set_column(
+                            ci, cn, tbl.column(ci).cast(want)
+                        )
                 if len(deleted):
                     outs.append(
                         tag("delete")(tbl.take(pa.array(deleted.astype(np.int64))))

@@ -154,6 +154,7 @@ def _plan_groups(fragments, group_bytes: int | None):
 def _sort_and_write(
     table: Table, group: list, enc_ref, curve: str, prefix: str,
     schema_info: tuple | None = None, cpu_limit: int | None = None,
+    manifest_ids: dict | None = None,
 ) -> list:
     """One bounded cluster job: read → key (actor pool) → sort → write
     one fragment per sorted output block (a contiguous curve-key range
@@ -186,8 +187,11 @@ def _sort_and_write(
 
         # DV-aware: deleted rows never enter the sort; their fragments
         # come out rewritten (clustering materializes deletion vectors)
+        # rename-aware: renamed columns come out under their declared
+        # names, so keying/normalization below see the current schema
         ds = _dvmod.fragments_dataset(
-            table.table_dir, group, override_num_blocks=int(nb)
+            table.table_dir, group, override_num_blocks=int(nb),
+            manifest_ids=manifest_ids,
         )
     if cpu_limit is not None:
         ds = _fanout.limit_dataset_cpu(ds, cpu_limit)
@@ -319,12 +323,16 @@ def cluster(
         # declared schema (zero overhead on the homogeneous fast path)
         schema_info = None
         if m.schema_names and any(
-            f.cols is not None and set(f.cols) != set(m.schema_names) for f in group
+            (
+                f.cols is not None and set(f.cols) != set(m.schema_names)
+            )
+            or f.col_types  # pre-widen fragment: normalize casts it wide
+            for f in group
         ):
             schema_info = (m.schema_names, m.schema_types, m.column_defaults)
         out = _sort_and_write(
             table, group, enc_ref, curve, f"cl-{job_id}-g{gi:04d}", schema_info,
-            cpu_limit=group_cpu_limit,
+            cpu_limit=group_cpu_limit, manifest_ids=m.column_ids,
         )
         lineage.write_record(
             table.table_dir,

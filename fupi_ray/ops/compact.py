@@ -90,6 +90,18 @@ def plan_compaction(
     return CompactionPlan(packs=packs, untouched=untouched)
 
 
+def _rename_ident(rename_maps: list[dict] | None) -> str:
+    """Lineage identity of the pack's rename reconciliation: a retry
+    after a rename_column must not reuse a pre-rename record (it would
+    re-commit fragments whose renamed column was dropped)."""
+    if not rename_maps or not any(rename_maps):
+        return ""
+    return ";".join(
+        ",".join(f"{k}>{v}" for k, v in sorted((rm or {}).items()))
+        for rm in rename_maps
+    )
+
+
 def _repack(
     table_dir: str,
     job_id: str,
@@ -101,6 +113,7 @@ def _repack(
     column_defaults: dict | None = None,
     bloom_bits: int | None = None,
     input_dv_rels: list | None = None,
+    input_rename_maps: list[dict] | None = None,
 ) -> dict:
     """Stream-merge one pack of small fragments into one fragment.
 
@@ -128,8 +141,11 @@ def _repack(
         # a different input set (or the same file to a NEWER deletion
         # vector) — reusing the stale outputs would silently
         # drop/duplicate rows
-        if existing.get("input_fragments") == input_rel_paths and (
-            existing.get("metrics", {}).get("input_dvs", "") == dv_ident
+        if (
+            existing.get("input_fragments") == input_rel_paths
+            and existing.get("metrics", {}).get("input_dvs", "") == dv_ident
+            and existing.get("metrics", {}).get("renames", "")
+            == _rename_ident(input_rename_maps)
         ):
             return existing
 
@@ -180,20 +196,24 @@ def _repack(
         buf: list[pa.Table] = []
         buf_rows = 0
 
+        written_schema = None
+
         def flush():
-            nonlocal writer, buf, buf_rows
+            nonlocal writer, buf, buf_rows, written_schema
             if not buf:
                 return
             tbl = pa.concat_tables(buf)
             if writer is None:
                 writer = pq.ParquetWriter(sink, tbl.schema)
+                written_schema = tbl.schema
             writer.write_table(tbl, row_group_size=row_group_rows)
             buf, buf_rows = [], 0
 
         import numpy as _np
 
         dvs = input_dv_rels or [None] * len(input_rel_paths)
-        for rel, dv_rel in zip(input_rel_paths, dvs):
+        rmaps = input_rename_maps or [None] * len(input_rel_paths)
+        for rel, dv_rel, rmap in zip(input_rel_paths, dvs, rmaps):
             pf = _fs.parquet_file(_fs.join(table_dir, rel))
             pos = None
             if dv_rel:
@@ -213,6 +233,12 @@ def _repack(
                         keep[local] = False
                         tbl = tbl.filter(pa.array(keep))
                 rg_offset += phys_rows
+                if rmap:
+                    # renamed columns: the file still carries the old
+                    # name (same field id); restore the declared name
+                    # BEFORE normalization so the data survives the
+                    # rewrite instead of being dropped-and-null-filled
+                    tbl = mf.apply_rename(tbl, rmap)
                 if declared is not None:
                     tbl = normalize_batch(tbl, declared, fill, drop_extra=True)
                 rows += tbl.num_rows
@@ -250,12 +276,21 @@ def _repack(
 
         _bloom.write_sidecar(abs_out, _np.concatenate(hash_chunks), bloom_bits)
 
+    # stamp the physical column names so the commit can assign field
+    # ids (rename_column requires id-stamped fragments); compact
+    # normalizes to the declared schema, so declared names are exact
+    out_cols = (
+        list(declared.names)
+        if declared is not None
+        else (list(written_schema.names) if written_schema is not None else None)
+    )
     meta = FragmentMeta(
         path=rel_out,
         rows=rows,
         bytes=_fs.size(abs_out),
         sum_n_tok=sum_n_tok,
         zone_map={c: {"min": mins[c], "max": maxs[c]} for c in mins},
+        cols=out_cols,
     )
     lineage.write_record(
         table_dir,
@@ -267,6 +302,7 @@ def _repack(
             "seconds": time.perf_counter() - t0,
             "rows": rows,
             "input_dvs": dv_ident,
+            "renames": _rename_ident(input_rename_maps),
         },
     )
     return lineage.read_record(table_dir, job_id, partition)
@@ -304,6 +340,7 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
             m.column_defaults,
             cfg.bloom_bits_per_key,
             [f.dv_path for f in p],
+            [f.rename_map(m.column_ids) for f in p],
         )
         for i, p in enumerate(plan.packs)
     ]

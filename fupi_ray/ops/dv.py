@@ -114,23 +114,51 @@ def dv_fragments_dataset(
     table_dir: str,
     frags: list,
     columns: list[str] | None = None,
+    manifest_ids: dict | None = None,
 ) -> "ray.data.Dataset":  # noqa: F821
     """Dataset over DV'd fragments: one read task per fragment (the
     fragment is the parallelism unit, same as the plain scan path),
     each applying its positional mask before emitting the block.
     Plain ``read_parquet`` cannot express this — predicate/column
     pushdown changes row positions, so the mask must be applied by a
-    reader that sees whole files."""
+    reader that sees whole files. With ``manifest_ids``, renamed
+    columns are read under their file name and emitted under the
+    declared name (``columns`` then names DECLARED columns)."""
     import ray.data
 
-    items = [{"path": f.path, "dv": f.dv_path or ""} for f in frags]
-    cols = list(columns) if columns is not None else None
+    from fupi_ray import manifest as _mf
+
+    import json as _json
+
+    items = []
+    for f in frags:
+        rmap = f.rename_map(manifest_ids) if manifest_ids else {}
+        inv = {d: p for p, d in rmap.items()}
+        cols = [inv.get(c, c) for c in columns] if columns is not None else None
+        items.append(
+            {
+                "path": f.path,
+                "dv": f.dv_path or "",
+                "meta": _json.dumps({"cols": cols, "rmap": rmap}),
+            }
+        )
 
     def read(batch: pa.Table) -> pa.Table:
-        out = [
-            masked_fragment_table(table_dir, p, d or None, columns=cols)
-            for p, d in zip(batch["path"].to_pylist(), batch["dv"].to_pylist())
-        ]
+        out = []
+        for p, d, meta_s in zip(
+            batch["path"].to_pylist(),
+            batch["dv"].to_pylist(),
+            batch["meta"].to_pylist(),
+        ):
+            meta = _json.loads(meta_s)
+            out.append(
+                _mf.apply_rename(
+                    masked_fragment_table(
+                        table_dir, p, d or None, columns=meta["cols"]
+                    ),
+                    meta["rmap"],
+                )
+            )
         return out[0] if len(out) == 1 else pa.concat_tables(out, promote_options="default")
 
     return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
@@ -143,30 +171,55 @@ def fragments_dataset(
     frags: list,
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    manifest_ids: dict | None = None,
 ) -> "ray.data.Dataset":  # noqa: F821
     """DV-aware raw fragment read for ops that bypass ``Table.scan``
     (merge shuffle, cluster sort): plain fragments go through
     ``read_parquet`` (one block per fragment, URI-safe), DV'd ones
     through the per-fragment masked reader; the union is the logical
     row set. No schema-evolution padding — callers that need it pad
-    downstream (they already do for the plain path)."""
+    downstream (they already do for the plain path). ``manifest_ids``
+    (the reading manifest's column ids) makes the read rename-aware:
+    plain fragments are grouped by their rename signature, read under
+    file names, and emitted under declared names."""
     import ray.data
+
+    from fupi_ray import manifest as _mf
 
     plain = [f for f in frags if not f.dv_path]
     dvf = [f for f in frags if f.dv_path]
     parts = []
-    if plain:
-        paths = [_fs.join(table_dir, f.path) for f in plain]
+    # group plain fragments by rename signature: one read_parquet per
+    # homogeneous group (almost always a single {} group)
+    groups: dict[frozenset, list] = {}
+    for f in plain:
+        rmap = f.rename_map(manifest_ids) if manifest_ids else {}
+        groups.setdefault(frozenset(rmap.items()), []).append(f)
+    for sig, group in groups.items():
+        rmap = dict(sig)
+        inv = {d: p for p, d in rmap.items()}
+        paths = [_fs.join(table_dir, f.path) for f in group]
         kwargs: dict = {"override_num_blocks": override_num_blocks or len(paths)}
         if columns is not None:
-            kwargs["columns"] = list(columns)
+            kwargs["columns"] = [inv.get(c, c) for c in columns]
         if _fs.is_uri(table_dir):
             filesystem, _ = _fs.arrow_fs(table_dir)
             kwargs["filesystem"] = filesystem
             paths = [_fs.get_fs(p)[1] for p in paths]
-        parts.append(ray.data.read_parquet(paths, **kwargs))
+        ds = ray.data.read_parquet(paths, **kwargs)
+        if rmap:
+            ds = ds.map_batches(
+                lambda b, _r=rmap: _mf.apply_rename(b, _r),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        parts.append(ds)
     if dvf:
-        parts.append(dv_fragments_dataset(table_dir, dvf, columns=columns))
+        parts.append(
+            dv_fragments_dataset(
+                table_dir, dvf, columns=columns, manifest_ids=manifest_ids
+            )
+        )
     if not parts:
         raise ValueError("fragments_dataset: empty fragment list")
     ds = parts[0]

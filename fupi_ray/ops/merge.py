@@ -44,7 +44,12 @@ import ray.data
 from fupi_ray.functions import bloom
 from fupi_ray.ops import _fanout
 from fupi_ray.functions.hashing import stable_hash
-from fupi_ray.manifest import FragmentMeta, fragment_meta_from_table
+from fupi_ray.manifest import (
+    FragmentMeta,
+    apply_rename,
+    frag_recon as mf_recon,
+    fragment_meta_from_table,
+)
 from fupi_ray.schema import SEQUENCE_COLUMNS, normalize_batch
 from fupi_ray.state import fs as _fs
 from fupi_ray.state import lineage
@@ -266,6 +271,7 @@ def _rewrite_fragment_task(
     bloom_bits: int | None = None,
     keys_digest: str | None = None,
     dv_rel: str | None = None,
+    recon: dict | None = None,
 ) -> dict:
     """Copy-on-write rewrite of one hit fragment: drop rows whose
     doc_id is in the (broadcast, sorted) source key array; an existing
@@ -324,6 +330,12 @@ def _rewrite_fragment_task(
         from fupi_ray.ops import dv as _dv
 
         tbl = _dv.apply_dv(tbl, _dv.read_dv(table_dir, dv_rel))
+    recon = recon or {}
+    rmap = recon.get("rmap") or {}
+    if rmap:
+        # renamed columns: restore declared names so the rewrite
+        # materializes the current schema (and its col_ids stamp maps)
+        tbl = apply_rename(tbl, rmap)
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     matched, id_hashes = _probe_keys(ids, key_hashes, key_bytes)
     out = tbl.filter(pa.array(~matched))
@@ -336,7 +348,14 @@ def _rewrite_fragment_task(
         if bloom_bits:
             # survivor hashes were already computed for the probe
             bloom.write_sidecar(abs_out, id_hashes[~matched], bloom_bits)
-        outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
+        # a verbatim copy keeps the input's narrow physical types:
+        # carry the widen stamp forward (keys renamed to declared)
+        in_types = {
+            rmap.get(k, k): v for k, v in (recon.get("col_types") or {}).items()
+        }
+        outputs.append(
+            fragment_meta_from_table(out, abs_out, rel_out, col_types=in_types)
+        )
     lineage.write_record(
         table_dir,
         job_id,
@@ -376,7 +395,10 @@ def _merge_shuffle(
     may be key-only — it is projected to ``doc_id`` before the tag."""
     from fupi_ray.ops import dv as _dvmod
 
-    target = _dvmod.fragments_dataset(table.table_dir, hit_frags)
+    target = _dvmod.fragments_dataset(
+        table.table_dir, hit_frags,
+        manifest_ids=table.manifest(parent).column_ids,
+    )
     # project to the TABLE's schema (not the hardcoded canonical one):
     # a user table with extra columns round-trips them through MERGE;
     # fragments/sources predating an add-column are padded
@@ -388,6 +410,15 @@ def _merge_shuffle(
             if tbl_schema is not None:
                 for c in proj_cols:
                     if c in batch.column_names:
+                        # pre-widen fragments: cast the narrow physical
+                        # type so both union sides share one schema
+                        typ = tbl_schema.field(c).type
+                        if batch.schema.field(c).type != typ:
+                            batch = batch.set_column(
+                                batch.column_names.index(c),
+                                c,
+                                batch[c].cast(typ),
+                            )
                         continue
                     typ = tbl_schema.field(c).type
                     dflt = fm.get(c)
@@ -782,6 +813,7 @@ def merge_into(
                 (
                     table.table_dir, job_id, i, f.path, keys_ref,
                     cfg.bloom_bits_per_key, keys_digest, f.dv_path,
+                    mf_recon(f, m.column_ids),
                 )
                 for i, f in enumerate(hit)
             ],

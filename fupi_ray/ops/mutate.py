@@ -125,6 +125,7 @@ def _mutate_fragment_task(
     mutation_digest: str | None = None,
     doc_id_kind: str | None = None,
     dv_rel: str | None = None,
+    recon: dict | None = None,
 ) -> dict:
     """COW rewrite of one hit fragment. ``assignments`` None = delete
     matching rows; else = replace assigned columns on matching rows
@@ -173,6 +174,12 @@ def _mutate_fragment_task(
         from fupi_ray.ops import dv as _dvmod
 
         tbl = _dvmod.apply_dv(tbl, _dvmod.read_dv(table_dir, dv_rel))
+    recon = recon or {}
+    rmap = recon.get("rmap") or {}
+    if rmap:
+        # renamed columns: restore declared names BEFORE the pad/eval
+        # so predicates and assignments address the current schema
+        tbl = mf.apply_rename(tbl, rmap)
     ev = _pad_eval_table(tbl, pad_cols)
     mask = mf.predicate_mask(ev, predicate)
     n_match = int(pc.sum(mask).as_py() or 0)
@@ -211,7 +218,16 @@ def _mutate_fragment_task(
         _fs.write_parquet(out, abs_out, row_group_size=32 * 1024)
         if bloom_bits and "doc_id" in out.column_names:
             bloom.write_sidecar(abs_out, out["doc_id"], bloom_bits)
-        outputs.append(fragment_meta_from_table(out, abs_out, rel_out))
+        in_types = {
+            rmap.get(k, k): v for k, v in (recon.get("col_types") or {}).items()
+        }
+        # columns the update cast to the declared type are no longer
+        # narrow — drop their stale stamp
+        for col, (_, _, type_str) in (assignments or {}).items():
+            in_types.pop(col, None)
+        outputs.append(
+            fragment_meta_from_table(out, abs_out, rel_out, col_types=in_types)
+        )
     lineage.write_record(
         table_dir,
         job_id,
@@ -352,7 +368,7 @@ def _plan_mutation(
             (
                 table.table_dir, job_id, i, f.path, predicate, pad_cols,
                 assignments, table.config.bloom_bits_per_key, mutation_digest,
-                doc_id_kind, f.dv_path,
+                doc_id_kind, f.dv_path, mf.frag_recon(f, m.column_ids),
             )
             for i, f in enumerate(hit)
         ],
@@ -459,6 +475,7 @@ def _dv_mutate_task(
     bloom_bits: int | None,
     mutation_digest: str | None,
     doc_id_kind: str | None,
+    recon: dict | None = None,
 ) -> dict:
     """Merge-on-read mutation of one hit fragment: record the matching
     row POSITIONS in a new deletion-vector sidecar instead of
@@ -505,17 +522,23 @@ def _dv_mutate_task(
     if _bloom_proves_no_match(abs_path, predicate, doc_id_kind):
         return record({"rows_matched": 0, "unchanged": True, "bloom_skip": True})
 
+    recon = recon or {}
+    rmap = recon.get("rmap") or {}
     # DELETE reads just the predicate columns + n_tok; UPDATE needs the
     # full rows (the matched subset becomes a new fragment)
     cols = None
     if assignments is None and frag_cols is not None:
+        # frag_cols are PHYSICAL file names; a renamed predicate column
+        # matches through the rename map, not the declared name
         need = {c for c, _, _ in predicate} | {"n_tok"}
-        cols = [c for c in frag_cols if c in need]
+        cols = [c for c in frag_cols if rmap.get(c, c) in need]
         if not cols:
             # every predicate column is evolution-padded: read one
             # physical column so the row count (and positions) exist
             cols = frag_cols[:1]
     tbl = _fs.read_parquet_table(abs_path, columns=cols)
+    if rmap:
+        tbl = mf.apply_rename(tbl, rmap)
     ev = _pad_eval_table(tbl, pad_cols)
     mask = mf.predicate_mask(ev, predicate).to_numpy(zero_copy_only=False)
     matched_pos = np.flatnonzero(mask).astype(np.uint64)
@@ -556,7 +579,14 @@ def _dv_mutate_task(
         _fs.write_parquet(sub, abs_out, row_group_size=32 * 1024)
         if bloom_bits and "doc_id" in sub.column_names:
             bloom.write_sidecar(abs_out, sub["doc_id"], bloom_bits)
-        outputs.append(fragment_meta_from_table(sub, abs_out, rel_out))
+        in_types = {
+            rmap.get(k, k): v for k, v in (recon.get("col_types") or {}).items()
+        }
+        for col in assignments:
+            in_types.pop(col, None)  # assigned columns were cast wide
+        outputs.append(
+            fragment_meta_from_table(sub, abs_out, rel_out, col_types=in_types)
+        )
 
     dv_out = None if full_delete else _dvmod.write_dv(table_dir, rel_path, merged)
     return record(
@@ -601,6 +631,7 @@ def _run_mutation_dv(
             table.table_dir, job_id, i, f.path, f.dv_path, f.cols,
             predicate, pad_cols, assignments,
             table.config.bloom_bits_per_key, mutation_digest, doc_id_kind,
+            mf.frag_recon(f, m.column_ids),
         )
         for i, f in enumerate(hit)
     ]

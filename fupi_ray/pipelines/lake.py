@@ -269,6 +269,60 @@ FROM documents WHERE doc_id % 7 <> 0
 """
 
 
+def q_lake_rename(sf_dir: str):
+    """Metadata-only rename + type widening as a query: build with an
+    extra user column ``lang``, rename it to ``language`` (field id
+    moves, zero rewrites), widen ``n_tok`` int32 → int64, DELETE by
+    the RENAMED column (merge-on-read), then compact — the scan must
+    show current names/types over old files, DVs, and rewrites alike."""
+    from fupi_ray.ops import rename_column, widen_column
+
+    d = _tmp_table(sf_dir, "rename")
+    t = Table.create(d, config=LAKE_CFG)
+    base = sequences_from_documents(sf_dir)
+
+    def add_lang(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 99), pa.int64())
+        lang = pc.if_else(
+            pc.equal(pc.bit_wise_and(ids, 1), 0), "even", "odd"
+        )
+        return batch.append_column("lang", lang)
+
+    t.commit_append(
+        base.map_batches(add_lang, batch_format="pyarrow"),
+        target_fragment_rows=100,
+    )
+    parent_paths = {f.path for f in t.manifest().fragments}
+    rename_column(t, "lang", "language")
+    widen_column(t, "n_tok", "int64")
+    assert {f.path for f in t.manifest().fragments} == parent_paths, (
+        "rename/widen must not rewrite data files"
+    )
+    delete_where(t, [("language", "==", "odd")], mode="dv")
+    compact(t)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "language": batch["language"],
+                "n_tok": batch["n_tok"],  # already int64 via widen
+            }
+        )
+
+    return t.scan(columns=["doc_id", "language", "n_tok"]).map_batches(
+        proj, batch_format="pyarrow"
+    )
+
+
+SQL_LAKE_RENAME = f"""
+SELECT {_DOC_SQL} AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS language,
+       CAST(n_chars AS BIGINT) AS n_tok
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
 def q_lake_evolve(sf_dir: str):
     """Schema evolution as a query: build → metadata-only
     ``add_column('quality', double, default=0.5)`` → MERGE a source

@@ -380,27 +380,51 @@ class Table:
         )
         pred_cols = sorted({c for c, _, _ in predicate}) if predicate else []
 
-        # schema evolution: partition fragments by which needed columns
-        # (requested + predicate) their FILE is missing or stale — per
-        # fragment `col_ids`/`cols` from the manifest; footer read only
-        # for pre-evolution metas. A stale column (re-added name, old
-        # field id) counts as missing so its old values are never read.
-        groups: dict[frozenset, list[FragmentMeta]] = {}
+        # schema evolution: partition fragments by how their FILE
+        # deviates from the declared schema for the needed columns
+        # (requested + predicate) — missing/stale columns (padded with
+        # the default), renamed columns (file carries the old name
+        # under the same field id: read old, emit declared), and
+        # narrower physical types (pre-widen fragments: cast per
+        # batch). All per-fragment metadata from the manifest; footer
+        # read only for pre-evolution metas. A stale column (re-added
+        # name, old field id) counts as missing so its old values are
+        # never read.
+        GroupKey = tuple  # (missing, renames phys→decl, cast col names)
+        groups: dict[GroupKey, list[FragmentMeta]] = {}
+        empty_key = (frozenset(), frozenset(), frozenset())
         if declared is not None and read_cols is not None:
             need = (set(read_cols) | set(pred_cols)) & set(declared.names)
             for f in frags:
+                renames: set[tuple[str, str]] = set()
+                casts: set[str] = set()
                 if f.cols is None and f.col_ids is None:
                     have = set(self._read_fragment_schema(f.path).names)
                     missing = frozenset(need - have)
                 else:
-                    missing = frozenset(
-                        c for c in need if not f.has_column(c, m.column_ids)
-                    )
-                groups.setdefault(missing, []).append(f)
+                    miss = set()
+                    for c in need:
+                        phys = f.physical_name(c, m.column_ids)
+                        if phys is None:
+                            miss.add(c)
+                            continue
+                        if phys != c:
+                            renames.add((phys, c))
+                        ft = (f.col_types or {}).get(phys)
+                        if ft is not None and ft != str(declared.field(c).type):
+                            casts.add(c)
+                    missing = frozenset(miss)
+                key = (missing, frozenset(renames), frozenset(casts))
+                groups.setdefault(key, []).append(f)
         else:
-            groups[frozenset()] = list(frags)
+            groups[empty_key] = list(frags)
 
-        def build(group: list[FragmentMeta], missing: frozenset) -> ray.data.Dataset:
+        def build(
+            group: list[FragmentMeta],
+            missing: frozenset,
+            renames: frozenset = frozenset(),
+            casts: frozenset = frozenset(),
+        ) -> ray.data.Dataset:
             # deletion-vector fragments need a positional mask BEFORE
             # any predicate/limit — plain read_parquet pushdown would
             # shift row positions, so they read via per-fragment tasks
@@ -410,7 +434,15 @@ class Table:
                 _fs.join(self.table_dir, f.path) for f in group if not f.dv_path
             ]
             kwargs: dict[str, Any] = dict(read_kwargs)
-            pushdown = predicate and not any(c in missing for c, _, _ in predicate)
+            # declared -> physical file name for renamed columns; a
+            # predicate on a renamed column cannot push down (the file
+            # knows the old name), so it falls to the in-memory mask
+            # AFTER the pad step restores declared names. Numeric casts
+            # (widen) push down fine — Arrow promotes the literals.
+            phys_of = {decl: phys for phys, decl in renames}
+            pushdown = predicate and not any(
+                c in missing or c in phys_of for c, _, _ in predicate
+            )
             # predicate columns the pad/mask step needs that weren't
             # requested: read them (when present) so the mask can be
             # evaluated in-memory, then drop them from the output
@@ -432,12 +464,18 @@ class Table:
             def branch_cols(mcols: list[str]) -> list[str] | None:
                 if read_cols is None:
                     return None
-                return [c for c in read_cols + mcols if c not in missing]
+                return [
+                    phys_of.get(c, c)
+                    for c in read_cols + mcols
+                    if c not in missing
+                ]
 
             def make_pad(apply_pred: bool, mcols: list[str]):
                 """Normalize a batch to the declared shape: fill
-                evolution-missing columns, optionally evaluate the
-                predicate in memory, drop mask-only columns."""
+                evolution-missing columns, restore declared names for
+                renamed columns, cast pre-widen narrow types,
+                optionally evaluate the predicate in memory, drop
+                mask-only columns."""
                 defaults = dict(m.column_defaults)
                 fields = [
                     (c, declared.field(c).type, defaults.get(c))
@@ -448,8 +486,17 @@ class Table:
                 def pad(batch: pa.Table) -> pa.Table:
                     cols_out = {}
                     for name, typ, dflt in fields:
-                        if name in batch.column_names:
-                            cols_out[name] = batch[name]
+                        src = phys_of.get(name, name)
+                        # a column in `missing` must never be served
+                        # from the file — its file name may coincide
+                        # with another declared column's rename source
+                        # (retired name re-added: the old data would
+                        # resurrect under the fresh field id)
+                        if name not in missing and src in batch.column_names:
+                            col = batch[src]
+                            if col.type != typ:
+                                col = col.cast(typ)
+                            cols_out[name] = col
                         elif dflt is not None:
                             cols_out[name] = pa.array(
                                 [dflt] * batch.num_rows, type=typ
@@ -491,7 +538,7 @@ class Table:
                     kwargs["filesystem"] = filesystem
                     paths = [_fs.get_fs(p)[1] for p in paths]
                 ds = ray.data.read_parquet(paths, **kwargs)
-                if missing or plain_mask_cols:
+                if missing or plain_mask_cols or renames or casts:
                     ds = ds.map_batches(
                         make_pad(apply_pred=not pushdown, mcols=plain_mask_cols),
                         batch_format="pyarrow",
@@ -505,7 +552,7 @@ class Table:
                 )
                 # the predicate ALWAYS runs in memory here — file-level
                 # pushdown would shift the positions the mask needs
-                if (missing or predicate or mask_cols) and (
+                if (missing or predicate or mask_cols or renames or casts) and (
                     declared is not None and read_cols is not None
                 ):
                     dds = dds.map_batches(
@@ -524,7 +571,10 @@ class Table:
                 ds = ds.union(other)
             return ds
 
-        datasets = [build(group, missing) for missing, group in groups.items()]
+        datasets = [
+            build(group, missing, renames, casts)
+            for (missing, renames, casts), group in groups.items()
+        ]
         ds = datasets[0]
         for other in datasets[1:]:
             ds = ds.union(other)
@@ -540,6 +590,7 @@ class Table:
         properties: dict | None = None,
         schema_override: pa.Schema | None = None,
         column_defaults: dict | None = None,
+        column_ids_override: dict[str, int] | None = None,
     ) -> int:
         names, types, defaults = self._next_schema(operation, fragments, schema_override)
         if column_defaults is not None:
@@ -547,13 +598,18 @@ class Table:
         # Iceberg-style field ids: carry the parent's ids for surviving
         # names, retire dropped ones, mint fresh ids for new names (a
         # re-added name therefore gets a NEW id and pre-drop fragments
-        # no longer satisfy it by name).
+        # no longer satisfy it by name). ``column_ids_override`` lets
+        # rename_column MOVE an id to a new name instead of minting
+        # (the id is the column's identity; the name is display).
         ids: dict[str, int] = {}
         next_id = 0
         if mf.read_latest_version(self.table_dir) is not None:
             pm = self.manifest()
             ids = {n: i for n, i in pm.column_ids.items() if n in names}
             next_id = max([pm.next_column_id] + [i + 1 for i in pm.column_ids.values()])
+        if column_ids_override:
+            ids.update({n: i for n, i in column_ids_override.items() if n in names})
+            next_id = max([next_id] + [i + 1 for i in ids.values()])
         for n in names:
             if n not in ids:
                 ids[n] = next_id
@@ -684,6 +740,7 @@ class Table:
         properties: dict | None = None,
         schema_override: pa.Schema | None = None,
         column_defaults: dict | None = None,
+        column_ids_override: dict[str, int] | None = None,
     ) -> int:
         """Manifest rewrite: swap a subset of fragments for new ones
         (compaction / clustering / MERGE / schema-evolution commit
@@ -697,4 +754,5 @@ class Table:
             properties,
             schema_override=schema_override,
             column_defaults=column_defaults,
+            column_ids_override=column_ids_override,
         )
