@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_dv": lake.q_lake_merge_dv,
         "lake_merge_delete": lake.q_lake_merge_delete,
         "lake_evolve": lake.q_lake_evolve,
+        "lake_rename": lake.q_lake_rename,
         "lake_expire": lake.q_lake_expire,
         "lake_delete": lake.q_lake_delete,
         "lake_delete_dv": lake.q_lake_delete_dv,
@@ -85,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": q.q_approx_distinct,
         "heavy_hitters": q.q_heavy_hitters,
         "mix_sources": q.q_mix_sources,
+        "mix_token_budget": q.q_mix_token_budget,
         "group_topk": q.q_group_topk,
         # relational / reference-conformance operators (SURVEY.md §2) —
         # all driver-green since round 1; least informative, so last.
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_families": q.SQL_DEDUP_FAMILIES,
         "range_join": q.SQL_RANGE_JOIN,
         "mix_sources": q.SQL_MIX_SOURCES,
+        "mix_token_budget": q.SQL_MIX_TOKEN_BUDGET,
         "group_topk": q.SQL_GROUP_TOPK,
         "sample_exact_n": q.SQL_SAMPLE_EXACT_N,
         "group_quantiles": q.SQL_GROUP_QUANTILES,
@@ -170,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge_dv": lake.SQL_LAKE_MERGE_DV,
         "lake_merge_delete": lake.SQL_LAKE_MERGE_DELETE,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,
+        "lake_rename": lake.SQL_LAKE_RENAME,
         "lake_expire": lake.SQL_LAKE_EXPIRE,
         "lake_delete": lake.SQL_LAKE_DELETE,
         "lake_delete_dv": lake.SQL_LAKE_DELETE_DV,

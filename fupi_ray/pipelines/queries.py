@@ -1680,6 +1680,46 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS DO
 """
 
 
+def q_mix_token_budget(sf_dir: str):
+    """Token-budget source mixing (stages/mix.py): per source, keep
+    the maximal (md5(id), id)-ordered document prefix whose cumulative
+    token count fits the source's budget — the "N billion tokens of X"
+    recipe primitive. Distributed as histogram pass → driver bucket
+    cutoff → exact boundary resolve → streaming filter: a global
+    per-source running sum with NO global sort and only bucket-sized
+    driver traffic. The SQL twin is the window-function form
+    (``SUM OVER (PARTITION BY source ORDER BY md5(id), id)``)."""
+    from fupi_ray.stages.mix import token_budget_mix
+
+    budgets = {"src0": 5_000, "src1": 1_000}
+    docs = read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def tok(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pc.cast(batch["n_chars"], pa.int64()),
+            }
+        )
+
+    ds = docs.map_batches(tok, batch_format="pyarrow")
+    return token_budget_mix(
+        ds, budgets, default_budget=3_000, hash_fn="md5", num_buckets=256
+    )
+
+
+SQL_MIX_TOKEN_BUDGET = """
+SELECT doc_id, source, n_tok FROM (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_tok,
+         SUM(CAST(n_chars AS BIGINT)) OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS cum
+  FROM documents)
+WHERE cum <= CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 1000 ELSE 3000 END
+"""
+
+
 def q_group_topk(sf_dir: str):
     """Top-k per group (k=3 longest docs per source, doc_id
     tie-break): per-batch PARTIAL top-k inside map_batches shrinks the
