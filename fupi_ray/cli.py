@@ -50,7 +50,7 @@ def main(argv=None) -> int:
             "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
-            "fork", "drop-fork",
+            "fork", "drop-fork", "bucket",
         ],
     )
     p.add_argument("--table", required=True)
@@ -201,6 +201,16 @@ def main(argv=None) -> int:
     elif args.op == "cluster":
         t = Table.open(args.table)
         out["version"] = cluster(t, curve=args.curve, job_id=args.job_id)
+    elif args.op == "bucket":
+        # storage-bucketed layout: one all-to-all now, shuffle-free
+        # co-partitioned joins forever after (ops/bucket.py)
+        from fupi_ray.ops import bucket_table, read_layout
+
+        t = Table.open(args.table)
+        out["version"] = bucket_table(
+            t, key=args.column or "doc_id", num_buckets=args.num_shards
+        )
+        out["layout"] = read_layout(t)
     elif args.op == "merge":
         if not args.source:
             p.error("merge requires --source")

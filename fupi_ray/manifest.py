@@ -70,6 +70,12 @@ class FragmentMeta:
     # declared schema (the overwhelmingly common case — kept out of
     # the manifest so pre-widen manifests stay byte-identical).
     col_types: dict[str, str] | None = None
+    # storage bucket id (hash(key) % num_buckets) when every row of
+    # this file belongs to one bucket of a ``bucket_table`` layout —
+    # the co-partitioning contract behind shuffle-free bucketed joins
+    # (ops/bucket.py). None = not bucket-pure. Omitted from the
+    # manifest when None so pre-bucket manifests stay byte-identical.
+    bucket: int | None = None
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -78,6 +84,8 @@ class FragmentMeta:
             d.pop("dv_path"), d.pop("dv_rows"), d.pop("dv_n_tok")
         if self.col_types is None:
             d.pop("col_types")
+        if self.bucket is None:
+            d.pop("bucket")
         return d
 
     @staticmethod
@@ -94,6 +102,7 @@ class FragmentMeta:
             dv_rows=int(d.get("dv_rows", 0)),
             dv_n_tok=int(d.get("dv_n_tok", 0)),
             col_types=d.get("col_types"),
+            bucket=d.get("bucket"),
         )
 
     @property

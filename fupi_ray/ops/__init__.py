@@ -1,3 +1,4 @@
+from fupi_ray.ops.bucket import BucketLayoutError, bucket_join, bucket_table, read_layout
 from fupi_ray.ops.changelog import apply_changelog, changelog
 from fupi_ray.ops.compact import compact
 from fupi_ray.ops.cluster import cluster
@@ -17,6 +18,10 @@ from fupi_ray.ops.stage import (
 )
 
 __all__ = [
+    "BucketLayoutError",
+    "bucket_join",
+    "bucket_table",
+    "read_layout",
     "abort_stage",
     "export_training_shards",
     "read_export_manifest",

@@ -1,0 +1,300 @@
+"""Storage-bucketed layout + shuffle-free co-partitioned joins.
+
+The reference joins document fragments to their parent metadata through
+LanceDB's implicit row alignment (searcher.py:207-246 reads both sides
+of one Lance table version); every distributed equivalent of that read
+is a join, and at 100 TB a repeated hash join re-shuffles both tables
+on every run. This module amortizes the exchange into the LAYOUT —
+Spark/Iceberg's bucketed tables / storage-partitioned join:
+
+- ``bucket_table`` rewrites a table so every fragment holds rows of
+  exactly one hash bucket (``stable_hash(key) % num_buckets``) and
+  records the layout contract. ONE all-to-all, ever.
+- ``bucket_join`` joins two co-bucketed tables with NO exchange: one
+  Ray task per bucket reads both sides' fragments for that bucket and
+  joins in memory. Wall-clock and network are O(data read), not
+  O(data shuffled); each task's memory is bounded by the largest
+  bucket, which the caller controls through ``num_buckets``
+  (size buckets so left+right bucket bytes fit a worker's heap).
+
+Layout survival: deletion-vector mutations preserve fragment metas
+(``dataclasses.replace``), compaction packs within a bucket (never
+across), and COW rewrites carry the input fragment's tag — so routine
+maintenance keeps the contract. An APPEND of untagged fragments breaks
+it; ``bucket_join`` then raises ``BucketLayoutError`` instead of
+silently producing a wrong or slow join (re-run ``bucket_table``, or
+keep ingest on a staging table and merge in via bucketed rewrite).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from fupi_ray import manifest as mf
+from fupi_ray.functions.hashing import stable_hash
+from fupi_ray.manifest import FragmentMeta
+from fupi_ray.state import fs as _fs
+from fupi_ray.table import Table, _FragmentWriter
+
+BUCKET_COL = "_bucket"
+
+
+class BucketLayoutError(RuntimeError):
+    pass
+
+
+def _layout_path(table_dir: str) -> str:
+    return _fs.join(table_dir, "manifest", "bucket_layout.json")
+
+
+def read_layout(table: Table) -> dict | None:
+    """The table's bucket contract ({key, num_buckets, version}) or
+    None. Stored as a manifest sidecar (like pins) because per-commit
+    properties don't carry forward across later commits."""
+    p = _layout_path(table.table_dir)
+    if not _fs.exists(p):
+        return None
+    return json.loads(_fs.read_text(p))
+
+
+class _BucketFragmentWriter:
+    """map_batches callable over the bucket-sorted stream: splits each
+    block at ``_bucket`` run boundaries and writes one fragment per
+    run (runs are contiguous after the sort, so a block yields one or
+    two fragments in the common case). Emits one meta row per fragment
+    with the bucket tag embedded."""
+
+    def __init__(self, table_dir: str, prefix: str, row_group_rows: int, bloom_bits):
+        self._writer = _FragmentWriter(
+            table_dir, prefix, row_group_rows=row_group_rows, bloom_bits=bloom_bits
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"meta_json": pa.array([], type=pa.string())})
+        b = batch[BUCKET_COL].to_numpy(zero_copy_only=False)
+        # run boundaries of the (sorted-within-block) bucket column
+        cuts = np.flatnonzero(np.diff(b)) + 1
+        starts = np.concatenate(([0], cuts))
+        stops = np.concatenate((cuts, [len(b)]))
+        payload = batch.drop_columns([BUCKET_COL])
+        metas = []
+        for s, e in zip(starts, stops):
+            out = self._writer(payload.slice(s, e - s))
+            d = json.loads(out["meta_json"][0].as_py())
+            d["bucket"] = int(b[s])
+            metas.append(json.dumps(d))
+        return pa.table({"meta_json": pa.array(metas, type=pa.string())})
+
+
+def bucket_table(
+    table: Table, key: str = "doc_id", num_buckets: int = 16
+) -> int | None:
+    """Rewrite the table into a hash-bucketed layout (one all-to-all).
+
+    Every output fragment holds rows of exactly one
+    ``stable_hash(key) % num_buckets`` bucket, tagged in its manifest
+    meta; the layout contract is persisted for ``bucket_join`` to
+    verify. Scanning semantics are unchanged (content-preserving, like
+    compaction); deletion vectors are materialized away by the scan.
+    Returns the new version (None on an empty table).
+    """
+    parent = table.latest_version()
+    m = table.manifest(parent)
+    if not m.fragments:
+        return None
+    if key not in (m.schema_names or []):
+        raise ValueError(f"bucket key {key!r} not in table schema {m.schema_names}")
+    t0 = time.perf_counter()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = stable_hash(batch[key])
+        return batch.append_column(
+            BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    ds = table.scan(parent).map_batches(assign, batch_format="pyarrow")
+    # range-partition sort on the small int key: blocks come out
+    # bucket-contiguous, so the writer splits at run boundaries
+    ds = ds.sort(BUCKET_COL)
+    writer = _BucketFragmentWriter(
+        table.table_dir,
+        f"bk-v{parent}",
+        row_group_rows=table.config.row_group_rows,
+        bloom_bits=table.config.bloom_bits_per_key,
+    )
+    meta_rows = ds.map_batches(
+        writer, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    new_frags = [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows]
+    v = table.commit_fragment_swap(
+        {f.path for f in m.fragments},
+        new_frags,
+        operation="bucket",
+        expected_parent=parent,
+        properties={
+            "bucket_key": key,
+            "num_buckets": num_buckets,
+            "fragments_out": len(new_frags),
+            "seconds": round(time.perf_counter() - t0, 3),
+        },
+    )
+    mf._atomic_write(
+        _layout_path(table.table_dir),
+        json.dumps({"key": key, "num_buckets": num_buckets, "version": v}),
+    )
+    return v
+
+
+def _validate_side(table: Table, on: str, layout: dict | None, side: str):
+    if layout is None:
+        raise BucketLayoutError(f"{side} table has no bucket layout; run bucket_table")
+    if layout["key"] != on:
+        raise BucketLayoutError(
+            f"{side} table is bucketed by {layout['key']!r}, join key is {on!r}"
+        )
+    m = table.manifest()
+    untagged = [f.path for f in m.fragments if f.bucket is None]
+    if untagged:
+        raise BucketLayoutError(
+            f"{side} table has {len(untagged)} fragment(s) outside the bucket "
+            f"layout (e.g. {untagged[0]}); re-run bucket_table after appends"
+        )
+    return m
+
+
+def bucket_join(
+    left: Table,
+    right: Table,
+    on: str,
+    columns_left: list[str] | None = None,
+    columns_right: list[str] | None = None,
+    how: str = "inner",
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Shuffle-free equi-join of two co-bucketed tables.
+
+    One Ray task per bucket: reads that bucket's fragments from both
+    sides (deletion vectors masked, renamed columns reconciled,
+    evolution-padded to the declared schema) and joins them in memory
+    with Arrow's join kernel. No all-to-all operator appears in the
+    plan — the exchange already happened at ``bucket_table`` time.
+    ``how`` is "inner" or "left" (left outer).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    llay, rlay = read_layout(left), read_layout(right)
+    lm = _validate_side(left, on, llay, "left")
+    rm = _validate_side(right, on, rlay, "right")
+    if llay["num_buckets"] != rlay["num_buckets"]:
+        raise BucketLayoutError(
+            f"bucket counts differ: left {llay['num_buckets']} vs right {rlay['num_buckets']}"
+        )
+    n = llay["num_buckets"]
+
+    lcols = list(columns_left) if columns_left is not None else list(lm.schema_names)
+    rcols = list(columns_right) if columns_right is not None else list(rm.schema_names)
+    for cols, side in ((lcols, "left"), (rcols, "right")):
+        if on not in cols:
+            raise ValueError(f"join key {on!r} missing from {side} columns {cols}")
+
+    def frag_specs(m, table_dir: str, cols: list[str]) -> dict[int, list[dict]]:
+        by_bucket: dict[int, list[dict]] = {}
+        for f in m.fragments:
+            rmap = f.rename_map(m.column_ids)
+            inv = {d: p for p, d in rmap.items()}
+            # physical read pruning: only columns this file actually has
+            phys = [inv.get(c, c) for c in cols]
+            have = set(f.cols) if f.cols is not None else None
+            read_cols = [c for c in phys if have is None or c in have]
+            by_bucket.setdefault(int(f.bucket), []).append(
+                {"path": f.path, "dv": f.dv_path or "", "rmap": rmap, "cols": read_cols}
+            )
+        return by_bucket
+
+    lspec = frag_specs(lm, left.table_dir, lcols)
+    rspec = frag_specs(rm, right.table_dir, rcols)
+
+    def declared_subset(m, cols: list[str]) -> tuple[list[str], list[str]]:
+        types = dict(zip(m.schema_names, m.schema_types))
+        return cols, [types[c] for c in cols]
+
+    lnames, ltypes = declared_subset(lm, lcols)
+    rnames, rtypes = declared_subset(rm, rcols)
+
+    items = []
+    for b in range(n):
+        lfr, rfr = lspec.get(b, []), rspec.get(b, [])
+        if not lfr:
+            continue  # inner AND left: no left rows → no output rows
+        if not rfr and how == "inner":
+            continue
+        items.append(
+            {
+                "spec": json.dumps(
+                    {"bucket": b, "left": lfr, "right": rfr}, default=str
+                )
+            }
+        )
+    join_type = "inner" if how == "inner" else "left outer"
+    ldir, rdir = left.table_dir, right.table_dir
+    lfill = dict(lm.column_defaults or {})
+    rfill = dict(rm.column_defaults or {})
+
+    def run_bucket(batch: pa.Table) -> pa.Table:
+        from fupi_ray.ops.dv import masked_fragment_table
+        from fupi_ray.schema import normalize_batch
+
+        def read_side(
+            table_dir: str, frs: list[dict], names: list[str], types: list[str], fill
+        ) -> pa.Table:
+            schema = pa.schema(
+                [(nm, mf.type_from_str(t)) for nm, t in zip(names, types)]
+            )
+            parts = []
+            for fr in frs:
+                t = masked_fragment_table(
+                    table_dir, fr["path"], fr["dv"] or None, columns=fr["cols"] or None
+                )
+                t = mf.apply_rename(t, fr["rmap"])
+                parts.append(normalize_batch(t, schema, fill, drop_extra=True))
+            if not parts:
+                return schema.empty_table()
+            return pa.concat_tables(parts, promote_options="default")
+
+        outs = []
+        for spec_s in batch["spec"].to_pylist():
+            spec = json.loads(spec_s)
+            lt = read_side(ldir, spec["left"], lnames, ltypes, lfill)
+            rt = read_side(rdir, spec["right"], rnames, rtypes, rfill)
+            outs.append(
+                lt.join(
+                    rt,
+                    keys=on,
+                    join_type=join_type,
+                    right_suffix=right_suffix,
+                    use_threads=False,
+                )
+            )
+        return outs[0] if len(outs) == 1 else pa.concat_tables(
+            outs, promote_options="default"
+        )
+
+    if not items:
+        # empty join result with the declared output schema
+        lsch = pa.schema([(nm, mf.type_from_str(t)) for nm, t in zip(lnames, ltypes)])
+        rrest = [
+            (nm + (right_suffix if nm in lnames else ""), mf.type_from_str(t))
+            for nm, t in zip(rnames, rtypes)
+            if nm != on
+        ]
+        return ray.data.from_arrow(pa.schema(list(lsch) + rrest).empty_table())
+    return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+        run_bucket, batch_format="pyarrow", batch_size=None
+    )

@@ -69,13 +69,27 @@ def plan_compaction(
     # by the maintenance cadence)
     big = [f for f in fragments if f.bytes >= min_fill * target_bytes and not f.dv_rows]
     small = [f for f in fragments if f.bytes < min_fill * target_bytes or f.dv_rows]
-    small.sort(key=lambda f: (f.zone_map.get("doc_id", {}).get("min") or "", f.path))
+    # bucket-layout preservation: fragments of a bucketed table
+    # (ops/bucket.py) pack only WITHIN their bucket, so compaction
+    # never invalidates the shuffle-free-join contract; the bucket key
+    # sorts first (None → untagged tables are unaffected)
+    small.sort(
+        key=lambda f: (
+            f.bucket if f.bucket is not None else -1,
+            f.zone_map.get("doc_id", {}).get("min") or "",
+            f.path,
+        )
+    )
 
     packs: list[list[FragmentMeta]] = []
     cur: list[FragmentMeta] = []
     cur_bytes = cur_rows = 0
     for f in small:
-        if cur and (cur_bytes + f.bytes > target_bytes or cur_rows + f.rows > max_rows):
+        if cur and (
+            cur_bytes + f.bytes > target_bytes
+            or cur_rows + f.rows > max_rows
+            or f.bucket != cur[0].bucket
+        ):
             packs.append(cur)
             cur, cur_bytes, cur_rows = [], 0, 0
         cur.append(f)
@@ -114,6 +128,7 @@ def _repack(
     bloom_bits: int | None = None,
     input_dv_rels: list | None = None,
     input_rename_maps: list[dict] | None = None,
+    bucket: int | None = None,
 ) -> dict:
     """Stream-merge one pack of small fragments into one fragment.
 
@@ -291,6 +306,7 @@ def _repack(
         sum_n_tok=sum_n_tok,
         zone_map={c: {"min": mins[c], "max": maxs[c]} for c in mins},
         cols=out_cols,
+        bucket=bucket,  # pack is single-bucket by plan → tag survives
     )
     lineage.write_record(
         table_dir,
@@ -341,6 +357,7 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
             cfg.bloom_bits_per_key,
             [f.dv_path for f in p],
             [f.rename_map(m.column_ids) for f in p],
+            p[0].bucket,
         )
         for i, p in enumerate(plan.packs)
     ]

@@ -827,12 +827,17 @@ def merge_into(
         ]
         hit = [f for f, rec in zip(hit, records) if not rec["metrics"].get("bloom_skip")]
         kept.extend(bloom_skipped)
-        survivors = [
-            fm
-            for rec in records
-            if not rec["metrics"].get("bloom_skip")
-            for fm in lineage.output_fragments(rec)
-        ]
+        # COW output is 1:1 with its input fragment → a bucketed
+        # layout (ops/bucket.py) survives the rewrite via the tag
+        bucket_of = {f.path: f.bucket for f in m.fragments}
+        survivors = []
+        for rec in records:
+            if rec["metrics"].get("bloom_skip"):
+                continue
+            b = bucket_of.get(rec["input_fragments"][0])
+            for fm in lineage.output_fragments(rec):
+                fm.bucket = b
+                survivors.append(fm)
 
         if when_matched == "delete":
             src_frags = []  # tombstone feed: matched rows drop, nothing lands

@@ -378,7 +378,21 @@ def _plan_mutation(
     if not changed:
         return parent, set(), [], {}
     removed = {r["input_fragments"][0] for r in changed}
-    added = [fmeta for r in changed for fmeta in lineage.output_fragments(r)]
+    # COW output is 1:1 with its input fragment → a bucketed layout
+    # (ops/bucket.py) survives the rewrite via the tag — unless the
+    # UPDATE reassigns the bucket key itself (rows would change
+    # buckets in place), which de-tags the rewritten fragments
+    from fupi_ray.ops.bucket import read_layout as _read_layout
+
+    lay = _read_layout(table)
+    key_rewritten = bool(lay and assignments and lay["key"] in assignments)
+    bucket_of = {f.path: f.bucket for f in hit}
+    added = []
+    for r in changed:
+        b = None if key_rewritten else bucket_of.get(r["input_fragments"][0])
+        for fmeta in lineage.output_fragments(r):
+            fmeta.bucket = b
+            added.append(fmeta)
     rows_matched = sum(r["metrics"].get("rows_matched", 0) for r in changed)
     return (
         parent,
@@ -654,6 +668,15 @@ def _run_mutation_dv(
         return parent
     removed: set[str] = set()
     added: list[FragmentMeta] = []
+    # an UPDATE's insert fragment keeps its source fragment's bucket
+    # tag ONLY while the update cannot move rows across buckets — i.e.
+    # the table's bucket key is not an assignment target (ops/bucket.py
+    # layout survival); reassigning the key de-tags the inserts and
+    # bucket_join then refuses until a re-bucket
+    from fupi_ray.ops.bucket import read_layout as _read_layout
+
+    lay = _read_layout(table)
+    key_rewritten = bool(lay and assignments and lay["key"] in assignments)
     for f, r in changed:
         met = r["metrics"]
         removed.add(f.path)
@@ -666,7 +689,9 @@ def _run_mutation_dv(
                     dv_n_tok=f.dv_n_tok + int(met["dv_n_tok_delta"]),
                 )
             )
-        added.extend(lineage.output_fragments(r))
+        for fmeta in lineage.output_fragments(r):
+            fmeta.bucket = None if key_rewritten else f.bucket
+            added.append(fmeta)
     rows_matched = sum(r["metrics"].get("rows_matched", 0) for _, r in changed)
     return table.commit_fragment_swap(
         removed,

@@ -840,6 +840,71 @@ FROM documents GROUP BY 1
 """
 
 
+def q_lake_bucket_join(sf_dir: str):
+    """Storage-partitioned (bucketed) join: hash-bucket two tables by
+    doc_id once, then join them with NO exchange — one task per bucket
+    reads both sides' co-bucket fragments and joins in memory
+    (ops/bucket.py). A DV delete runs between bucketing and the join to
+    prove the layout (and its masks) survive merge-on-read maintenance.
+    """
+    from fupi_ray.ops import bucket_join, bucket_table
+
+    left = _build(sf_dir, "bkj-l")
+    bucket_table(left, key="doc_id", num_buckets=8)
+    # merge-on-read delete on the bucketed table: tags survive via
+    # dataclasses.replace; bucket_join must apply the masks
+    delete_where(left, [("source", "==", "web")], mode="dv")
+
+    right = Table.create(
+        _tmp_table(sf_dir, "bkj-r"),
+        schema=pa.schema([("doc_id", pa.string()), ("lang", pa.string())]),
+        config=LAKE_CFG,
+    )
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+    def to_right(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["n_chars"], 200)
+        sub = batch.filter(keep)
+        ids = sub["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": _doc_id_str(ids), "lang": sub["lang"]})
+
+    right.commit_append(
+        docs.map_batches(to_right, batch_format="pyarrow"), target_fragment_rows=100
+    )
+    bucket_table(right, key="doc_id", num_buckets=8)
+
+    ds = bucket_join(
+        left,
+        right,
+        on="doc_id",
+        columns_left=["doc_id", "source", "n_tok"],
+        columns_right=["doc_id", "lang"],
+        how="inner",
+    )
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": pc.cast(b["n_tok"], pa.int64()),
+                "lang": b["lang"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LAKE_BUCKET_JOIN = f"""
+SELECT {_DOC_SQL} AS doc_id, l.source, CAST(l.n_chars AS BIGINT) AS n_tok, r.lang
+FROM documents l
+JOIN (SELECT doc_id, lang FROM documents WHERE n_chars >= 200) r USING (doc_id)
+WHERE l.source <> 'web'
+"""
+
+
 def flagship(sf_dir: str) -> ray.data.Dataset:
     """The full maintenance cycle on one table: ingest (small files) →
     compact → Z-order cluster → MERGE → expire → final canonical scan.

@@ -1,0 +1,220 @@
+"""Storage-bucketed layout + shuffle-free bucketed joins
+(fupi_ray/ops/bucket.py): layout purity, join correctness vs the
+hash-join twin, zero-exchange plan shape, layout survival under
+maintenance (compaction, DV delete, COW delete), and the refusal
+contract when appends break the layout."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from fupi_ray.config import EngineConfig
+from fupi_ray.fixtures import sequences_dataset, write_fragmented_table
+from fupi_ray.functions.hashing import stable_hash
+from fupi_ray.ops import (
+    BucketLayoutError,
+    bucket_join,
+    bucket_table,
+    compact,
+    delete_where,
+    read_layout,
+)
+from fupi_ray.ops.join import hash_join
+from fupi_ray.table import Table
+
+CFG = EngineConfig(target_fragment_bytes=256 * 1024)
+N_BUCKETS = 4
+
+
+@pytest.fixture()
+def pair(tmp_path):
+    """Two co-bucketable tables: sequences (doc_id, tokens, n_tok,
+    source) and a narrow (doc_id, score) side covering a subset."""
+    left = write_fragmented_table(
+        str(tmp_path / "left"), 1_500, rows_per_fragment=200, config=CFG
+    )
+    right = Table.create(
+        str(tmp_path / "right"),
+        schema=pa.schema([("doc_id", pa.string()), ("score", pa.int64())]),
+        config=CFG,
+    )
+
+    def mk(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pc.greater(batch["n_tok"], 150))
+        return pa.table(
+            {"doc_id": sub["doc_id"], "score": pc.cast(sub["n_tok"], pa.int64())}
+        )
+
+    right.commit_append(
+        left.scan(columns=["doc_id", "n_tok"]).map_batches(mk, batch_format="pyarrow"),
+        target_fragment_rows=150,
+    )
+    return left, right
+
+
+def joined_df(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)[sorted(df.columns)]
+
+
+def expected_join(left, right) -> pd.DataFrame:
+    l = left.scan(columns=["doc_id", "source", "n_tok"]).to_pandas()
+    r = right.scan().to_pandas()
+    df = l.merge(r, on="doc_id", how="inner")
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)[sorted(df.columns)]
+
+
+def test_bucket_table_layout_is_pure(pair):
+    left, _ = pair
+    before = left.scan().to_pandas()
+    v = bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    m = left.manifest(v)
+    assert m.operation == "bucket"
+    lay = read_layout(left)
+    assert lay == {"key": "doc_id", "num_buckets": N_BUCKETS, "version": v}
+    seen = set()
+    for f in m.fragments:
+        assert f.bucket is not None and 0 <= f.bucket < N_BUCKETS
+        tbl = pq.read_table(f"{left.table_dir}/{f.path}", columns=["doc_id"])
+        h = stable_hash(tbl["doc_id"]) % np.uint64(N_BUCKETS)
+        assert (h == np.uint64(f.bucket)).all(), "fragment not bucket-pure"
+        seen.add(f.bucket)
+    assert seen == set(range(N_BUCKETS))
+    # content-preserving rewrite
+    after = left.scan().to_pandas()
+    for df in (before, after):
+        df["tokens"] = df["tokens"].map(lambda a: tuple(a))
+    pd.testing.assert_frame_equal(
+        before.sort_values("doc_id").reset_index(drop=True),
+        after.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_bucket_join_matches_hash_join(pair):
+    left, right = pair
+    want = expected_join(left, right)
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    ds = bucket_join(
+        left,
+        right,
+        on="doc_id",
+        columns_left=["doc_id", "source", "n_tok"],
+        columns_right=["doc_id", "score"],
+    )
+    got = joined_df(ds)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the distributed hash-join twin agrees too
+    hj = hash_join(
+        left.scan(columns=["doc_id", "source", "n_tok"]),
+        right.scan(),
+        on="doc_id",
+        num_buckets=4,
+    )
+    pd.testing.assert_frame_equal(joined_df(hj), want, check_dtype=False)
+
+
+def test_bucket_join_plan_has_no_exchange(pair):
+    left, right = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    ds = bucket_join(
+        left, right, on="doc_id",
+        columns_left=["doc_id", "n_tok"], columns_right=["doc_id", "score"],
+    )
+    ds = ds.materialize()
+    stats = ds.stats()
+    for marker in ("Sort", "Aggregate", "RandomShuffle", "Repartition"):
+        assert marker not in stats, f"unexpected exchange {marker} in plan:\n{stats}"
+
+
+def test_left_join_pads_nulls(pair):
+    left, right = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    df = bucket_join(
+        left, right, on="doc_id",
+        columns_left=["doc_id", "n_tok"], columns_right=["doc_id", "score"],
+        how="left",
+    ).to_pandas()
+    assert len(df) == 1_500
+    matched = df["score"].notna()
+    assert matched.sum() == len(expected_join(left, right))
+    assert (df.loc[matched, "n_tok"] > 150).all()
+
+
+def test_join_refuses_untagged_appends(pair):
+    left, right = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    left.commit_append(sequences_dataset(100, start=10_000))
+    with pytest.raises(BucketLayoutError, match="outside the bucket layout"):
+        bucket_join(left, right, on="doc_id")
+    # re-bucketing repairs the contract
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    assert bucket_join(
+        left, right, on="doc_id",
+        columns_left=["doc_id", "n_tok"], columns_right=["doc_id", "score"],
+    ).count() > 0
+
+
+def test_join_refuses_mismatched_layouts(pair):
+    left, right = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    with pytest.raises(BucketLayoutError, match="no bucket layout"):
+        bucket_join(left, right, on="doc_id")
+    bucket_table(right, key="doc_id", num_buckets=2 * N_BUCKETS)
+    with pytest.raises(BucketLayoutError, match="bucket counts differ"):
+        bucket_join(left, right, on="doc_id")
+    with pytest.raises(BucketLayoutError, match="join key"):
+        bucket_join(left, right, on="source")
+
+
+def test_layout_survives_compaction_and_dv_delete(pair):
+    left, right = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    want = expected_join(left, right)
+
+    # merge-on-read delete keeps tags (dataclasses.replace)
+    delete_where(left, [("n_tok", "between", (200, 260))], mode="dv")
+    # compaction packs within buckets only and carries the tag
+    compact(left)
+    m = left.manifest()
+    assert all(f.bucket is not None for f in m.fragments)
+    for f in m.fragments:
+        tbl = pq.read_table(f"{left.table_dir}/{f.path}", columns=["doc_id"])
+        h = stable_hash(tbl["doc_id"]) % np.uint64(N_BUCKETS)
+        assert (h == np.uint64(f.bucket)).all(), "compaction mixed buckets"
+
+    got = joined_df(
+        bucket_join(
+            left, right, on="doc_id",
+            columns_left=["doc_id", "source", "n_tok"],
+            columns_right=["doc_id", "score"],
+        )
+    )
+    want = want[~want.n_tok.between(200, 260)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_layout_survives_cow_delete(pair):
+    left, right = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    delete_where(left, [("n_tok", ">", 400)], mode="cow")
+    assert all(f.bucket is not None for f in left.manifest().fragments)
+    got = joined_df(
+        bucket_join(
+            left, right, on="doc_id",
+            columns_left=["doc_id", "source", "n_tok"],
+            columns_right=["doc_id", "score"],
+        )
+    )
+    want = expected_join(left, right)
+    want = want[want.n_tok <= 400].reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
