@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_changelog": lake.q_lake_changelog,
         "lake_cdc_apply": lake.q_lake_cdc_apply,
         "lake_bucket_join": lake.q_lake_bucket_join,
+        "lake_sorted_scan": lake.q_lake_sorted_scan,
         "lake_wap": lake.q_lake_wap,
         "lake_timetravel": lake.q_lake_timetravel,
         "pack_tokens": lake.q_pack_tokens,
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_rename": lake.SQL_LAKE_RENAME,
         "lake_expire": lake.SQL_LAKE_EXPIRE,
         "lake_bucket_join": lake.SQL_LAKE_BUCKET_JOIN,
+        "lake_sorted_scan": lake.SQL_LAKE_SORTED_SCAN,
         "lake_delete": lake.SQL_LAKE_DELETE,
         "lake_delete_dv": lake.SQL_LAKE_DELETE_DV,
         "lake_update": lake.SQL_LAKE_UPDATE,

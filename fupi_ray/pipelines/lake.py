@@ -853,7 +853,7 @@ def q_lake_bucket_join(sf_dir: str):
     bucket_table(left, key="doc_id", num_buckets=8)
     # merge-on-read delete on the bucketed table: tags survive via
     # dataclasses.replace; bucket_join must apply the masks
-    delete_where(left, [("source", "==", "web")], mode="dv")
+    delete_where(left, [("source", "==", "src3")], mode="dv")
 
     right = Table.create(
         _tmp_table(sf_dir, "bkj-r"),
@@ -897,11 +897,42 @@ def q_lake_bucket_join(sf_dir: str):
     )
 
 
+def q_lake_sorted_scan(sf_dir: str):
+    """Order-proving sorted scan: the ingest stream is doc_id-ordered,
+    so fragment zone maps are pairwise disjoint and ``scan_sorted``
+    replaces the all-to-all sort with per-fragment local sorts +
+    order-preserving concat (Table.order_proof). Self-asserting: the
+    query fails if the proof unexpectedly degrades to the sort
+    fallback. A DV delete runs first so the ordered read path also
+    proves it honors merge-on-read masks."""
+    t = _build(sf_dir, "sorted")
+    delete_where(t, [("source", "==", "src7")], mode="dv")
+    proof = t.order_proof("doc_id")
+    assert proof["provable"], f"expected provable layout, got {proof}"
+    ds = t.scan_sorted("doc_id", columns=["doc_id", "source", "n_tok"])
+    return ds.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok": pc.cast(b["n_tok"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LAKE_SORTED_SCAN = (
+    f"SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok "
+    "FROM documents WHERE source <> 'src7'"
+)
+
+
 SQL_LAKE_BUCKET_JOIN = f"""
 SELECT {_DOC_SQL} AS doc_id, l.source, CAST(l.n_chars AS BIGINT) AS n_tok, r.lang
 FROM documents l
 JOIN (SELECT doc_id, lang FROM documents WHERE n_chars >= 200) r USING (doc_id)
-WHERE l.source <> 'web'
+WHERE l.source <> 'src3'
 """
 
 

@@ -580,6 +580,127 @@ class Table:
             ds = ds.union(other)
         return ds
 
+    # -- ordered scan (zone-map order proof) ---------------------------------
+
+    def order_proof(self, by: str, version: int | None = None) -> dict:
+        """Can ``scan_sorted(by)`` skip the global sort?
+
+        The proof is pure manifest metadata: if every fragment has a
+        zone map for ``by`` and the [min, max] ranges are pairwise
+        non-overlapping when ordered by min, then locally sorting each
+        fragment and concatenating them in zone order IS the global
+        order (equal boundary values are fine — a sorted sequence
+        allows equal adjacent values). Fragments written before the
+        column existed have no zone entry and fail the proof, which
+        also covers evolution-padded columns (their pad value is not
+        in any zone map). Nulls never appear in zone-mapped columns
+        (mins/maxes are computed over written values only and the
+        engine's zone columns are non-null by construction)."""
+        m = self.manifest(version)
+        if not m.fragments:
+            return {"provable": True, "fragments": 0, "overlapping_pairs": 0}
+        zones = []
+        for f in m.fragments:
+            zm = f.zone_map.get(by)
+            if (
+                zm is None
+                or zm.get("min") is None
+                or not f.has_column(by, m.column_ids)
+            ):
+                return {
+                    "provable": False,
+                    "fragments": len(m.fragments),
+                    "reason": f"no usable zone map for {by!r} on {f.path}",
+                }
+            zones.append((zm["min"], zm["max"]))
+        zones.sort()
+        overlaps = sum(1 for a, b in zip(zones, zones[1:]) if a[1] > b[0])
+        return {
+            "provable": overlaps == 0,
+            "fragments": len(m.fragments),
+            "overlapping_pairs": overlaps,
+        }
+
+    def scan_sorted(
+        self,
+        by: str,
+        columns: Sequence[str] | None = None,
+        descending: bool = False,
+        version: int | None = None,
+    ) -> ray.data.Dataset:
+        """Scan ordered by ``by`` — without the all-to-all sort when
+        the layout proves it away.
+
+        When ``order_proof(by)`` holds (e.g. fragments appended from
+        an already-ordered stream, or doc_id-clustered output), the
+        plan is: one task per fragment, in zone-map order, each
+        locally sorting its own rows — an embarrassingly parallel
+        map with order-preserving concat, instead of Ray's
+        range-partition exchange over the full table. Falls back to
+        ``scan().sort()`` when the proof fails. Deletion vectors,
+        renamed columns and evolution padding are honored either way.
+        """
+        proof = self.order_proof(by, version)
+        if not proof["provable"]:
+            return self.scan(version, columns=columns).sort(by, descending=descending)
+        m = self.manifest(version)
+        frags = sorted(
+            m.fragments,
+            key=lambda f: (f.zone_map[by]["min"], f.zone_map[by]["max"]),
+            reverse=descending,
+        )
+        if not frags:
+            return self.scan(version, columns=columns)
+        read_cols = list(columns) if columns is not None else list(m.schema_names)
+        inner_cols = read_cols if by in read_cols else read_cols + [by]
+        import json as _json
+
+        types = dict(zip(m.schema_names, m.schema_types))
+        names = [c for c in inner_cols if c in types]
+        typestrs = [types[c] for c in names]
+        fill = {c: (m.column_defaults or {}).get(c) for c in names}
+        items = []
+        for f in frags:
+            rmap = f.rename_map(m.column_ids)
+            inv = {d: p for p, d in rmap.items()}
+            have = set(f.cols) if f.cols is not None else None
+            phys = [
+                inv.get(c, c)
+                for c in names
+                if have is None or inv.get(c, c) in have
+            ]
+            items.append(
+                {
+                    "spec": _json.dumps(
+                        {"path": f.path, "dv": f.dv_path or "", "rmap": rmap, "cols": phys}
+                    )
+                }
+            )
+        table_dir = self.table_dir
+        order = "descending" if descending else "ascending"
+
+        def read_sorted(batch: pa.Table) -> pa.Table:
+            from fupi_ray.ops.dv import masked_fragment_table
+            from fupi_ray.schema import normalize_batch
+
+            schema = pa.schema(
+                [(nm, mf.type_from_str(t)) for nm, t in zip(names, typestrs)]
+            )
+            outs = []
+            for spec_s in batch["spec"].to_pylist():
+                spec = _json.loads(spec_s)
+                t = masked_fragment_table(
+                    table_dir, spec["path"], spec["dv"] or None, columns=spec["cols"] or None
+                )
+                t = mf.apply_rename(t, spec["rmap"])
+                t = normalize_batch(t, schema, fill, drop_extra=True)
+                outs.append(t.sort_by([(by, order)]).select(read_cols))
+            return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
+
+        return ray.data.from_items(items, override_num_blocks=len(items)).map_batches(
+            read_sorted, batch_format="pyarrow", batch_size=None
+        )
+
     # -- commits ------------------------------------------------------------
 
     def _commit(
