@@ -50,7 +50,7 @@ def main(argv=None) -> int:
             "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
-            "fork", "drop-fork", "bucket",
+            "fork", "drop-fork", "bucket", "constrain", "unconstrain",
         ],
     )
     p.add_argument("--table", required=True)
@@ -201,6 +201,26 @@ def main(argv=None) -> int:
     elif args.op == "cluster":
         t = Table.open(args.table)
         out["version"] = cluster(t, curve=args.curve, job_id=args.job_id)
+    elif args.op in ("constrain", "unconstrain"):
+        # commit-time invariants: --where conjuncts become CHECK
+        # constraints, --column becomes NOT NULL (ops/constraints.py)
+        from fupi_ray.ops import drop_constraints, read_constraints, set_constraints
+
+        t = Table.open(args.table)
+        if args.op == "unconstrain":
+            drop_constraints(t)
+            out["constraints"] = []
+        else:
+            cons = [
+                {"col": c, "op": op, "value": v}
+                for c, op, v in parse_where(args.where)
+            ]
+            if args.column:
+                cons.append({"col": args.column, "not_null": True})
+            if not cons:
+                p.error("constrain requires --where col:op:value and/or --column (not-null)")
+            out["rows_verified"] = set_constraints(t, cons)
+            out["constraints"] = read_constraints(t.table_dir)
     elif args.op == "bucket":
         # storage-bucketed layout: one all-to-all now, shuffle-free
         # co-partitioned joins forever after (ops/bucket.py)

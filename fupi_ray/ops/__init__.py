@@ -1,4 +1,10 @@
 from fupi_ray.ops.bucket import BucketLayoutError, bucket_join, bucket_table, read_layout
+from fupi_ray.ops.constraints import (
+    ConstraintViolation,
+    drop_constraints,
+    read_constraints,
+    set_constraints,
+)
 from fupi_ray.ops.changelog import apply_changelog, changelog
 from fupi_ray.ops.compact import compact
 from fupi_ray.ops.cluster import cluster
@@ -22,6 +28,10 @@ __all__ = [
     "bucket_join",
     "bucket_table",
     "read_layout",
+    "ConstraintViolation",
+    "drop_constraints",
+    "read_constraints",
+    "set_constraints",
     "abort_stage",
     "export_training_shards",
     "read_export_manifest",

@@ -728,7 +728,10 @@ def merge_into(
     # Materialize the deduped source too: both strategies consume it
     # twice (keys + fragment write, or min/max + union); a second lazy
     # execution would re-run the dedup shuffle. count() is then free.
-    deduped = _dedup_source(src_m, num_buckets).materialize()
+    # commit-time invariants run on the deduped SOURCE rows (the only
+    # new values a merge introduces); a violation fails here, before
+    # any rewrite task or manifest mutation (ops/constraints.py)
+    deduped = table._constrained(_dedup_source(src_m, num_buckets)).materialize()
     n_src = deduped.count()
     mark("dedup")
     if n_src == 0:

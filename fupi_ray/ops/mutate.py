@@ -461,6 +461,21 @@ def update_where(
         specs[col] = (kind, val, declared[col])
     if not specs:
         raise ValueError("update_where requires at least one assignment")
+    # commit-time invariants: a scalar assignment is exactly checkable
+    # up front (one probe row, no task launched). Callable assignments
+    # are computed per fragment and are the caller's contract — they
+    # are validated only where their rows re-enter through a
+    # constrained write path (documented limitation).
+    from fupi_ray.ops import constraints as _con
+
+    cons = _con.read_constraints(table.table_dir)
+    for con in cons:
+        col = con["col"]
+        if col in specs and specs[col][0] == "scalar":
+            probe = pa.table(
+                {col: pa.array([specs[col][1]], type=mf.type_from_str(declared[col]))}
+            )
+            _con.check_batch(probe, [con])
     if mode == "dv":
         # merge-on-read UPDATE = DV-delete the old rows + append the
         # assigned rows as a new fragment; the callable sees only the

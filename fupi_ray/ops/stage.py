@@ -55,7 +55,9 @@ def stage_append(
     if _fs.exists(_record_path(table.table_dir, stage_id)):
         raise ValueError(f"stage {stage_id!r} already exists")
     frags = write_dataset_fragments(
-        ds,
+        # staged rows are future table rows: invariants apply at the
+        # stage write (an auditor shouldn't even see violating rows)
+        table._constrained(ds),
         table.table_dir,
         f"st-{stage_id}",
         bloom_bits=table.config.bloom_bits_per_key,

@@ -791,6 +791,18 @@ class Table:
         n, t = _schema_lists(SEQUENCES_SCHEMA)
         return n, t, {}
 
+    def _constrained(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Insert the commit-time invariant check (ops/constraints.py)
+        into a write pipeline: a zero-copy pass-through that fails the
+        write task on the first violating batch, BEFORE any fragment
+        is committed. No-op when the table declares no constraints."""
+        from fupi_ray.ops import constraints as _con
+
+        cons = _con.read_constraints(self.table_dir)
+        if not cons:
+            return ds
+        return ds.map_batches(_con.ConstraintChecker(cons), batch_format="pyarrow")
+
     def commit_overwrite(self, ds: ray.data.Dataset, properties: dict | None = None) -> int:
         """Replace the table contents (reference: create_table
         mode='overwrite', fupi/utils.py:39-49). Old fragments stay on
@@ -798,7 +810,8 @@ class Table:
         outcome is independent of the parent's contents, so a
         concurrent-commit conflict is auto-rebased like an append."""
         frags = write_dataset_fragments(
-            ds, self.table_dir, "ow", bloom_bits=self.config.bloom_bits_per_key,
+            self._constrained(ds), self.table_dir, "ow",
+            bloom_bits=self.config.bloom_bits_per_key,
             row_group_rows=self.config.row_group_rows,
         )
         return self._commit_rebasing("overwrite", lambda _parent: frags, properties)
@@ -814,7 +827,7 @@ class Table:
         ``target_fragment_rows`` forces small fragments (test fixtures
         mimicking post-ingest small-file state)."""
         new = write_dataset_fragments(
-            ds,
+            self._constrained(ds),
             self.table_dir,
             "ap",
             target_fragment_rows=target_fragment_rows,
