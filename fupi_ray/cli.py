@@ -51,6 +51,7 @@ def main(argv=None) -> int:
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
             "fork", "drop-fork", "bucket", "constrain", "unconstrain",
+            "inspect",
         ],
     )
     p.add_argument("--table", required=True)
@@ -201,6 +202,25 @@ def main(argv=None) -> int:
     elif args.op == "cluster":
         t = Table.open(args.table)
         out["version"] = cluster(t, curve=args.curve, job_id=args.job_id)
+    elif args.op == "inspect":
+        # metadata-table summary: snapshot log + per-fragment stats
+        # (Table.files / Table.snapshots) + layout/invariant sidecars
+        from fupi_ray.ops import read_constraints, read_layout
+        from fupi_ray.ops.stage import list_stages
+
+        t = Table.open(args.table)
+        files = t.files(args.version)
+        out["version"] = args.version if args.version is not None else t.latest_version()
+        out["snapshots"] = t.snapshots().to_pylist()
+        out["fragments"] = files.num_rows
+        out["rows"] = sum(files["live_rows"].to_pylist())
+        out["bytes"] = sum(files["bytes"].to_pylist())
+        out["dv_rows"] = sum(files["dv_rows"].to_pylist())
+        out["bucket_layout"] = read_layout(t)
+        out["constraints"] = read_constraints(t.table_dir)
+        out["pins"] = t.pins()
+        out["stages"] = [r.get("stage_id") for r in list_stages(t)]
+        out["files"] = files.to_pylist() if files.num_rows <= 50 else files.slice(0, 50).to_pylist()
     elif args.op in ("constrain", "unconstrain"):
         # commit-time invariants: --where conjuncts become CHECK
         # constraints, --column becomes NOT NULL (ops/constraints.py)

@@ -580,6 +580,82 @@ class Table:
             ds = ds.union(other)
         return ds
 
+    # -- metadata tables (Iceberg-style files / snapshots inspection) --------
+
+    def files(self, version: int | None = None) -> pa.Table:
+        """One row per fragment of the (pinned) snapshot: physical
+        stats, DV state, bucket tag and the doc_id/n_tok zone ranges —
+        Iceberg's ``table$files``. Pure manifest metadata (no data
+        read); tiny, so it returns an Arrow table directly."""
+        m = self.manifest(version)
+
+        def zm(f: FragmentMeta, col: str, end: str):
+            v = f.zone_map.get(col, {}).get(end)
+            return None if v is None else v
+
+        rows = [
+            {
+                "path": f.path,
+                "rows": f.rows,
+                "live_rows": f.live_rows,
+                "bytes": f.bytes,
+                "sum_n_tok": f.sum_n_tok,
+                "dv_rows": f.dv_rows,
+                "bucket": f.bucket,
+                "doc_id_min": zm(f, "doc_id", "min"),
+                "doc_id_max": zm(f, "doc_id", "max"),
+                "n_tok_min": zm(f, "n_tok", "min"),
+                "n_tok_max": zm(f, "n_tok", "max"),
+            }
+            for f in m.fragments
+        ]
+        schema = pa.schema(
+            [
+                ("path", pa.string()),
+                ("rows", pa.int64()),
+                ("live_rows", pa.int64()),
+                ("bytes", pa.int64()),
+                ("sum_n_tok", pa.int64()),
+                ("dv_rows", pa.int64()),
+                ("bucket", pa.int64()),
+                ("doc_id_min", pa.string()),
+                ("doc_id_max", pa.string()),
+                ("n_tok_min", pa.int64()),
+                ("n_tok_max", pa.int64()),
+            ]
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    def snapshots(self) -> pa.Table:
+        """One row per surviving version, newest first — Iceberg's
+        ``table$snapshots`` over :meth:`history`."""
+        hist = self.history()
+        return pa.Table.from_pylist(
+            [
+                {
+                    "version": h["version"],
+                    "operation": h["operation"],
+                    "parent_version": h["parent_version"],
+                    "rows": h["rows"],
+                    "fragments": h["fragments"],
+                    "bytes": h["bytes"],
+                    "created_unix": h["created_unix"],
+                }
+                for h in hist
+            ],
+            schema=pa.schema(
+                [
+                    ("version", pa.int64()),
+                    ("operation", pa.string()),
+                    ("parent_version", pa.int64()),
+                    ("rows", pa.int64()),
+                    ("fragments", pa.int64()),
+                    ("bytes", pa.int64()),
+                    ("created_unix", pa.float64()),
+                ]
+            ),
+        )
+
     # -- ordered scan (zone-map order proof) ---------------------------------
 
     def order_proof(self, by: str, version: int | None = None) -> dict:
