@@ -145,6 +145,23 @@ def run_bench() -> dict:
     timings["scan"] = round(scan_sec / scan_reps, 3)
     # metadata-only pruned scan (count) — the cheap-path complement
     timed("scan_count", lambda: table.scan(columns=["n_tok"]).count())
+
+    # order-proving sorted scan: the post-compaction layout is
+    # append-ordered, so zone maps prove doc_id disjointness and the
+    # ordered read is per-fragment local sorts — no exchange. (Must
+    # run BEFORE cluster: z-ordering interleaves doc_id ranges.)
+    sorted_stats = {}
+
+    def sorted_scan():
+        proof = table.order_proof("doc_id")
+        sorted_stats.update(proof)
+        ds = table.scan_sorted("doc_id", columns=["doc_id", "n_tok"])
+        n = 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        sorted_stats["rows"] = n
+
+    timed("sorted_scan", sorted_scan)
     timed("cluster", lambda: cluster(table, curve="zorder"))
 
     # post-cluster pruned box scan: zone maps skip fragments outside the
@@ -261,6 +278,58 @@ def run_bench() -> dict:
         )
 
     timed("matview_cycle", matview_cycle)
+
+    # storage-bucketed layout + shuffle-free join: one all-to-all
+    # rewrite (comparable to `cluster`), then a co-partitioned join
+    # whose plan has NO exchange — the amortization argument measured
+    bucket_stats = {}
+
+    def do_bucket():
+        from fupi_ray.ops import bucket_table
+
+        nb = max(8, num_cpus)
+        bucket_stats["num_buckets"] = nb
+        bucket_table(table, key="doc_id", num_buckets=nb)
+
+    timed("bucket", do_bucket)
+
+    def do_bucket_join():
+        from fupi_ray.ops import bucket_join, bucket_table
+        from fupi_ray.table import Table as _T
+
+        side_dir = os.path.join(tdir, "side")
+        side = _T.create(
+            side_dir,
+            schema=pa.schema([("doc_id", pa.string()), ("score", pa.int64())]),
+            config=table.config,
+        )
+        import pyarrow.compute as pc
+
+        def mk_side(b: pa.Table) -> pa.Table:
+            sub = b.filter(pc.greater(b["n_tok"], 256))
+            return pa.table(
+                {"doc_id": sub["doc_id"], "score": pc.cast(sub["n_tok"], pa.int64())}
+            )
+
+        side.commit_append(
+            table.scan(columns=["doc_id", "n_tok"]).map_batches(
+                mk_side, batch_format="pyarrow"
+            )
+        )
+        bucket_table(side, key="doc_id", num_buckets=bucket_stats["num_buckets"])
+        t0 = time.perf_counter()
+        ds = bucket_join(
+            table, side, on="doc_id",
+            columns_left=["doc_id", "n_tok", "source"],
+            columns_right=["doc_id", "score"],
+        )
+        n = 0
+        for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            n += b.num_rows
+        bucket_stats["join_rows"] = n
+        bucket_stats["join_only_sec"] = round(time.perf_counter() - t0, 3)
+
+    timed("bucket_join", do_bucket_join)
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
@@ -321,6 +390,8 @@ def run_bench() -> dict:
         "dv": dv_stats,
         "merge_dv": merge_dv_stats,
         "matview": mv_stats,
+        "sorted_scan": sorted_stats,
+        "bucket": bucket_stats,
         "copy_cap": {"measured": probe_cap, "probe_seconds": probe_seconds},
     }
     ray.shutdown()

@@ -227,6 +227,23 @@ def bucket_join(
 
     lnames, ltypes = declared_subset(lm, lcols)
     rnames, rtypes = declared_subset(rm, rcols)
+    # unify the key type across sides (Acero refuses string vs
+    # large_string, int32 vs int64, ...). Safe for co-partitioning:
+    # stable_hash is width/offset-representation independent (strings
+    # hash by value, ints via uint64), so both layouts already agree.
+    lk, rk = mf.type_from_str(ltypes[lnames.index(on)]), mf.type_from_str(
+        rtypes[rnames.index(on)]
+    )
+    if lk != rk:
+        if pa.types.is_string(lk) or pa.types.is_large_string(lk):
+            if not (pa.types.is_string(rk) or pa.types.is_large_string(rk)):
+                raise BucketLayoutError(f"join key types differ: {lk} vs {rk}")
+            unified = pa.large_string()
+        elif pa.types.is_integer(lk) and pa.types.is_integer(rk):
+            unified = lk if lk.bit_width >= rk.bit_width else rk
+        else:
+            raise BucketLayoutError(f"join key types differ: {lk} vs {rk}")
+        ltypes[lnames.index(on)] = rtypes[rnames.index(on)] = str(unified)
 
     items = []
     for b in range(n):
