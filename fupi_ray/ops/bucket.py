@@ -19,11 +19,13 @@ Spark/Iceberg's bucketed tables / storage-partitioned join:
 
 Layout survival: deletion-vector mutations preserve fragment metas
 (``dataclasses.replace``), compaction packs within a bucket (never
-across), and COW rewrites carry the input fragment's tag — so routine
-maintenance keeps the contract. An APPEND of untagged fragments breaks
-it; ``bucket_join`` then raises ``BucketLayoutError`` instead of
-silently producing a wrong or slow join (re-run ``bucket_table``, or
-keep ingest on a staging table and merge in via bucketed rewrite).
+across), COW rewrites carry the input fragment's tag, and MERGE
+routes its insert/resolve writes through the bucketized writer when
+the target is bucketed on the merge key — so routine maintenance
+keeps the contract. A raw APPEND of untagged fragments breaks it;
+``bucket_join`` then raises ``BucketLayoutError`` instead of silently
+producing a wrong or slow join (re-run ``bucket_table``, or ingest
+through MERGE, which preserves the layout).
 """
 
 from __future__ import annotations
@@ -93,6 +95,51 @@ class _BucketFragmentWriter:
         return pa.table({"meta_json": pa.array(metas, type=pa.string())})
 
 
+def write_bucketized_fragments(
+    table: Table,
+    ds: ray.data.Dataset,
+    key: str,
+    num_buckets: int,
+    prefix: str,
+) -> list[FragmentMeta]:
+    """Write a Dataset as bucket-pure, bucket-tagged fragments: assign
+    ``stable_hash(key) % num_buckets``, range-sort on it (the one
+    exchange), split blocks at run boundaries. The building block of
+    ``bucket_table`` — and of layout-preserving writes (MERGE inserts
+    into an already-bucketed table)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = stable_hash(batch[key])
+        return batch.append_column(
+            BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
+
+    sorted_ds = ds.map_batches(assign, batch_format="pyarrow").sort(BUCKET_COL)
+    writer = _BucketFragmentWriter(
+        table.table_dir,
+        prefix,
+        row_group_rows=table.config.row_group_rows,
+        bloom_bits=table.config.bloom_bits_per_key,
+    )
+    meta_rows = sorted_ds.map_batches(
+        writer, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).take_all()
+    return [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows]
+
+
+def preserving_layout(table: Table, merge_key: str) -> dict | None:
+    """The table's bucket layout IF a write keyed on ``merge_key`` can
+    preserve it (same key, every live fragment still tagged) — the
+    gate merge paths use to route inserts through the bucketized
+    writer instead of breaking the contract."""
+    lay = read_layout(table)
+    if not lay or lay["key"] != merge_key:
+        return None
+    if any(f.bucket is None for f in table.manifest().fragments):
+        return None
+    return lay
+
+
 def bucket_table(
     table: Table, key: str = "doc_id", num_buckets: int = 16
 ) -> int | None:
@@ -112,27 +159,9 @@ def bucket_table(
     if key not in (m.schema_names or []):
         raise ValueError(f"bucket key {key!r} not in table schema {m.schema_names}")
     t0 = time.perf_counter()
-
-    def assign(batch: pa.Table) -> pa.Table:
-        h = stable_hash(batch[key])
-        return batch.append_column(
-            BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64))
-        )
-
-    ds = table.scan(parent).map_batches(assign, batch_format="pyarrow")
-    # range-partition sort on the small int key: blocks come out
-    # bucket-contiguous, so the writer splits at run boundaries
-    ds = ds.sort(BUCKET_COL)
-    writer = _BucketFragmentWriter(
-        table.table_dir,
-        f"bk-v{parent}",
-        row_group_rows=table.config.row_group_rows,
-        bloom_bits=table.config.bloom_bits_per_key,
+    new_frags = write_bucketized_fragments(
+        table, table.scan(parent), key, num_buckets, f"bk-v{parent}"
     )
-    meta_rows = ds.map_batches(
-        writer, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).take_all()
-    new_frags = [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows]
     v = table.commit_fragment_swap(
         {f.path for f in m.fragments},
         new_frags,

@@ -474,6 +474,16 @@ def _merge_shuffle(
         .map_groups(resolve, batch_format="pyarrow")
         .map_batches(norm, batch_format="pyarrow")
     )
+    from fupi_ray.ops import bucket as _bk
+
+    lay = _bk.preserving_layout(table, "doc_id")
+    if lay:
+        # bucketed target: the resolved output (rewritten hit rows +
+        # inserts) re-lands bucket-pure so the layout contract
+        # survives the shuffle merge too
+        return _bk.write_bucketized_fragments(
+            table, merged, "doc_id", lay["num_buckets"], f"mg-{job_id}"
+        )
     return write_dataset_fragments(
         merged,
         table.table_dir,
@@ -845,17 +855,29 @@ def merge_into(
         if when_matched == "delete":
             src_frags = []  # tombstone feed: matched rows drop, nothing lands
         else:
-            src_frags = write_dataset_fragments(
-                deduped.map_batches(
-                    lambda b: normalize_batch(b, tbl_schema, fill_missing),
-                    batch_format="pyarrow",
-                ),
-                table.table_dir,
-                f"mg-{job_id}-src",
-                target_fragment_rows=rows_per_frag,
-                bloom_bits=cfg.bloom_bits_per_key,
-                row_group_rows=cfg.row_group_rows,
+            normed = deduped.map_batches(
+                lambda b: normalize_batch(b, tbl_schema, fill_missing),
+                batch_format="pyarrow",
             )
+            from fupi_ray.ops import bucket as _bk
+
+            lay = _bk.preserving_layout(table, "doc_id")
+            if lay:
+                # bucketed target: insert fragments land bucket-pure
+                # and tagged, so the shuffle-free-join contract
+                # survives the MERGE (one small sort of the source)
+                src_frags = _bk.write_bucketized_fragments(
+                    table, normed, "doc_id", lay["num_buckets"], f"mg-{job_id}-src"
+                )
+            else:
+                src_frags = write_dataset_fragments(
+                    normed,
+                    table.table_dir,
+                    f"mg-{job_id}-src",
+                    target_fragment_rows=rows_per_frag,
+                    bloom_bits=cfg.bloom_bits_per_key,
+                    row_group_rows=cfg.row_group_rows,
+                )
             mark("write_source")
         removed = {f.path for f in hit}
         new_frags = survivors + src_frags
@@ -1047,17 +1069,29 @@ def _merge_into_dv(
     if when_matched == "delete":
         src_frags = []
     else:
-        src_frags = write_dataset_fragments(
-            deduped.map_batches(
-                lambda b: normalize_batch(b, tbl_schema, fill_missing),
-                batch_format="pyarrow",
-            ),
-            table.table_dir,
-            f"mg-{job_id}-src",
-            target_fragment_rows=rows_per_frag,
-            bloom_bits=cfg.bloom_bits_per_key,
-            row_group_rows=cfg.row_group_rows,
+        normed = deduped.map_batches(
+            lambda b: normalize_batch(b, tbl_schema, fill_missing),
+            batch_format="pyarrow",
         )
+        from fupi_ray.ops import bucket as _bk
+
+        lay = _bk.preserving_layout(table, "doc_id")
+        if lay:
+            # bucketed target: DV-merge source fragments land
+            # bucket-pure (the DV'd originals keep their tags via
+            # dataclasses.replace), so the layout survives mode="dv"
+            src_frags = _bk.write_bucketized_fragments(
+                table, normed, "doc_id", lay["num_buckets"], f"mg-{job_id}-src"
+            )
+        else:
+            src_frags = write_dataset_fragments(
+                normed,
+                table.table_dir,
+                f"mg-{job_id}-src",
+                target_fragment_rows=rows_per_frag,
+                bloom_bits=cfg.bloom_bits_per_key,
+                row_group_rows=cfg.row_group_rows,
+            )
         mark("write_source")
     stats = {
         "mode": "dv",

@@ -218,3 +218,32 @@ def test_layout_survives_cow_delete(pair):
     want = expected_join(left, right)
     want = want[want.n_tok <= 400].reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize("mode,strategy", [("cow", "broadcast"), ("cow", "shuffle"), ("dv", "broadcast")])
+def test_layout_survives_merge(pair, mode, strategy):
+    from fupi_ray.fixtures import merge_source_dataset
+    from fupi_ray.ops import merge_into
+
+    left, right = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    src = merge_source_dataset(1_500)
+    merge_into(left, src, strategy=strategy, mode=mode)
+    m = left.manifest()
+    assert all(f.bucket is not None for f in m.fragments), "merge de-tagged the layout"
+    # every fragment is still bucket-pure — including the merge inserts
+    for f in m.fragments:
+        tbl = pq.read_table(f"{left.table_dir}/{f.path}", columns=["doc_id"])
+        h = stable_hash(tbl["doc_id"]) % np.uint64(N_BUCKETS)
+        assert (h == np.uint64(f.bucket)).all(), f"merge mixed buckets in {f.path}"
+    # the shuffle-free join still runs and reflects the merge
+    got = joined_df(
+        bucket_join(
+            left, right, on="doc_id",
+            columns_left=["doc_id", "source", "n_tok"],
+            columns_right=["doc_id", "score"],
+        )
+    )
+    want = expected_join(left, right)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
