@@ -51,7 +51,7 @@ def main(argv=None) -> int:
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
             "fork", "drop-fork", "bucket", "constrain", "unconstrain",
-            "inspect",
+            "inspect", "maintain",
         ],
     )
     p.add_argument("--table", required=True)
@@ -202,6 +202,20 @@ def main(argv=None) -> int:
     elif args.op == "cluster":
         t = Table.open(args.table)
         out["version"] = cluster(t, curve=args.curve, job_id=args.job_id)
+    elif args.op == "maintain":
+        # policy-driven one-call maintenance: compact → recluster on
+        # drift (unless bucketed) → bucket-layout repair → expire
+        from fupi_ray.ops import maintain
+
+        t = Table.open(args.table)
+        out.update(
+            maintain(
+                t,
+                keep_last=args.keep_last,
+                older_than_seconds=args.older_than,
+                job_id=args.job_id,
+            )
+        )
     elif args.op == "inspect":
         # metadata-table summary: snapshot log + per-fragment stats
         # (Table.files / Table.snapshots) + layout/invariant sidecars

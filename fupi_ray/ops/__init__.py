@@ -12,6 +12,7 @@ from fupi_ray.ops.evolve import add_column, drop_column, rename_column, widen_co
 from fupi_ray.ops.export import export_training_shards, read_export_manifest
 from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.fork import drop_fork, fork_base_version, fork_source, fork_table
+from fupi_ray.ops.maintain import maintain
 from fupi_ray.ops.matview import create_matview, matview_watermark, refresh_matview
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.ops.mutate import delete_where, rollback, update_where
@@ -56,6 +57,7 @@ __all__ = [
     "widen_column",
     "delete_where",
     "expire_snapshots",
+    "maintain",
     "merge_into",
     "rollback",
     "update_where",

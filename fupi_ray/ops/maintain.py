@@ -1,0 +1,106 @@
+"""One-call policy-driven table maintenance.
+
+The reference hard-codes its maintenance policy inline: compact after
+every ingest (fupi/embedders.py:127-128) and never expire anything.
+At 100 TB the policy IS the operational surface — a scheduler calls
+one idempotent entry point per table per cadence and the engine
+decides what's worth doing from manifest metadata alone (no data read
+until an action is chosen):
+
+1. **compact** — always offered to the planner; it no-ops unless
+   small fragments (or deletion vectors to materialize) exist.
+2. **recluster** — only if the table was clustered before AND the
+   rows that arrived since the last cluster commit exceed
+   ``recluster_fraction`` of the table (a freshly clustered table is
+   never re-sorted; a drifted one is). The curve is reused from the
+   last cluster commit.
+3. **rebucket** — only if a bucket layout exists and some live
+   fragment lost its tag (e.g. a raw append): the shuffle-free-join
+   contract is repaired with the recorded key/bucket-count.
+4. **expire** — drop old snapshots per the retention knobs and GC
+   unreferenced files.
+
+Ordering matters: compact before recluster (fewer, bigger inputs for
+the sort), layout repair after both rewrites, expiry last so every
+superseded fragment is GC-eligible in the same call.
+"""
+
+from __future__ import annotations
+
+import time
+
+from fupi_ray.table import Table
+
+
+def maintain(
+    table: Table,
+    keep_last: int | None = None,
+    older_than_seconds: float | None = None,
+    recluster_fraction: float = 0.2,
+    job_id: str | None = None,
+) -> dict:
+    """Run whatever maintenance the manifest says the table needs;
+    returns a summary of the actions taken (idempotent — a healthy
+    table yields an all-no-op summary and no new version)."""
+    from fupi_ray.ops import bucket as _bk
+    from fupi_ray.ops.cluster import cluster
+    from fupi_ray.ops.compact import compact
+    from fupi_ray.ops.expire import expire_snapshots
+
+    t0 = time.perf_counter()
+    actions: dict = {"compact": None, "recluster": None, "rebucket": None}
+    job_id = job_id or f"maintain-v{table.latest_version()}"
+
+    actions["compact"] = compact(table, job_id=f"{job_id}-compact")
+
+    # a bucket layout and a curve-sorted layout are mutually exclusive
+    # physical orders; an explicit bucket contract (shuffle-free joins)
+    # outranks clustering, so its presence disables the recluster arm
+    lay = _bk.read_layout(table)
+
+    # recluster on drift: rows in fragments the last cluster commit
+    # did not produce, as a fraction of the table (metadata only)
+    last_cluster = None
+    if lay is None:
+        for v in sorted(table.versions(), reverse=True):
+            props = table.manifest(v).properties
+            if props.get("curve"):
+                last_cluster = (v, props["curve"])
+                break
+    if last_cluster is not None:
+        v_cl, curve = last_cluster
+        clustered_paths = {f.path for f in table.manifest(v_cl).fragments}
+        m = table.manifest()
+        total = sum(f.live_rows for f in m.fragments) or 1
+        drifted = sum(
+            f.live_rows for f in m.fragments if f.path not in clustered_paths
+        )
+        if drifted / total > recluster_fraction:
+            actions["recluster"] = {
+                "version": cluster(table, curve=curve, job_id=f"{job_id}-cluster"),
+                "drift_fraction": round(drifted / total, 3),
+                "curve": curve,
+            }
+        else:
+            actions["recluster"] = {"skipped": True, "drift_fraction": round(drifted / total, 3)}
+
+    # repair a broken bucket layout (raw appends de-tag; DV mutations /
+    # compaction / MERGE do not)
+    if lay is not None:
+        untagged = sum(1 for f in table.manifest().fragments if f.bucket is None)
+        if untagged:
+            actions["rebucket"] = {
+                "version": _bk.bucket_table(
+                    table, key=lay["key"], num_buckets=lay["num_buckets"]
+                ),
+                "untagged_fragments": untagged,
+            }
+        else:
+            actions["rebucket"] = {"skipped": True}
+
+    actions["expire"] = expire_snapshots(
+        table, keep_last=keep_last, older_than_seconds=older_than_seconds
+    )
+    actions["seconds"] = round(time.perf_counter() - t0, 3)
+    actions["version"] = table.latest_version()
+    return actions
