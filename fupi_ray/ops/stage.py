@@ -148,7 +148,10 @@ def _stamp_version(table: Table, rec: dict, stamp: str, upto: int | None = None)
     for v in sorted(table.versions(), reverse=True):
         if upto is not None and v > upto:
             continue
-        hdr = mf.read_manifest_header(table.table_dir, v)
+        try:
+            hdr = mf.read_manifest_header(table.table_dir, v)
+        except FileNotFoundError:
+            continue  # expired by a concurrent expire_snapshots mid-scan
         if hdr.properties.get("wap_stamp") == stamp:
             return v
         if hdr.created_unix < rec["created_unix"]:
@@ -162,8 +165,11 @@ def _oldest_version_with_paths(table: Table, paths: set[str]) -> int:
     only on the rare expired-stamp fallback, so the full-manifest
     reads are acceptable; surviving history is bounded by expiry)."""
     for v in sorted(table.versions()):
-        if any(f.path in paths for f in table.manifest(v).fragments):
-            return v
+        try:
+            if any(f.path in paths for f in table.manifest(v).fragments):
+                return v
+        except FileNotFoundError:
+            continue  # expired by a concurrent expire_snapshots mid-scan
     return table.latest_version()
 
 

@@ -937,6 +937,14 @@ class Table:
                 )
             except commit_mod.CommitError as e:
                 last_err = e  # another writer advanced _latest: rebase
+            except FileNotFoundError as e:
+                # the parent manifest vanished between latest_version()
+                # and the read: a concurrent commit advanced _latest and
+                # a concurrent expire_snapshots then dropped our (now
+                # non-latest) parent — same staleness as a commit
+                # conflict, so rebase onto the new latest. (Expiry never
+                # deletes the CURRENT latest, so retries converge.)
+                last_err = e
         raise commit_mod.CommitError(
             f"{operation} lost the commit race {max_retries + 1} times"
         ) from last_err
