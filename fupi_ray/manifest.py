@@ -33,7 +33,49 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+# legacy fixed pruning set — kept as the column ORDER preference for
+# shard aggregation and diagnostics; zone maps themselves now cover
+# every zone-eligible column of the written schema (see zone_columns)
 ZONE_MAP_COLUMNS = ("doc_id", "n_tok", "source", "bucket")
+
+# string zone entries longer than this are omitted (conservative — the
+# fragment is simply never pruned on that column; truncating a MAX
+# bound safely needs Iceberg-style upper-bound bumping, not worth it)
+_ZONE_STR_MAX = 64
+
+
+def _zone_eligible(typ: pa.DataType) -> bool:
+    """Cheap totally-ordered scalar types get automatic zone maps;
+    nested/binary payloads (token lists, embeddings, media bytes)
+    don't — their min/max is meaningless for pruning and huge."""
+    # temporal types are excluded: their min/max would need a stable
+    # JSON encoding through manifests/shards; the engine's timestamps
+    # are integer epochs (events.ts_us), which zone-map natively
+    return (
+        pa.types.is_integer(typ)
+        or pa.types.is_floating(typ)
+        or pa.types.is_boolean(typ)
+        or pa.types.is_string(typ)
+        or pa.types.is_large_string(typ)
+    )
+
+
+def zone_columns(schema: pa.Schema) -> list[str]:
+    return [f.name for f in schema if _zone_eligible(f.type)]
+
+
+def _zone_entry(mm_min, mm_max) -> dict | None:
+    """Normalize a min/max pair into a zone entry, or None when the
+    pair cannot prune safely (all-null column, NaN-poisoned floats,
+    oversized strings)."""
+    lo, hi = _scalar(mm_min), _scalar(mm_max)
+    if lo is None or hi is None:
+        return None
+    if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN
+        return None
+    if isinstance(lo, str) and (len(lo) > _ZONE_STR_MAX or len(hi) > _ZONE_STR_MAX):
+        return None
+    return {"min": lo, "max": hi}
 
 
 @dataclass
@@ -467,7 +509,11 @@ def _shard_ref(
     is omitted → that shard is never pruned on it)."""
     zone: dict[str, dict[str, Any]] = {}
     ids: dict[str, int] = {}
-    for col in ZONE_MAP_COLUMNS:
+    # aggregate every column ANY member zone-maps (zone maps cover all
+    # zone-eligible columns now); the all-members requirement below
+    # keeps the aggregate conservative
+    agg_cols = sorted({c for f in members for c in f.zone_map})
+    for col in agg_cols:
         if col not in column_ids:
             continue
         entries = []
@@ -644,10 +690,12 @@ def fragment_meta_from_table(
     (merge/mutate COW tasks); filtered to columns actually written.
     """
     zone: dict[str, dict[str, Any]] = {}
-    for col in ZONE_MAP_COLUMNS:
-        if col in tbl.column_names and tbl.num_rows:
+    if tbl.num_rows:
+        for col in zone_columns(tbl.schema):
             mm = pc.min_max(tbl.column(col))
-            zone[col] = {"min": _scalar(mm["min"]), "max": _scalar(mm["max"])}
+            e = _zone_entry(mm["min"], mm["max"])
+            if e is not None:
+                zone[col] = e
     sum_n_tok = 0
     if "n_tok" in tbl.column_names and tbl.num_rows:
         sum_n_tok = int(pc.sum(tbl.column("n_tok")).as_py() or 0)
@@ -677,8 +725,9 @@ def fragment_meta_from_footer(path_abs: str, rel_path: str) -> FragmentMeta:
     pf = pq.ParquetFile(path_abs)
     md = pf.metadata
     names = [md.schema.column(i).name for i in range(md.num_columns)]
+    arrow_schema = pf.schema_arrow
     zone: dict[str, dict[str, Any]] = {}
-    for col in ZONE_MAP_COLUMNS:
+    for col in zone_columns(arrow_schema):
         if col not in names:
             continue
         ci = names.index(col)
@@ -691,7 +740,9 @@ def fragment_meta_from_footer(path_abs: str, rel_path: str) -> FragmentMeta:
             mins.append(st.min)
             maxs.append(st.max)
         if mins:
-            zone[col] = {"min": min(mins), "max": max(maxs)}
+            e = _zone_entry(pa.scalar(min(mins)), pa.scalar(max(maxs)))
+            if e is not None:
+                zone[col] = e
     sum_n_tok = 0
     if "n_tok" in names and md.num_rows:
         sum_n_tok = int(pc.sum(pf.read(columns=["n_tok"])["n_tok"]).as_py() or 0)

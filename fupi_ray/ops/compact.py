@@ -257,10 +257,12 @@ def _repack(
                 if declared is not None:
                     tbl = normalize_batch(tbl, declared, fill, drop_extra=True)
                 rows += tbl.num_rows
-                for col in mf.ZONE_MAP_COLUMNS:
-                    if col in tbl.column_names and tbl.num_rows:
+                if tbl.num_rows:
+                    for col in mf.zone_columns(tbl.schema):
                         mm = pc.min_max(tbl.column(col))
                         lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                        if lo is None or hi is None:
+                            continue  # all-null chunk: nulls never match
                         mins[col] = lo if col not in mins else min(mins[col], lo)
                         maxs[col] = hi if col not in maxs else max(maxs[col], hi)
                 if "n_tok" in tbl.column_names and tbl.num_rows:
@@ -304,7 +306,12 @@ def _repack(
         rows=rows,
         bytes=_fs.size(abs_out),
         sum_n_tok=sum_n_tok,
-        zone_map={c: {"min": mins[c], "max": maxs[c]} for c in mins},
+        zone_map={
+            c: e
+            for c in mins
+            for e in [mf._zone_entry(pa.scalar(mins[c]), pa.scalar(maxs[c]))]
+            if e is not None
+        },
         cols=out_cols,
         bucket=bucket,  # pack is single-bucket by plan → tag survives
     )

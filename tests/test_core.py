@@ -90,7 +90,10 @@ def test_table_commit_scan_roundtrip(tmp_table_dir):
     assert m.total_rows == 1000
     assert len(m.fragments) == 5
     for f in m.fragments:
+        # every zone-eligible scalar column is mapped (tokens is a
+        # list payload — never zone-mapped)
         assert set(f.zone_map) == {"doc_id", "n_tok", "source"}
+        assert "tokens" not in f.zone_map
         assert f.sum_n_tok > 0
     out = t.scan().sort("doc_id").take_all()
     assert len(out) == 1000
@@ -191,3 +194,44 @@ def test_table_history_and_jsonl_source(tmp_table_dir, tmp_path):
     ds = readers.read_jsonl(str(p))
     got = sorted(r["doc_id"] for r in ds.take_all())
     assert got == list(range(25))
+
+
+def test_zone_maps_cover_arbitrary_scalar_columns(tmp_path):
+    """Zone maps are automatic for every zone-eligible scalar column —
+    pruning works on user schemas beyond the canonical one (and a
+    predicate scan on such a column reads fewer fragments)."""
+    import pyarrow as pa
+    import ray.data
+
+    from fupi_ray.table import Table
+
+    t = Table.create(
+        str(tmp_path / "t"),
+        schema=pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("score", pa.float64()),
+                ("lang", pa.string()),
+                ("payload", pa.list_(pa.int32())),
+            ]
+        ),
+    )
+    rows = pa.table(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(400)],
+            "score": [float(i) for i in range(400)],
+            "lang": [("bg" if i < 200 else "en") for i in range(400)],
+            "payload": [[j] for j in range(400)],
+        }
+    )
+    t.commit_append(ray.data.from_arrow(rows), target_fragment_rows=100)
+    m = t.manifest()
+    assert len(m.fragments) == 4
+    for f in m.fragments:
+        assert {"doc_id", "score", "lang"} <= set(f.zone_map)
+        assert "payload" not in f.zone_map
+    # score is monotone across fragments → a range predicate prunes
+    assert len(t.fragment_paths(predicate=[("score", ">", 350.0)])) == 1
+    assert t.scan(predicate=[("score", ">", 350.0)]).count() == 49
+    # lang equality prunes the en-only fragments
+    assert len(t.fragment_paths(predicate=[("lang", "==", "bg")])) == 2
