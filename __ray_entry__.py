@@ -85,9 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q.q_keyword_search,
         "distinct_count": q.q_distinct_count,
         "approx_distinct": q.q_approx_distinct,
-        # rows-only ops with multi-round driver rows (embed_search,
-        # ivf_topk r1-r3; minhash/simhash r1-r3) sit just past the
-        # window so never-driver-checked oracles above stay inside it
+        # every never-driver-checked query sits ABOVE this line, inside
+        # the driver's 50-entry window (verified against the r1-r3
+        # correctness keys). The multi-round-green rows-only ops below
+        # fill the remaining two slots (embed_search, minhash) and
+        # spill past the cap (simhash, ivf_topk) — nothing unchecked
+        # is displaced by them.
         "embed_search": q.q_embed_search,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,

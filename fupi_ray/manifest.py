@@ -118,6 +118,12 @@ class FragmentMeta:
     # (ops/bucket.py). None = not bucket-pure. Omitted from the
     # manifest when None so pre-bucket manifests stay byte-identical.
     bucket: int | None = None
+    # layout identity of the tag: "key%num_buckets" (e.g. "doc_id%16").
+    # The fragment is the source of truth — bucket_join validates that
+    # every fragment on both sides carries the SAME signature, so a
+    # rollback across a re-bucket, or a crash between the bucket commit
+    # and its sidecar write, can never mix incompatible tags silently.
+    bucket_sig: str | None = None
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -128,6 +134,8 @@ class FragmentMeta:
             d.pop("col_types")
         if self.bucket is None:
             d.pop("bucket")
+        if self.bucket_sig is None:
+            d.pop("bucket_sig")
         return d
 
     @staticmethod
@@ -145,6 +153,7 @@ class FragmentMeta:
             dv_n_tok=int(d.get("dv_n_tok", 0)),
             col_types=d.get("col_types"),
             bucket=d.get("bucket"),
+            bucket_sig=d.get("bucket_sig"),
         )
 
     @property

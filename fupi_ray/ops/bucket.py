@@ -72,10 +72,13 @@ class _BucketFragmentWriter:
     two fragments in the common case). Emits one meta row per fragment
     with the bucket tag embedded."""
 
-    def __init__(self, table_dir: str, prefix: str, row_group_rows: int, bloom_bits):
+    def __init__(
+        self, table_dir: str, prefix: str, row_group_rows: int, bloom_bits, sig: str
+    ):
         self._writer = _FragmentWriter(
             table_dir, prefix, row_group_rows=row_group_rows, bloom_bits=bloom_bits
         )
+        self.sig = sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -91,6 +94,7 @@ class _BucketFragmentWriter:
             out = self._writer(payload.slice(s, e - s))
             d = json.loads(out["meta_json"][0].as_py())
             d["bucket"] = int(b[s])
+            d["bucket_sig"] = self.sig
             metas.append(json.dumps(d))
         return pa.table({"meta_json": pa.array(metas, type=pa.string())})
 
@@ -109,6 +113,15 @@ def write_bucketized_fragments(
     into an already-bucketed table)."""
 
     def assign(batch: pa.Table) -> pa.Table:
+        if batch[key].null_count:
+            # a null bucket key is ill-defined for the layout (and
+            # stable_hash's int path would coerce the whole batch to
+            # float under nulls, hashing 5 differently from 5.0 —
+            # silent bucket impurity). Refuse loudly instead.
+            raise ValueError(
+                f"bucket key {key!r} contains nulls ({batch[key].null_count} "
+                "in one batch); bucket layouts require a non-null key"
+            )
         h = stable_hash(batch[key])
         return batch.append_column(
             BUCKET_COL, pa.array((h % np.uint64(num_buckets)).astype(np.int64))
@@ -120,6 +133,7 @@ def write_bucketized_fragments(
         prefix,
         row_group_rows=table.config.row_group_rows,
         bloom_bits=table.config.bloom_bits_per_key,
+        sig=f"{key}%{num_buckets}",
     )
     meta_rows = sorted_ds.map_batches(
         writer, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
@@ -127,15 +141,34 @@ def write_bucketized_fragments(
     return [FragmentMeta.from_dict(json.loads(r["meta_json"])) for r in meta_rows]
 
 
+def _parse_sig(sig: str) -> tuple[str, int]:
+    key, _, n = sig.rpartition("%")
+    return key, int(n)
+
+
+def fragment_layout(m) -> dict | None:
+    """The layout the LIVE FRAGMENTS unanimously carry — the source of
+    truth for joins and layout-preserving writes. The sidecar file is
+    advisory (repair parameters for ``maintain``); fragments survive
+    rollbacks and crashes with their signatures intact, so deriving
+    from them can never mix incompatible taggings silently."""
+    frags = m.fragments
+    if not frags:
+        return None
+    sigs = {f.bucket_sig for f in frags}
+    if len(sigs) != 1 or None in sigs or any(f.bucket is None for f in frags):
+        return None
+    key, n = _parse_sig(next(iter(sigs)))
+    return {"key": key, "num_buckets": n}
+
+
 def preserving_layout(table: Table, merge_key: str) -> dict | None:
     """The table's bucket layout IF a write keyed on ``merge_key`` can
-    preserve it (same key, every live fragment still tagged) — the
-    gate merge paths use to route inserts through the bucketized
-    writer instead of breaking the contract."""
-    lay = read_layout(table)
+    preserve it (same key, every live fragment tagged with one
+    unanimous signature) — the gate merge paths use to route inserts
+    through the bucketized writer instead of breaking the contract."""
+    lay = fragment_layout(table.manifest())
     if not lay or lay["key"] != merge_key:
-        return None
-    if any(f.bucket is None for f in table.manifest().fragments):
         return None
     return lay
 
@@ -181,21 +214,33 @@ def bucket_table(
     return v
 
 
-def _validate_side(table: Table, on: str, layout: dict | None, side: str):
-    if layout is None:
-        raise BucketLayoutError(f"{side} table has no bucket layout; run bucket_table")
-    if layout["key"] != on:
-        raise BucketLayoutError(
-            f"{side} table is bucketed by {layout['key']!r}, join key is {on!r}"
-        )
+def _validate_side(table: Table, on: str, side: str):
+    """Derive and validate the side's layout FROM ITS FRAGMENTS (the
+    sidecar can be stale after a rollback across a re-bucket or a
+    crash between commit and sidecar write; fragments cannot)."""
     m = table.manifest()
-    untagged = [f.path for f in m.fragments if f.bucket is None]
+    untagged = [f.path for f in m.fragments if f.bucket is None or not f.bucket_sig]
+    if untagged and len(untagged) == len(m.fragments):
+        raise BucketLayoutError(
+            f"{side} table has no bucket layout; run bucket_table"
+        )
     if untagged:
         raise BucketLayoutError(
             f"{side} table has {len(untagged)} fragment(s) outside the bucket "
             f"layout (e.g. {untagged[0]}); re-run bucket_table after appends"
         )
-    return m
+    layout = fragment_layout(m)
+    if layout is None:
+        sigs = sorted({f.bucket_sig for f in m.fragments})
+        raise BucketLayoutError(
+            f"{side} table mixes bucket layouts {sigs} (rollback across a "
+            "re-bucket?); re-run bucket_table"
+        )
+    if layout["key"] != on:
+        raise BucketLayoutError(
+            f"{side} table is bucketed by {layout['key']!r}, join key is {on!r}"
+        )
+    return m, layout
 
 
 def bucket_join(
@@ -218,9 +263,8 @@ def bucket_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    llay, rlay = read_layout(left), read_layout(right)
-    lm = _validate_side(left, on, llay, "left")
-    rm = _validate_side(right, on, rlay, "right")
+    lm, llay = _validate_side(left, on, "left")
+    rm, rlay = _validate_side(right, on, "right")
     if llay["num_buckets"] != rlay["num_buckets"]:
         raise BucketLayoutError(
             f"bucket counts differ: left {llay['num_buckets']} vs right {rlay['num_buckets']}"
@@ -233,22 +277,18 @@ def bucket_join(
         if on not in cols:
             raise ValueError(f"join key {on!r} missing from {side} columns {cols}")
 
-    def frag_specs(m, table_dir: str, cols: list[str]) -> dict[int, list[dict]]:
+    from fupi_ray.state import fragread
+
+    def frag_specs(m, cols: list[str]) -> dict[int, list[dict]]:
         by_bucket: dict[int, list[dict]] = {}
         for f in m.fragments:
-            rmap = f.rename_map(m.column_ids)
-            inv = {d: p for p, d in rmap.items()}
-            # physical read pruning: only columns this file actually has
-            phys = [inv.get(c, c) for c in cols]
-            have = set(f.cols) if f.cols is not None else None
-            read_cols = [c for c in phys if have is None or c in have]
             by_bucket.setdefault(int(f.bucket), []).append(
-                {"path": f.path, "dv": f.dv_path or "", "rmap": rmap, "cols": read_cols}
+                fragread.fragment_spec(f, m.column_ids, cols)
             )
         return by_bucket
 
-    lspec = frag_specs(lm, left.table_dir, lcols)
-    rspec = frag_specs(rm, right.table_dir, rcols)
+    lspec = frag_specs(lm, lcols)
+    rspec = frag_specs(rm, rcols)
 
     def declared_subset(m, cols: list[str]) -> tuple[list[str], list[str]]:
         types = dict(zip(m.schema_names, m.schema_types))
@@ -294,24 +334,19 @@ def bucket_join(
     rfill = dict(rm.column_defaults or {})
 
     def run_bucket(batch: pa.Table) -> pa.Table:
-        from fupi_ray.ops.dv import masked_fragment_table
-        from fupi_ray.schema import normalize_batch
+        from fupi_ray.state.fragread import read_fragment_normalized
 
         def read_side(
             table_dir: str, frs: list[dict], names: list[str], types: list[str], fill
         ) -> pa.Table:
-            schema = pa.schema(
-                [(nm, mf.type_from_str(t)) for nm, t in zip(names, types)]
-            )
-            parts = []
-            for fr in frs:
-                t = masked_fragment_table(
-                    table_dir, fr["path"], fr["dv"] or None, columns=fr["cols"] or None
-                )
-                t = mf.apply_rename(t, fr["rmap"])
-                parts.append(normalize_batch(t, schema, fill, drop_extra=True))
+            parts = [
+                read_fragment_normalized(table_dir, fr, names, types, fill)
+                for fr in frs
+            ]
             if not parts:
-                return schema.empty_table()
+                return pa.schema(
+                    [(nm, mf.type_from_str(t)) for nm, t in zip(names, types)]
+                ).empty_table()
             return pa.concat_tables(parts, promote_options="default")
 
         outs = []

@@ -75,6 +75,7 @@ def plan_compaction(
     # sorts first (None → untagged tables are unaffected)
     small.sort(
         key=lambda f: (
+            f.bucket_sig or "",
             f.bucket if f.bucket is not None else -1,
             f.zone_map.get("doc_id", {}).get("min") or "",
             f.path,
@@ -89,6 +90,7 @@ def plan_compaction(
             cur_bytes + f.bytes > target_bytes
             or cur_rows + f.rows > max_rows
             or f.bucket != cur[0].bucket
+            or f.bucket_sig != cur[0].bucket_sig
         ):
             packs.append(cur)
             cur, cur_bytes, cur_rows = [], 0, 0
@@ -129,6 +131,7 @@ def _repack(
     input_dv_rels: list | None = None,
     input_rename_maps: list[dict] | None = None,
     bucket: int | None = None,
+    bucket_sig: str | None = None,
 ) -> dict:
     """Stream-merge one pack of small fragments into one fragment.
 
@@ -205,6 +208,7 @@ def _repack(
 
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
+    poisoned: set[str] = set()  # NaN-containing float columns: no zone entry
     sum_n_tok = 0
     hash_chunks: list = []  # doc_id hashes, 8 B/row — feeds the bloom sidecar
     try:
@@ -263,6 +267,13 @@ def _repack(
                         lo, hi = mm["min"].as_py(), mm["max"].as_py()
                         if lo is None or hi is None:
                             continue  # all-null chunk: nulls never match
+                        if lo != lo or hi != hi:
+                            # NaN in THIS chunk poisons the whole column
+                            # for the fragment — Python min/max against
+                            # later chunks would otherwise swallow it
+                            # depending on chunk order
+                            poisoned.add(col)
+                            continue
                         mins[col] = lo if col not in mins else min(mins[col], lo)
                         maxs[col] = hi if col not in maxs else max(maxs[col], hi)
                 if "n_tok" in tbl.column_names and tbl.num_rows:
@@ -309,11 +320,13 @@ def _repack(
         zone_map={
             c: e
             for c in mins
+            if c not in poisoned
             for e in [mf._zone_entry(pa.scalar(mins[c]), pa.scalar(maxs[c]))]
             if e is not None
         },
         cols=out_cols,
         bucket=bucket,  # pack is single-bucket by plan → tag survives
+        bucket_sig=bucket_sig,
     )
     lineage.write_record(
         table_dir,
@@ -365,6 +378,7 @@ def compact(table: Table, job_id: str | None = None) -> int | None:
             [f.dv_path for f in p],
             [f.rename_map(m.column_ids) for f in p],
             p[0].bucket,
+            p[0].bucket_sig,
         )
         for i, p in enumerate(plan.packs)
     ]

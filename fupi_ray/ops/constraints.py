@@ -62,21 +62,37 @@ def write_constraints(table_dir: str, constraints: list[dict]) -> None:
     mf._atomic_write(_path(table_dir), json.dumps(constraints))
 
 
-def check_batch(batch: pa.Table, constraints: list[dict]) -> pa.Table:
+def check_batch(
+    batch: pa.Table, constraints: list[dict], defaults: dict | None = None
+) -> pa.Table:
     """Raise ConstraintViolation if any row of the batch breaks any
     constraint; return the batch unchanged otherwise (pass-through for
-    map_batches — zero-copy, the columns are only read)."""
+    map_batches — zero-copy, the columns are only read). ``defaults``
+    is the table's column_defaults: a column missing from the batch is
+    materialized from it downstream, so the CHECK runs against the
+    default value, and not-null passes when the default is non-null."""
+    defaults = defaults or {}
     for c in constraints:
         col = c["col"]
         if col not in batch.column_names:
-            # a column the batch doesn't carry is filled by the write
-            # path's schema normalization; not-null then catches a
-            # null default downstream of THIS check only if present —
-            # enforce explicitly so a missing required column fails too
+            # the write path's schema normalization fills this column
+            # from the table default — validate what will actually land
+            dflt = defaults.get(col)
             if c.get("not_null"):
-                raise ConstraintViolation(
-                    f"not-null constraint on {col!r}: column missing from batch"
-                )
+                if dflt is None:
+                    raise ConstraintViolation(
+                        f"not-null constraint on {col!r}: column missing "
+                        "from batch and the table default is null"
+                    )
+                continue
+            if dflt is not None and batch.num_rows:
+                probe = pa.table({col: pa.array([dflt])})
+                ok = mf.predicate_mask(probe, [(col, c["op"], c["value"])])
+                if not ok[0].as_py():
+                    raise ConstraintViolation(
+                        f"check constraint {col!r} {c['op']} {c['value']!r}: "
+                        f"column missing from batch and default {dflt!r} violates it"
+                    )
             continue
         arr = batch[col]
         if c.get("not_null"):
@@ -100,11 +116,12 @@ def check_batch(batch: pa.Table, constraints: list[dict]) -> pa.Table:
 class ConstraintChecker:
     """Picklable map_batches pass-through validator."""
 
-    def __init__(self, constraints: list[dict]):
+    def __init__(self, constraints: list[dict], defaults: dict | None = None):
         self.constraints = constraints
+        self.defaults = defaults or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return check_batch(batch, self.constraints)
+        return check_batch(batch, self.constraints, self.defaults)
 
 
 def set_constraints(table, constraints: list[dict], verify_existing: bool = True) -> int:
@@ -112,21 +129,40 @@ def set_constraints(table, constraints: list[dict], verify_existing: bool = True
     verified first (one distributed column-pruned pass — a constraint
     the current rows already break would make every future commit
     fail). Returns the number of rows verified."""
-    schema_cols = set(table.manifest().schema_names or [])
+    m = table.manifest()
+    schema_cols = set(m.schema_names or [])
     missing = sorted({c["col"] for c in constraints} - schema_cols)
     if missing and schema_cols:
         raise ValueError(f"constraint column(s) not in table schema: {missing}")
-    checked = 0
-    if verify_existing and table.manifest().fragments:
-        cols = sorted({c["col"] for c in constraints})
-        # count() drives the full column-pruned validation pass; any
-        # violation raises inside a read task before the sidecar lands
-        checked = (
-            table.scan(columns=cols)
-            .map_batches(ConstraintChecker(constraints), batch_format="pyarrow")
-            .count()
-        )
+    # write-then-verify, not verify-then-write: the sidecar lands FIRST
+    # so any append/merge that starts during the validation scan is
+    # already checked by its own write pipeline (the verify-then-write
+    # order has a window where a violating concurrent write slips in
+    # unvalidated). If the EXISTING data fails, the previous constraint
+    # set is restored before re-raising — a transiently-stricter window
+    # is benign; a permanently-unenforced one is not.
+    previous = read_constraints(table.table_dir)
     write_constraints(table.table_dir, constraints)
+    checked = 0
+    if verify_existing and m.fragments:
+        cols = sorted({c["col"] for c in constraints})
+        try:
+            # count() drives the full column-pruned validation pass;
+            # a violation raises inside a read task
+            checked = (
+                table.scan(columns=cols)
+                .map_batches(
+                    ConstraintChecker(constraints, dict(m.column_defaults or {})),
+                    batch_format="pyarrow",
+                )
+                .count()
+            )
+        except Exception:
+            if previous:
+                write_constraints(table.table_dir, previous)
+            else:
+                drop_constraints(table)
+            raise
     return checked
 
 

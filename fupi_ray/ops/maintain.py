@@ -59,17 +59,29 @@ def maintain(
     lay = _bk.read_layout(table)
 
     # recluster on drift: rows in fragments the last cluster commit
-    # did not produce, as a fraction of the table (metadata only)
+    # did not produce, as a fraction of the table. Header-only reads
+    # (no shard member lists) keep the search O(history) cheap, and a
+    # version expired by a concurrent expire_snapshots mid-scan is
+    # skipped, not fatal (same race as the WAP stamp scan).
+    from fupi_ray import manifest as _mf
+
     last_cluster = None
     if lay is None:
         for v in sorted(table.versions(), reverse=True):
-            props = table.manifest(v).properties
+            try:
+                props = _mf.read_manifest_header(table.table_dir, v).properties
+            except FileNotFoundError:
+                continue
             if props.get("curve"):
                 last_cluster = (v, props["curve"])
                 break
     if last_cluster is not None:
         v_cl, curve = last_cluster
-        clustered_paths = {f.path for f in table.manifest(v_cl).fragments}
+        try:
+            clustered_paths = {f.path for f in table.manifest(v_cl).fragments}
+        except FileNotFoundError:
+            clustered_paths = None  # expired mid-call: defer to next run
+    if last_cluster is not None and clustered_paths is not None:
         m = table.manifest()
         total = sum(f.live_rows for f in m.fragments) or 1
         drifted = sum(

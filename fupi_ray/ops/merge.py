@@ -740,8 +740,14 @@ def merge_into(
     # execution would re-run the dedup shuffle. count() is then free.
     # commit-time invariants run on the deduped SOURCE rows (the only
     # new values a merge introduces); a violation fails here, before
-    # any rewrite task or manifest mutation (ops/constraints.py)
-    deduped = table._constrained(_dedup_source(src_m, num_buckets)).materialize()
+    # any rewrite task or manifest mutation (ops/constraints.py).
+    # Tombstone feeds (when_matched="delete") insert NOTHING — their
+    # key-only rows must not be constraint-checked (a not_null on any
+    # other column would deterministically reject every delete-merge).
+    deduped = _dedup_source(src_m, num_buckets)
+    if when_matched != "delete":
+        deduped = table._constrained(deduped)
+    deduped = deduped.materialize()
     n_src = deduped.count()
     mark("dedup")
     if n_src == 0:
@@ -842,14 +848,14 @@ def merge_into(
         kept.extend(bloom_skipped)
         # COW output is 1:1 with its input fragment → a bucketed
         # layout (ops/bucket.py) survives the rewrite via the tag
-        bucket_of = {f.path: f.bucket for f in m.fragments}
+        bucket_of = {f.path: (f.bucket, f.bucket_sig) for f in m.fragments}
         survivors = []
         for rec in records:
             if rec["metrics"].get("bloom_skip"):
                 continue
-            b = bucket_of.get(rec["input_fragments"][0])
+            b, sig = bucket_of.get(rec["input_fragments"][0], (None, None))
             for fm in lineage.output_fragments(rec):
-                fm.bucket = b
+                fm.bucket, fm.bucket_sig = b, sig
                 survivors.append(fm)
 
         if when_matched == "delete":

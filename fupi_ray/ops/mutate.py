@@ -382,16 +382,21 @@ def _plan_mutation(
     # (ops/bucket.py) survives the rewrite via the tag — unless the
     # UPDATE reassigns the bucket key itself (rows would change
     # buckets in place), which de-tags the rewritten fragments
-    from fupi_ray.ops.bucket import read_layout as _read_layout
+    from fupi_ray.ops.bucket import fragment_layout as _fragment_layout
 
-    lay = _read_layout(table)
+    # derive from FRAGMENT signatures, not the (possibly stale) sidecar
+    lay = _fragment_layout(m)
     key_rewritten = bool(lay and assignments and lay["key"] in assignments)
-    bucket_of = {f.path: f.bucket for f in hit}
+    bucket_of = {f.path: (f.bucket, f.bucket_sig) for f in hit}
     added = []
     for r in changed:
-        b = None if key_rewritten else bucket_of.get(r["input_fragments"][0])
+        b, sig = (
+            (None, None)
+            if key_rewritten
+            else bucket_of.get(r["input_fragments"][0], (None, None))
+        )
         for fmeta in lineage.output_fragments(r):
-            fmeta.bucket = b
+            fmeta.bucket, fmeta.bucket_sig = b, sig
             added.append(fmeta)
     rows_matched = sum(r["metrics"].get("rows_matched", 0) for r in changed)
     return (
@@ -688,9 +693,10 @@ def _run_mutation_dv(
     # the table's bucket key is not an assignment target (ops/bucket.py
     # layout survival); reassigning the key de-tags the inserts and
     # bucket_join then refuses until a re-bucket
-    from fupi_ray.ops.bucket import read_layout as _read_layout
+    from fupi_ray.ops.bucket import fragment_layout as _fragment_layout
 
-    lay = _read_layout(table)
+    # derive from FRAGMENT signatures, not the (possibly stale) sidecar
+    lay = _fragment_layout(m)
     key_rewritten = bool(lay and assignments and lay["key"] in assignments)
     for f, r in changed:
         met = r["metrics"]
@@ -706,6 +712,7 @@ def _run_mutation_dv(
             )
         for fmeta in lineage.output_fragments(r):
             fmeta.bucket = None if key_rewritten else f.bucket
+            fmeta.bucket_sig = None if key_rewritten else f.bucket_sig
             added.append(fmeta)
     rows_matched = sum(r["metrics"].get("rows_matched", 0) for _, r in changed)
     return table.commit_fragment_swap(

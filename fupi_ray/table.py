@@ -718,6 +718,14 @@ class Table:
         """
         proof = self.order_proof(by, version)
         if not proof["provable"]:
+            # the fallback must also be able to sort when the caller's
+            # projection excludes `by`: read it, sort, project it away
+            if columns is not None and by not in columns:
+                ds = self.scan(version, columns=list(columns) + [by])
+                keep = list(columns)
+                return ds.sort(by, descending=descending).map_batches(
+                    lambda b: b.select(keep), batch_format="pyarrow"
+                )
             return self.scan(version, columns=columns).sort(by, descending=descending)
         m = self.manifest(version)
         frags = sorted(
@@ -731,45 +739,27 @@ class Table:
         inner_cols = read_cols if by in read_cols else read_cols + [by]
         import json as _json
 
+        from fupi_ray.state import fragread
+
         types = dict(zip(m.schema_names, m.schema_types))
         names = [c for c in inner_cols if c in types]
         typestrs = [types[c] for c in names]
         fill = {c: (m.column_defaults or {}).get(c) for c in names}
-        items = []
-        for f in frags:
-            rmap = f.rename_map(m.column_ids)
-            inv = {d: p for p, d in rmap.items()}
-            have = set(f.cols) if f.cols is not None else None
-            phys = [
-                inv.get(c, c)
-                for c in names
-                if have is None or inv.get(c, c) in have
-            ]
-            items.append(
-                {
-                    "spec": _json.dumps(
-                        {"path": f.path, "dv": f.dv_path or "", "rmap": rmap, "cols": phys}
-                    )
-                }
-            )
+        items = [
+            {"spec": _json.dumps(fragread.fragment_spec(f, m.column_ids, names))}
+            for f in frags
+        ]
         table_dir = self.table_dir
         order = "descending" if descending else "ascending"
 
         def read_sorted(batch: pa.Table) -> pa.Table:
-            from fupi_ray.ops.dv import masked_fragment_table
-            from fupi_ray.schema import normalize_batch
+            from fupi_ray.state.fragread import read_fragment_normalized
 
-            schema = pa.schema(
-                [(nm, mf.type_from_str(t)) for nm, t in zip(names, typestrs)]
-            )
             outs = []
             for spec_s in batch["spec"].to_pylist():
-                spec = _json.loads(spec_s)
-                t = masked_fragment_table(
-                    table_dir, spec["path"], spec["dv"] or None, columns=spec["cols"] or None
+                t = read_fragment_normalized(
+                    table_dir, _json.loads(spec_s), names, typestrs, fill
                 )
-                t = mf.apply_rename(t, spec["rmap"])
-                t = normalize_batch(t, schema, fill, drop_extra=True)
                 outs.append(t.sort_by([(by, order)]).select(read_cols))
             return outs[0] if len(outs) == 1 else pa.concat_tables(outs)
 
@@ -877,7 +867,10 @@ class Table:
         cons = _con.read_constraints(self.table_dir)
         if not cons:
             return ds
-        return ds.map_batches(_con.ConstraintChecker(cons), batch_format="pyarrow")
+        defaults = dict(self.manifest().column_defaults or {})
+        return ds.map_batches(
+            _con.ConstraintChecker(cons, defaults), batch_format="pyarrow"
+        )
 
     def commit_overwrite(self, ds: ray.data.Dataset, properties: dict | None = None) -> int:
         """Replace the table contents (reference: create_table

@@ -247,3 +247,50 @@ def test_layout_survives_merge(pair, mode, strategy):
     )
     want = expected_join(left, right)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_join_refuses_rollback_across_rebucket(pair, tmp_path):
+    """A rollback across a re-bucket leaves fragments tagged under the
+    OLD modulus while the sidecar says the new one — validation derives
+    from fragment signatures, so the join refuses instead of silently
+    dropping cross-modulus matches (review finding)."""
+    from fupi_ray.ops import rollback
+    from fupi_ray.ops.bucket import fragment_layout
+
+    left, right = pair
+    v8 = bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    bucket_table(left, key="doc_id", num_buckets=2 * N_BUCKETS)
+    rollback(left, v8)
+    # sidecar claims 2*N; live fragments carry sig doc_id%N
+    assert read_layout(left)["num_buckets"] == 2 * N_BUCKETS
+    assert fragment_layout(left.manifest())["num_buckets"] == N_BUCKETS
+    bucket_table(right, key="doc_id", num_buckets=2 * N_BUCKETS)
+    with pytest.raises(BucketLayoutError, match="bucket counts differ"):
+        bucket_join(left, right, on="doc_id")
+    # same modulus on both sides joins fine even with the stale sidecar
+    bucket_table(right, key="doc_id", num_buckets=N_BUCKETS)
+    got = joined_df(
+        bucket_join(
+            left, right, on="doc_id",
+            columns_left=["doc_id", "source", "n_tok"],
+            columns_right=["doc_id", "score"],
+        )
+    )
+    pd.testing.assert_frame_equal(got, expected_join(left, right), check_dtype=False)
+
+
+def test_bucket_refuses_null_keys(tmp_path):
+    import ray.data
+
+    t = Table.create(
+        str(tmp_path / "nul"),
+        schema=pa.schema([("doc_id", pa.string()), ("v", pa.int64())]),
+        config=CFG,
+    )
+    t.commit_append(
+        ray.data.from_arrow(
+            pa.table({"doc_id": ["a", None, "c"], "v": [1, 2, 3]})
+        )
+    )
+    with pytest.raises(Exception, match="contains nulls"):
+        bucket_table(t, key="doc_id", num_buckets=2)

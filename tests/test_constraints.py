@@ -115,3 +115,62 @@ def test_drop_constraints(tbl):
     assert read_constraints(tbl.table_dir) == []
     tbl.commit_append(bad_rows())  # anything goes again
     assert tbl.scan().count() == 805
+
+
+def test_not_null_with_nonnull_default_passes(tmp_path):
+    """A batch missing a constrained column is filled from the table
+    default downstream — not-null must pass when the default is
+    non-null, and a CHECK must evaluate the default (review finding)."""
+    import ray.data
+
+    from fupi_ray.ops import add_column
+
+    t = write_fragmented_table(str(tmp_path / "t"), 200, rows_per_fragment=100, config=CFG)
+    add_column(t, "lang", "string", default="en")
+    set_constraints(t, [{"col": "lang", "not_null": True}])
+    pre_evolution_batch = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["x-1"]),
+                "tokens": pa.array([[1]], type=pa.list_(pa.int32())),
+                "n_tok": pa.array([5], type=pa.int32()),
+                "source": pa.array(["cc"]),
+            }
+        )
+    )
+    t.commit_append(pre_evolution_batch)  # must NOT raise
+    assert t.scan(predicate=[("lang", "==", "en")]).count() == 201
+    # a CHECK that the default violates refuses the same batch
+    set_constraints(t, [{"col": "lang", "op": "!=", "value": "xx"}])
+    add_column(t, "lang2", "string", default="xx")
+    set_constraints(t, [{"col": "lang2", "op": "!=", "value": "xx"}], verify_existing=False)
+    with pytest.raises(Exception, match="default 'xx' violates"):
+        t.commit_append(pre_evolution_batch)
+
+
+def test_tombstone_merge_skips_constraints(tmp_path):
+    """when_matched='delete' feeds are key-only and insert nothing —
+    constraints must not reject them (review finding)."""
+    import ray.data
+
+    from fupi_ray.ops import merge_into
+
+    t = write_fragmented_table(str(tmp_path / "t"), 300, rows_per_fragment=100, config=CFG)
+    set_constraints(t, [{"col": "n_tok", "op": ">", "value": 0}])
+    doomed = t.scan(columns=["doc_id"]).limit(25).map_batches(
+        lambda b: b.append_column(
+            "_src_order", pa.array(np.arange(b.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    merge_into(t, doomed, when_matched="delete")
+    assert t.scan().count() == 275
+
+
+def test_set_constraints_restores_previous_on_failure(tmp_path):
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    good = [{"col": "n_tok", "op": ">", "value": 0}]
+    set_constraints(t, good)
+    with pytest.raises(Exception):
+        set_constraints(t, [{"col": "n_tok", "op": ">", "value": 10_000}])
+    assert read_constraints(t.table_dir) == good
