@@ -602,6 +602,7 @@ class Table:
                 "sum_n_tok": f.sum_n_tok,
                 "dv_rows": f.dv_rows,
                 "bucket": f.bucket,
+                "bucket_sig": f.bucket_sig,
                 "doc_id_min": zm(f, "doc_id", "min"),
                 "doc_id_max": zm(f, "doc_id", "max"),
                 "n_tok_min": zm(f, "n_tok", "min"),
@@ -618,6 +619,7 @@ class Table:
                 ("sum_n_tok", pa.int64()),
                 ("dv_rows", pa.int64()),
                 ("bucket", pa.int64()),
+                ("bucket_sig", pa.string()),
                 ("doc_id_min", pa.string()),
                 ("doc_id_max", pa.string()),
                 ("n_tok_min", pa.int64()),
