@@ -772,6 +772,45 @@ def fragment_meta_from_footer(path_abs: str, rel_path: str) -> FragmentMeta:
 _OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in")
 
 
+def fragment_bucket_may_match(frag: FragmentMeta, predicate: list[tuple]) -> bool:
+    """Exact hash pruning on bucket-tagged fragments: a point conjunct
+    (``==`` / ``in``) on the layout key can only match fragments whose
+    tag equals ``stable_hash(value) % n`` — on a bucketed table this
+    skips (n-1)/n of the fragments BEFORE zone maps or blooms are even
+    consulted, with zero I/O. Conservative: any type/shape it can't
+    hash down the writer's own path passes through (never a silent
+    wrong prune)."""
+    if frag.bucket is None or not frag.bucket_sig:
+        return True
+    key, _, n_s = frag.bucket_sig.rpartition("%")
+    try:
+        n = int(n_s)
+    except ValueError:
+        return True
+    from fupi_ray.functions.hashing import stable_hash
+
+    for col, op, val in predicate:
+        if col != key:
+            continue
+        if op in ("=", "=="):
+            vals = [val]
+        elif op == "in":
+            vals = list(val)
+        else:
+            continue
+        if not vals:
+            return False  # IN () matches nothing
+        if all(isinstance(v, str) for v in vals):
+            arr = np.array(vals, dtype=object)
+        elif all(isinstance(v, (int, np.integer)) and not isinstance(v, bool) for v in vals):
+            arr = np.array(vals, dtype=np.int64)
+        else:
+            continue  # not the writer's hash path: no prune
+        if int(frag.bucket) not in set((stable_hash(arr) % np.uint64(n)).tolist()):
+            return False
+    return True
+
+
 def fragment_may_match(frag: FragmentMeta, predicate: list[tuple]) -> bool:
     """Conservative zone-map check: False only if the fragment provably
     contains no matching row. ``predicate`` is a conjunction of

@@ -174,16 +174,24 @@ def preserving_layout(table: Table, merge_key: str) -> dict | None:
 
 
 def bucket_table(
-    table: Table, key: str = "doc_id", num_buckets: int = 16
+    table: Table, key: str = "doc_id", num_buckets: int = 16, incremental: bool = True
 ) -> int | None:
-    """Rewrite the table into a hash-bucketed layout (one all-to-all).
+    """Rewrite the table into a hash-bucketed layout.
 
     Every output fragment holds rows of exactly one
     ``stable_hash(key) % num_buckets`` bucket, tagged in its manifest
-    meta; the layout contract is persisted for ``bucket_join`` to
-    verify. Scanning semantics are unchanged (content-preserving, like
-    compaction); deletion vectors are materialized away by the scan.
-    Returns the new version (None on an empty table).
+    meta with the layout signature; the contract is persisted for
+    ``bucket_join`` to verify. Scanning semantics are unchanged
+    (content-preserving, like compaction); deletion vectors are
+    materialized away by the rewrite. Returns the new version (None on
+    an empty table).
+
+    ``incremental`` (default): when SOME fragments already carry this
+    exact signature, only the others are rewritten — repairing the
+    layout after an append costs O(new data), not O(table). Fragments
+    of a DIFFERENT signature (old key or modulus) always force the
+    full rewrite, and at 100 TB that one all-to-all is the entire
+    point of paying it once.
     """
     parent = table.latest_version()
     m = table.manifest(parent)
@@ -192,11 +200,25 @@ def bucket_table(
     if key not in (m.schema_names or []):
         raise ValueError(f"bucket key {key!r} not in table schema {m.schema_names}")
     t0 = time.perf_counter()
+    sig = f"{key}%{num_buckets}"
+    keep = [f for f in m.fragments if f.bucket_sig == sig and f.bucket is not None]
+    redo = [f for f in m.fragments if f not in keep]
+    if incremental and keep and not redo:
+        # already fully bucketed under this signature: refresh the
+        # advisory sidecar, no new version
+        mf._atomic_write(
+            _layout_path(table.table_dir),
+            json.dumps({"key": key, "num_buckets": num_buckets, "version": parent}),
+        )
+        return parent
+    if not (incremental and keep):
+        keep, redo = [], list(m.fragments)  # full rewrite
+    ds = table.scan(parent, paths_subset={f.path for f in redo})
     new_frags = write_bucketized_fragments(
-        table, table.scan(parent), key, num_buckets, f"bk-v{parent}"
+        table, ds, key, num_buckets, f"bk-v{parent}"
     )
     v = table.commit_fragment_swap(
-        {f.path for f in m.fragments},
+        {f.path for f in redo},
         new_frags,
         operation="bucket",
         expected_parent=parent,
@@ -204,6 +226,8 @@ def bucket_table(
             "bucket_key": key,
             "num_buckets": num_buckets,
             "fragments_out": len(new_frags),
+            "fragments_kept": len(keep),
+            "incremental": bool(keep),
             "seconds": round(time.perf_counter() - t0, 3),
         },
     )

@@ -55,7 +55,11 @@ def _fragment_hit(
         one = pa.table({col: pa.array([d])})
         if not mf.predicate_mask(one, [(col, op, val)])[0].as_py():
             return False
-    return mf.fragment_may_match(f, physical)
+    # bucket-tag exact prune composes with zone maps: a point mutation
+    # on a bucketed table touches 1/n of the fragments before blooms
+    return mf.fragment_may_match(f, physical) and mf.fragment_bucket_may_match(
+        f, physical
+    )
 
 
 def _pad_eval_table(tbl: pa.Table, pad_cols: list[tuple]) -> pa.Table:

@@ -257,7 +257,12 @@ class Table:
         m = self.manifest(version)
         frags = m.fragments
         if predicate:
-            frags = [f for f in frags if mf.fragment_may_match(f, predicate)]
+            frags = [
+                f
+                for f in frags
+                if mf.fragment_may_match(f, predicate)
+                and mf.fragment_bucket_may_match(f, predicate)
+            ]
         return [_fs.join(self.table_dir, f.path) for f in frags]
 
     def scan(
@@ -300,13 +305,16 @@ class Table:
             # zone-map prune — but a fragment whose physical incarnation
             # of a predicate column is stale (dropped + re-added name:
             # field-id mismatch) must not be pruned by that column's
-            # stale stats; its rows carry the new default instead
+            # stale stats; its rows carry the new default instead.
+            # Bucket-tagged fragments additionally prune point
+            # conjuncts on the layout key by exact hash (1/n of the
+            # table survives a point lookup before any bloom read).
             frags = [
                 f
                 for f in frags
-                if mf.fragment_may_match(
-                    f, [p for p in predicate if f.has_column(p[0], m.column_ids)]
-                )
+                for live in [[p for p in predicate if f.has_column(p[0], m.column_ids)]]
+                if mf.fragment_may_match(f, live)
+                and mf.fragment_bucket_may_match(f, live)
             ]
         if not frags:
             schema = self.schema(version)

@@ -294,3 +294,43 @@ def test_bucket_refuses_null_keys(tmp_path):
     )
     with pytest.raises(Exception, match="contains nulls"):
         bucket_table(t, key="doc_id", num_buckets=2)
+
+
+def test_incremental_rebucket_is_o_new_data(pair):
+    """Repairing the layout after an append rewrites ONLY the untagged
+    fragments; already-bucketed fragments are kept by reference."""
+    left, right = pair
+    v1 = bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    tagged_paths = {f.path for f in left.manifest(v1).fragments}
+    left.commit_append(sequences_dataset(120, start=20_000, rows_per_partition=60))
+    v2 = bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    m = left.manifest(v2)
+    props = m.properties
+    assert props["incremental"] and props["fragments_kept"] == len(tagged_paths)
+    assert tagged_paths <= {f.path for f in m.fragments}, "kept fragments rewritten"
+    assert all(f.bucket is not None for f in m.fragments)
+    assert left.scan().count() == 1_620
+    # idempotent: a fully-bucketed table re-buckets to the SAME version
+    assert bucket_table(left, key="doc_id", num_buckets=N_BUCKETS) == v2
+    # a different modulus still forces the full rewrite
+    v3 = bucket_table(left, key="doc_id", num_buckets=2 * N_BUCKETS)
+    assert left.manifest(v3).properties["fragments_kept"] == 0
+
+
+def test_bucket_tag_prunes_point_lookups(pair):
+    left, _ = pair
+    bucket_table(left, key="doc_id", num_buckets=N_BUCKETS)
+    m = left.manifest()
+    some_id = left.scan(columns=["doc_id"]).take(1)[0]["doc_id"]
+    pred = [("doc_id", "==", some_id)]
+    surviving = [
+        f for f in m.fragments
+        if __import__("fupi_ray.manifest", fromlist=["m"]).fragment_bucket_may_match(f, pred)
+    ]
+    # exactly the one bucket's fragments survive the tag prune
+    h = int(stable_hash(np.array([some_id], dtype=object))[0] % N_BUCKETS)
+    assert surviving and all(f.bucket == h for f in surviving)
+    assert len(surviving) < len(m.fragments)
+    # end to end: the pruned scan still finds the row
+    assert left.scan(predicate=pred).count() == 1
+    assert len(left.fragment_paths(predicate=pred)) <= len(surviving)
