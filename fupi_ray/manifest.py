@@ -772,14 +772,52 @@ def fragment_meta_from_footer(path_abs: str, rel_path: str) -> FragmentMeta:
 _OPS = ("==", "!=", "<", "<=", ">", ">=", "between", "in")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _bucket_targets(
+    n: int, vals: tuple, col_kind: str
+) -> frozenset | None:
+    """Buckets the given point values can land in under the WRITER's
+    hash path for a column of ``col_kind`` ('string' | 'int'), or None
+    when the values can't be hashed down that exact path (type
+    mismatch, overflow) — the caller then skips pruning. Cached per
+    (n, values, kind): the set is per-scan, not per-fragment."""
+    from fupi_ray.functions.hashing import stable_hash
+
+    try:
+        if col_kind == "string":
+            if not all(isinstance(v, str) for v in vals):
+                return None
+            arr = np.array(vals, dtype=object)
+        elif col_kind == "int":
+            if not all(
+                isinstance(v, (int, np.integer)) and not isinstance(v, bool)
+                for v in vals
+            ):
+                return None
+            arr = np.array(vals, dtype=np.uint64 if min(vals) >= 0 else np.int64)
+        else:
+            return None
+        return frozenset((stable_hash(arr) % np.uint64(n)).tolist())
+    except (OverflowError, ValueError):
+        return None  # un-hashable input: no prune, never a crash
+
+
 def fragment_bucket_may_match(frag: FragmentMeta, predicate: list[tuple]) -> bool:
     """Exact hash pruning on bucket-tagged fragments: a point conjunct
     (``==`` / ``in``) on the layout key can only match fragments whose
     tag equals ``stable_hash(value) % n`` — on a bucketed table this
     skips (n-1)/n of the fragments BEFORE zone maps or blooms are even
-    consulted, with zero I/O. Conservative: any type/shape it can't
-    hash down the writer's own path passes through (never a silent
-    wrong prune)."""
+    consulted, with zero I/O.
+
+    Conservative on two axes: the hash path is selected by the COLUMN's
+    kind, inferred from the fragment's own zone entry for the key (the
+    writer hashed the column, so an int predicate against a float
+    column must NOT prune — 5 == 5.0 for the row filter but their
+    hashes differ), and anything un-inferable or un-hashable passes
+    through unpruned."""
     if frag.bucket is None or not frag.bucket_sig:
         return True
     key, _, n_s = frag.bucket_sig.rpartition("%")
@@ -787,26 +825,31 @@ def fragment_bucket_may_match(frag: FragmentMeta, predicate: list[tuple]) -> boo
         n = int(n_s)
     except ValueError:
         return True
-    from fupi_ray.functions.hashing import stable_hash
+    zm = frag.zone_map.get(key)
+    lo = zm.get("min") if zm else None
+    if isinstance(lo, str):
+        col_kind = "string"
+    elif isinstance(lo, (int, np.integer)) and not isinstance(lo, bool):
+        col_kind = "int"
+    else:
+        return True  # column kind unknown (no zone entry / float / bool)
 
     for col, op, val in predicate:
         if col != key:
             continue
         if op in ("=", "=="):
-            vals = [val]
+            vals = (val,)
         elif op == "in":
-            vals = list(val)
+            vals = tuple(val)
         else:
             continue
         if not vals:
             return False  # IN () matches nothing
-        if all(isinstance(v, str) for v in vals):
-            arr = np.array(vals, dtype=object)
-        elif all(isinstance(v, (int, np.integer)) and not isinstance(v, bool) for v in vals):
-            arr = np.array(vals, dtype=np.int64)
-        else:
-            continue  # not the writer's hash path: no prune
-        if int(frag.bucket) not in set((stable_hash(arr) % np.uint64(n)).tolist()):
+        try:
+            targets = _bucket_targets(n, vals, col_kind)
+        except TypeError:
+            continue  # unhashable value in the cache key: no prune
+        if targets is not None and int(frag.bucket) not in targets:
             return False
     return True
 

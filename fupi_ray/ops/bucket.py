@@ -187,11 +187,12 @@ def bucket_table(
     an empty table).
 
     ``incremental`` (default): when SOME fragments already carry this
-    exact signature, only the others are rewritten — repairing the
-    layout after an append costs O(new data), not O(table). Fragments
-    of a DIFFERENT signature (old key or modulus) always force the
-    full rewrite, and at 100 TB that one all-to-all is the entire
-    point of paying it once.
+    exact signature, only the OTHERS are rewritten (untagged appends
+    and different-signature leftovers alike) — repairing the layout
+    after an append costs O(new data), not O(table), and the result
+    always carries one unanimous signature. With ``incremental=False``
+    or no matching fragment, everything is rewritten in one
+    all-to-all, which at 100 TB is the entire point of paying once.
     """
     parent = table.latest_version()
     m = table.manifest(parent)
@@ -202,7 +203,8 @@ def bucket_table(
     t0 = time.perf_counter()
     sig = f"{key}%{num_buckets}"
     keep = [f for f in m.fragments if f.bucket_sig == sig and f.bucket is not None]
-    redo = [f for f in m.fragments if f not in keep]
+    keep_paths = {f.path for f in keep}
+    redo = [f for f in m.fragments if f.path not in keep_paths]
     if incremental and keep and not redo:
         # already fully bucketed under this signature: refresh the
         # advisory sidecar, no new version

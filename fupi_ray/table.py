@@ -257,11 +257,16 @@ class Table:
         m = self.manifest(version)
         frags = m.fragments
         if predicate:
+            # same stale-column guard as scan(): a conjunct on a column
+            # whose physical incarnation in this fragment is outdated
+            # (dropped + re-added field id) must not prune by stale
+            # stats or stale bucket tags
             frags = [
                 f
                 for f in frags
-                if mf.fragment_may_match(f, predicate)
-                and mf.fragment_bucket_may_match(f, predicate)
+                for live in [[p for p in predicate if f.has_column(p[0], m.column_ids)]]
+                if mf.fragment_may_match(f, live)
+                and mf.fragment_bucket_may_match(f, live)
             ]
         return [_fs.join(self.table_dir, f.path) for f in frags]
 
@@ -343,12 +348,14 @@ class Table:
         import pyarrow.dataset as pads
 
         m = self.manifest(version)
+        # mirror scan()'s full level-1 prune (zone maps AND bucket
+        # tags) so the diagnostic reports what a scan actually reads
         survivors = [
             f
             for f in m.fragments
-            if mf.fragment_may_match(
-                f, [p for p in predicate if f.has_column(p[0], m.column_ids)]
-            )
+            for live in [[p for p in predicate if f.has_column(p[0], m.column_ids)]]
+            if mf.fragment_may_match(f, live)
+            and mf.fragment_bucket_may_match(f, live)
         ]
         expr = mf.predicate_to_arrow(predicate)
         filesystem = None

@@ -334,3 +334,44 @@ def test_bucket_tag_prunes_point_lookups(pair):
     # end to end: the pruned scan still finds the row
     assert left.scan(predicate=pred).count() == 1
     assert len(left.fragment_paths(predicate=pred)) <= len(surviving)
+
+
+def test_bucket_prune_is_type_conservative():
+    """The tag prune hashes down the COLUMN's kind (from its zone
+    entry); mismatched predicate-value types and unhashable inputs
+    never prune (review findings: int-vs-float path divergence,
+    huge-int OverflowError)."""
+    from fupi_ray.manifest import FragmentMeta, fragment_bucket_may_match
+
+    f_str = FragmentMeta(
+        path="x", rows=1, bytes=1, sum_n_tok=0,
+        zone_map={"k": {"min": "a", "max": "z"}}, bucket=1, bucket_sig="k%4",
+    )
+    f_float = FragmentMeta(
+        path="y", rows=1, bytes=1, sum_n_tok=0,
+        zone_map={"k": {"min": 1.5, "max": 9.0}}, bucket=1, bucket_sig="k%4",
+    )
+    # int predicate on a string column: no prune (conservative pass)
+    assert fragment_bucket_may_match(f_str, [("k", "==", 5)])
+    # any predicate on a float column: kind unknown to the prune
+    assert fragment_bucket_may_match(f_float, [("k", "==", 5)])
+    assert fragment_bucket_may_match(f_float, [("k", "==", 5.0)])
+    # huge ints must not crash — conservative pass or exact answer
+    f_int = FragmentMeta(
+        path="z", rows=1, bytes=1, sum_n_tok=0,
+        zone_map={"k": {"min": 0, "max": 9}}, bucket=1, bucket_sig="k%4",
+    )
+    fragment_bucket_may_match(f_int, [("k", "==", 2**63 + 5)])  # no raise
+    # matching-kind point lookup DOES prune 3 of 4 tags
+    hits = [
+        b
+        for b in range(4)
+        for fm in [FragmentMeta(
+            path="p", rows=1, bytes=1, sum_n_tok=0,
+            zone_map={"k": {"min": "a", "max": "z"}}, bucket=b, bucket_sig="k%4",
+        )]
+        if fragment_bucket_may_match(fm, [("k", "==", "hello")])
+    ]
+    assert len(hits) == 1
+    # IN () matches nothing anywhere
+    assert not fragment_bucket_may_match(f_str, [("k", "in", [])])
