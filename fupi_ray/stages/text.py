@@ -193,15 +193,46 @@ class TranslateStub:
         self.word_re = re.compile(r"\S+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
         if self.translator is not None:
+            # a real model kernel is per-sequence by nature; the
+            # Python list round-trip is the backend's own contract
+            texts = batch["text"].to_pylist()
             res = self.translator.translate_batch(
                 [[w] for w in texts], target_prefix=[[self.tgt]] * len(texts)
             )
-            out = [" ".join(r.hypotheses[0]) for r in res]
+            out: pa.Array = pa.array(
+                [" ".join(r.hypotheses[0]) for r in res], pa.string()
+            )
         else:
-            out = [" ".join(reversed(self.word_re.findall(t or ""))) for t in texts]
-        return batch.append_column("translated", pa.array(out, pa.string()))
+            out = self._reverse_words(batch["text"])
+        return batch.append_column("translated", out)
+
+    @staticmethod
+    def _reverse_words(col) -> pa.Array:
+        """The stub kernel, fully vectorized: split on whitespace (one
+        Arrow regex pass), drop empty tokens with an offset-cumsum
+        remap, reverse WITHIN each row by a closed-form index permute,
+        and re-join — no per-row Python even in the stand-in."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lst = pc.split_pattern_regex(pc.fill_null(col, ""), pattern=r"\s+")
+        flat = lst.flatten()
+        o = np.asarray(lst.offsets, dtype=np.int64)
+        valid = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        cum = np.concatenate(([0], np.cumsum(valid, dtype=np.int64)))
+        no = cum[o]  # offsets into the filtered token array
+        vals = flat.filter(pa.array(valid))
+        counts = np.diff(no)
+        total = int(no[-1]) if len(no) else 0
+        idx = np.arange(total, dtype=np.int64)
+        row_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        starts = no[:-1]
+        pos = idx - starts[row_of]
+        rev = starts[row_of] + (counts[row_of] - 1 - pos)
+        rev_vals = vals.take(pa.array(rev, pa.int64()))
+        return pc.binary_join(
+            pa.LargeListArray.from_arrays(pa.array(no, pa.int64()), rev_vals), " "
+        ).cast(pa.string())
 
 
 # ---------------------------------------------------------------------------
