@@ -51,6 +51,12 @@ def maintain(
     actions: dict = {"compact": None, "recluster": None, "rebucket": None}
     job_id = job_id or f"maintain-v{table.latest_version()}"
 
+    # snapshot the manifest BEFORE compaction: drift is measured
+    # against it, because compaction's own outputs are content- and
+    # locality-preserving repacks, not drift — counting them would
+    # make the recluster decision depend on how many small tail
+    # fragments the last cluster happened to emit
+    m0 = table.manifest()
     actions["compact"] = compact(table, job_id=f"{job_id}-compact")
 
     # a bucket layout and a curve-sorted layout are mutually exclusive
@@ -82,10 +88,9 @@ def maintain(
         except FileNotFoundError:
             clustered_paths = None  # expired mid-call: defer to next run
     if last_cluster is not None and clustered_paths is not None:
-        m = table.manifest()
-        total = sum(f.live_rows for f in m.fragments) or 1
+        total = sum(f.live_rows for f in m0.fragments) or 1
         drifted = sum(
-            f.live_rows for f in m.fragments if f.path not in clustered_paths
+            f.live_rows for f in m0.fragments if f.path not in clustered_paths
         )
         if drifted / total > recluster_fraction:
             actions["recluster"] = {
