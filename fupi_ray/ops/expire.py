@@ -28,6 +28,19 @@ class PinnedVersionError(RuntimeError):
 DEFAULT_GC_GRACE_SECONDS = 6 * 3600.0
 
 
+def _surviving_manifests(table: Table):
+    """Iterate manifests of the versions that survive RIGHT NOW,
+    tolerating a concurrent expirer: a manifest deleted between our
+    ``versions()`` listing and the read was a dead version by the
+    deleter's (equally valid) retention computation — readers can no
+    longer pin it, so it contributes no liveness and is skipped."""
+    for v in table.versions():
+        try:
+            yield table.manifest(v)
+        except FileNotFoundError:
+            continue
+
+
 def expire_snapshots(
     table: Table,
     keep_last: int | None = None,
@@ -74,7 +87,11 @@ def expire_snapshots(
             cutoff = time.time() - older_than_seconds
             for v in all_versions:
                 # header-only read: no shard member lists for retention
-                if mf.read_manifest_header(table.table_dir, v).created_unix >= cutoff:
+                try:
+                    hdr = mf.read_manifest_header(table.table_dir, v)
+                except FileNotFoundError:
+                    continue  # expired concurrently: already dead
+                if hdr.created_unix >= cutoff:
                     keep.add(v)
         dead = set(all_versions) - keep
 
@@ -144,8 +161,8 @@ def expire_snapshots(
             if rec.get("metrics", {}).get("dv_path"):
                 # a DV-mutation task's sidecar awaiting commit/resume
                 live_dvs.add(rec["metrics"]["dv_path"])
-    for v in table.versions():
-        for f in table.manifest(v).fragments:
+    for m in _surviving_manifests(table):
+        for f in m.fragments:
             live_paths.add(f.path)
             if f.dv_path:
                 live_dvs.add(f.dv_path)
@@ -178,8 +195,8 @@ def expire_snapshots(
     # (orphans of failed commits + shards of expired versions); same
     # grace period protects in-flight commits
     live_shards: set[str] = set()
-    for v in table.versions():
-        for ref in table.manifest(v).fragment_shards or []:
+    for m in _surviving_manifests(table):
+        for ref in m.fragment_shards or []:
             live_shards.add(ref["path"].rsplit("/", 1)[-1])
     removed_shards = 0
     sdir = mf.shards_dir(table.table_dir)

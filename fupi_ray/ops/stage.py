@@ -92,8 +92,18 @@ def read_stage(table: Table, stage_id: str) -> dict:
 def list_stages(table: Table) -> list[dict]:
     out = []
     for name in _fs.ls_names(staged_dir(table.table_dir)):
-        if name.endswith(".json"):
+        if not name.endswith(".json"):
+            continue
+        try:
             out.append(json.loads(_fs.read_text(_fs.join(staged_dir(table.table_dir), name))))
+        except FileNotFoundError:
+            # a concurrent publish_stage consumed this record between
+            # our listing and the read. Publish commits the manifest
+            # FIRST and removes the record SECOND, so the stage's
+            # fragments are already reachable through the manifests any
+            # later enumeration (e.g. expire's liveness scan) reads —
+            # skipping the vanished record loses no liveness.
+            continue
     return sorted(out, key=lambda r: r["created_unix"])
 
 
