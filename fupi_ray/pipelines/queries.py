@@ -1396,6 +1396,242 @@ FROM per WHERE dup_windows > 0 ORDER BY doc_id
 """
 
 
+def q_dedup_substring_rm(sf_dir: str):
+    """Duplicated-substring REMOVAL (the second half of Lee et al.
+    2022): every duplicated-window instance except the corpus-wide
+    first (ordered by doc_id, then position) is cut from its document;
+    overlapping cut spans are merged before cutting. Emits only the
+    rewritten docs (the delta — a caller unions them with the
+    untouched rest).
+
+    Scale shape: window instances shuffle once on the 64-bit window
+    hash (exact bytes grouped inside each group pick the survivor);
+    per-doc span lists are a second small exchange; the rewrite joins
+    spans back to the text via the repo's hash-shuffle join and cuts
+    with one multi-range gather per block (no per-row Python on the
+    ASCII path; UTF-32 docs decode per rewritten doc only)."""
+    from fupi_ray.ops.join import hash_join
+
+    docs = read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, S = _SUBSTR_WIDTH, _SUBSTR_STRIDE
+
+    def extract_pos(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions import textkernels as tk
+        from fupi_ray.functions.hashing import mix64
+
+        wins, doc_idx, n_win, cw = tk.char_windows(batch["text"], W, S)
+        if wins.shape[0] == 0:
+            return pa.table(
+                {
+                    "win_hash": pa.array([], pa.int64()),
+                    "win": pa.array([], pa.large_binary()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        wb = W * cw
+        m = wins.shape[0]
+        first = np.zeros(len(n_win) + 1, dtype=np.int64)
+        np.cumsum(n_win, out=first[1:])
+        k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[doc_idx]
+        with np.errstate(over="ignore"):
+            h = (wins.astype(np.uint64) * _SUBSTR_POWS[:wb][None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+        h = mix64(h).view(np.int64)
+        offs = np.arange(0, (m + 1) * wb, wb, dtype=np.int64)
+        win_arr = pa.Array.from_buffers(
+            pa.large_binary(),
+            m,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(np.ascontiguousarray(wins).tobytes())],
+        )
+        return pa.table(
+            {
+                "win_hash": pa.array(h),
+                "win": win_arr,
+                "doc_id": pa.array(d),
+                "pos": pa.array(k * S),
+            }
+        )
+
+    def choose_removals(g: pd.DataFrame) -> pd.DataFrame:
+        # same-hash group: sub-group on exact bytes; windows spanning
+        # >= 2 distinct docs lose every instance but the (doc_id, pos)
+        # minimum
+        gg = g.sort_values(["win", "doc_id", "pos"], kind="stable")
+        ndocs = gg.groupby("win", sort=False)["doc_id"].transform("nunique")
+        first = ~gg.duplicated("win")
+        rm = gg[(ndocs >= 2).to_numpy() & ~first.to_numpy()]
+        return pd.DataFrame(
+            {"doc_id": rm["doc_id"].to_numpy(), "pos": rm["pos"].to_numpy()}
+        )
+
+    def spans_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        # span starts packed as little-endian int64 bytes: Acero join
+        # payloads can't be list<int64>, and the blob decodes back into
+        # one flat numpy view per block (no per-row parse loop)
+        pos = np.sort(g["pos"].to_numpy()).astype("<i8")
+        return pd.DataFrame(
+            {"doc_id": [int(g["doc_id"].iloc[0])], "starts": [pos.tobytes()]}
+        )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions import textkernels as tk
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.large_string()),
+                    "removed_chars": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                }
+            )
+        starts_col = batch["starts"].combine_chunks()
+        blob_offs = tk.arrow_offsets(starts_col)
+        span_counts = (np.diff(blob_offs) // 8).astype(np.int64)
+        vals = np.frombuffer(starts_col.buffers()[2], dtype=np.uint8)
+        starts_flat = (
+            vals[blob_offs[0] : blob_offs[-1]].copy().view("<i8").astype(np.int64)
+        )
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), span_counts)
+        # merge overlapping fixed-width spans (starts sorted per doc, so
+        # the running merged end is simply prev_start + W)
+        mtot = len(starts_flat)
+        new = np.ones(mtot, dtype=bool)
+        if mtot > 1:
+            same = doc_rep[1:] == doc_rep[:-1]
+            new[1:] = ~same | (starts_flat[1:] > starts_flat[:-1] + W)
+        isl_s = starts_flat[new]
+        last = np.empty(mtot, dtype=bool)
+        last[:-1] = new[1:]
+        last[-1] = True
+        isl_e = starts_flat[last] + W
+        isl_doc = doc_rep[new]
+        n_spans = np.bincount(isl_doc, minlength=n).astype(np.int64)
+        removed = np.bincount(
+            isl_doc, weights=(isl_e - isl_s).astype(np.float64), minlength=n
+        ).astype(np.int64)
+        # kept segments: before each island (prev island end -> start),
+        # plus each doc's tail (last island end -> len)
+        arr = batch["text"].combine_chunks()
+        nchars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+        offsets, data = tk.string_byte_view(arr)
+        byte_len = np.diff(offsets)
+        ascii_batch = bool((byte_len == nchars).all())
+        if ascii_batch:
+            cw = 1
+            buf = data[offsets[0] : offsets[-1]]
+            starts0 = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(byte_len, out=starts0[1:])
+            base = starts0[:-1]
+        else:
+            cw = 4
+            joined = "".join(arr.to_pylist())
+            buf = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint8)
+            starts0 = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(nchars, out=starts0[1:])
+            base = starts0[:-1] * 4
+        isl_first = np.ones(len(isl_doc), dtype=bool)
+        if len(isl_doc) > 1:
+            isl_first[1:] = isl_doc[1:] != isl_doc[:-1]
+        prev_end = np.empty(len(isl_doc), dtype=np.int64)
+        prev_end[isl_first] = 0
+        if len(isl_doc) > 1:
+            prev_end[1:][~isl_first[1:]] = isl_e[:-1][~isl_first[1:]]
+        isl_last = np.empty(len(isl_doc), dtype=bool)
+        isl_last[:-1] = isl_first[1:]
+        isl_last[-1] = True
+        seg_doc = np.concatenate([isl_doc, isl_doc[isl_last]])
+        seg_s = np.concatenate([prev_end, isl_e[isl_last]])
+        seg_e = np.concatenate([isl_s, nchars[isl_doc[isl_last]]])
+        keep = seg_e > seg_s
+        seg_doc, seg_s, seg_e = seg_doc[keep], seg_s[keep], seg_e[keep]
+        order = np.lexsort((seg_s, seg_doc))
+        seg_doc, seg_s, seg_e = seg_doc[order], seg_s[order], seg_e[order]
+        seg_len_b = (seg_e - seg_s) * cw
+        tot = int(seg_len_b.sum())
+        abs_s = base[seg_doc] + seg_s * cw
+        shift = np.zeros(len(seg_len_b), dtype=np.int64)
+        np.cumsum(seg_len_b[:-1], out=shift[1:])
+        idx = np.arange(tot, dtype=np.int64) + np.repeat(abs_s - shift, seg_len_b)
+        newdata = buf[idx]
+        newlen_b = np.bincount(seg_doc, weights=seg_len_b.astype(np.float64), minlength=n).astype(np.int64)
+        if ascii_batch:
+            offs = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(newlen_b, out=offs[1:])
+            text_arr = pa.Array.from_buffers(
+                pa.large_string(),
+                n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(newdata.tobytes())],
+            )
+        else:
+            # fallback: decode per REWRITTEN doc only (documented)
+            ends = np.cumsum(newlen_b)
+            begs = ends - newlen_b
+            text_arr = pa.array(
+                [bytes(newdata[b:e]).decode("utf-32-le") for b, e in zip(begs, ends)],
+                pa.large_string(),
+            )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "text": text_arr,
+                "removed_chars": pa.array(removed),
+                "n_spans": pa.array(n_spans),
+            }
+        )
+
+    inst = docs.map_batches(extract_pos, batch_format="pyarrow")
+    removals = inst.groupby("win_hash").map_groups(choose_removals, batch_format="pandas")
+    spans = removals.groupby("doc_id").map_groups(spans_per_doc, batch_format="pandas")
+    spans_schema = pa.schema([("doc_id", pa.int64()), ("starts", pa.binary())])
+    joined = hash_join(
+        spans,
+        docs,
+        on="doc_id",
+        how="inner",
+        left_schema=spans_schema,
+        right_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    )
+    return joined.map_batches(rewrite, batch_format="pyarrow").sort("doc_id")
+
+
+SQL_DEDUP_SUBSTRING_RM = f"""
+WITH e AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, CAST(floor(CAST(length(text) - {_SUBSTR_WIDTH} AS DOUBLE)/{_SUBSTR_STRIDE}) AS BIGINT))) AS k
+  FROM documents WHERE length(text) >= {_SUBSTR_WIDTH}),
+w AS (SELECT doc_id, CAST(k*{_SUBSTR_STRIDE} AS BIGINT) AS pos,
+             substring(text, CAST(1 + k*{_SUBSTR_STRIDE} AS BIGINT), {_SUBSTR_WIDTH}) AS win FROM e),
+dupw AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+inst AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+         FROM w WHERE win IN (SELECT win FROM dupw)),
+rm AS (SELECT doc_id, pos FROM inst WHERE rn > 1),
+g AS (SELECT doc_id, pos,
+        CASE WHEN pos > coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -{_SUBSTR_WIDTH * 4}) + {_SUBSTR_WIDTH}
+             THEN 1 ELSE 0 END AS brk
+      FROM rm),
+grp AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM g),
+isl AS (SELECT doc_id, min(pos) AS s, max(pos) + {_SUBSTR_WIDTH} AS e FROM grp GROUP BY doc_id, gid),
+seg AS (
+  SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks, s AS ke FROM isl
+  UNION ALL
+  SELECT i.doc_id, max(i.e) AS ks, max(length(d.text)) AS ke
+  FROM isl i JOIN documents d USING (doc_id) GROUP BY i.doc_id),
+out AS (
+  SELECT s.doc_id,
+         string_agg(substring(d.text, CAST(s.ks + 1 AS BIGINT), CAST(greatest(s.ke - s.ks, 0) AS BIGINT)), '' ORDER BY s.ks) AS text
+  FROM seg s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+stats AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS removed_chars,
+                 CAST(count(*) AS BIGINT) AS n_spans FROM isl GROUP BY doc_id)
+SELECT o.doc_id, o.text, st.removed_chars, st.n_spans
+FROM out o JOIN stats st USING (doc_id) ORDER BY o.doc_id
+"""
+
+
 # GPT-2-style pre-tokenizer pattern, RE2-compatible subset (no
 # lookahead): contractions, letter runs, digit runs, punctuation runs.
 _BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"

@@ -146,3 +146,29 @@ def test_dedup_substring_matches_oracle(ray_session, corpus_dir):
     assert {0, 1} <= hit
     assert {6, 7} <= hit
     assert 2 not in hit and 4 not in hit and 5 not in hit
+
+
+def test_dedup_substring_rm_matches_oracle(ray_session, corpus_dir):
+    got = _norm(q.q_dedup_substring_rm(corpus_dir).to_pandas())
+    want = _norm(_oracle(corpus_dir, q.SQL_DEDUP_SUBSTRING_RM))
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+    # first-occurrence docs (0 English, 6 Cyrillic) survive untouched;
+    # their later twins (1, 7) lose the shared grid-aligned prefix
+    assert set(got["doc_id"]) == {1, 7}
+    by_id = got.set_index("doc_id")
+    assert (by_id["removed_chars"] > 0).all()
+    con = duckdb.connect()
+    originals = {
+        r[0]: r[1]
+        for r in con.execute(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{os.path.join(corpus_dir, 'documents.parquet')}')"
+        ).fetchall()
+    }
+    for doc_id in (1, 7):
+        assert len(by_id.loc[doc_id, "text"]) == len(originals[doc_id]) - int(
+            by_id.loc[doc_id, "removed_chars"]
+        )
+        # the rewritten doc no longer starts with the duplicated prefix
+        shared = SHARED if doc_id == 1 else SHARED_CYR
+        assert not by_id.loc[doc_id, "text"].startswith(shared[:50])
