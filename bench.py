@@ -368,6 +368,8 @@ def run_bench() -> dict:
         ("minhash_pairs", q.q_minhash_pairs),
         ("char_jaccard", q.q_char_jaccard),
         ("segment_sentences", q.q_segment_sentences),
+        ("gopher_repetition", q.q_gopher_repetition),
+        ("dedup_substring", q.q_dedup_substring),
     ]:
         timed(name, lambda fn=fn: consume(fn(sf_dir)))
 

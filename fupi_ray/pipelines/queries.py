@@ -1277,6 +1277,21 @@ with np.errstate(over="ignore"):
         np.full(_SUBSTR_WIDTH * 4, np.uint64(1099511628211), dtype=np.uint64)
     )
 
+# shuffle buckets for the window exchange: one Ray group per BUCKET
+# (each marked with one vectorized pandas pass), never per window
+_SUBSTR_BUCKETS = 64
+
+
+def _window_bucket_hash(uwins: np.ndarray, wb: int) -> np.ndarray:
+    """(bucket int64, full-hash) of each window-byte row."""
+    from fupi_ray.functions.hashing import mix64
+
+    with np.errstate(over="ignore"):
+        h = (uwins.astype(np.uint64) * _SUBSTR_POWS[:wb][None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    return (mix64(h) % np.uint64(_SUBSTR_BUCKETS)).astype(np.int64)
+
 
 def q_dedup_substring(sf_dir: str):
     """Cross-document duplicated-substring detection (Lee et al. 2022,
@@ -1288,12 +1303,14 @@ def q_dedup_substring(sf_dir: str):
 
     Scale shape: windows are extracted with one vectorized gather per
     block and pre-aggregated to (win, doc, cnt) BEFORE the exchange;
-    the single shuffle keys on a 64-bit window hash (a collision only
-    CO-LOCATES two windows — exactness comes from grouping the full
-    window bytes inside each group); the per-doc rollup is a second,
-    tiny exchange. Window bytes traveling the shuffle cost ~2x the
-    text volume at W=2S; a fingerprint-only variant would halve that
-    but lose exact-match semantics."""
+    the single shuffle keys on hash(window) % B BUCKETS (NOT the raw
+    window — one Ray group per window means one Python map_groups call
+    per distinct window, measured 20s for 5k docs), and each bucket is
+    marked with one vectorized pandas transform over the full window
+    bytes (a hash collision only CO-LOCATES two windows); the per-doc
+    rollup is a second, tiny exchange. Window bytes traveling the
+    shuffle cost ~2x the text volume at W=2S; a fingerprint-only
+    variant would halve that but lose exact-match semantics."""
     docs = read(sf_dir, "documents", columns=["doc_id", "text"])
     W, S = _SUBSTR_WIDTH, _SUBSTR_STRIDE
 
@@ -1304,7 +1321,7 @@ def q_dedup_substring(sf_dir: str):
         wb = W * cw
         empty = pa.table(
             {
-                "win_hash": pa.array([], pa.int64()),
+                "bkt": pa.array([], pa.int64()),
                 "win": pa.array([], pa.large_binary()),
                 "doc_id": pa.array([], pa.int64()),
                 "cnt": pa.array([], pa.int64()),
@@ -1324,13 +1341,6 @@ def q_dedup_substring(sf_dir: str):
         urec = np.frombuffer(u.tobytes(), dtype=np.uint8).reshape(len(u), rec.shape[1])
         uwins = urec[:, :wb]
         udoc = urec[:, wb:].copy().view(np.int64).ravel()
-        with np.errstate(over="ignore"):
-            h = (uwins.astype(np.uint64) * _SUBSTR_POWS[:wb][None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-        from fupi_ray.functions.hashing import mix64
-
-        h = mix64(h).view(np.int64)
         offs = np.arange(0, (len(u) + 1) * wb, wb, dtype=np.int64)
         win_arr = pa.Array.from_buffers(
             pa.large_binary(),
@@ -1339,7 +1349,7 @@ def q_dedup_substring(sf_dir: str):
         )
         return pa.table(
             {
-                "win_hash": pa.array(h),
+                "bkt": pa.array(_window_bucket_hash(uwins, wb)),
                 "win": win_arr,
                 "doc_id": pa.array(udoc),
                 "cnt": pa.array(counts.astype(np.int64)),
@@ -1347,37 +1357,44 @@ def q_dedup_substring(sf_dir: str):
         )
 
     def mark(g: pd.DataFrame) -> pd.DataFrame:
-        # same-hash group: sub-group on the FULL window bytes (hash
-        # collisions co-locate, never merge), mark windows with >= 2
-        # distinct docs
-        ndocs = g.groupby("win")["doc_id"].transform("nunique")
+        # whole-bucket group: ONE vectorized transform sub-groups on
+        # the FULL window bytes and marks windows with >= 2 distinct
+        # docs (hash collisions co-locate, never merge). Partial per-doc
+        # rollup HERE shrinks the second exchange to <= one row per
+        # (doc, win-bucket).
+        ndocs = g.groupby("win", sort=False)["doc_id"].transform("nunique")
         dup = (ndocs >= 2).to_numpy()
-        cnt = g["cnt"].to_numpy()
-        return pd.DataFrame(
+        part = pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(),
-                "cnt": cnt,
-                "cnt_dup": cnt * dup,
+                "cnt": g["cnt"].to_numpy(),
+                "cnt_dup": g["cnt"].to_numpy() * dup,
+            }
+        )
+        a = part.groupby("doc_id", sort=False, as_index=False)[["cnt", "cnt_dup"]].sum()
+        a["dbkt"] = (
+            a["doc_id"].to_numpy().view(np.uint64) % np.uint64(_SUBSTR_BUCKETS)
+        ).astype(np.int64)
+        return a
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        # one doc-bucket per group: vectorized per-doc sums (Ray's
+        # sort-based per-key Aggregate measured ~2s PER TASK on this
+        # shape — bucketed pandas sums are the fast path)
+        a = g.groupby("doc_id", sort=True, as_index=False)[["cnt", "cnt_dup"]].sum()
+        a = a[a["cnt_dup"] > 0]
+        return pd.DataFrame(
+            {
+                "doc_id": a["doc_id"].to_numpy(),
+                "n_windows": a["cnt"].to_numpy(),
+                "dup_windows": a["cnt_dup"].to_numpy(),
             }
         )
 
     s1 = docs.map_batches(extract, batch_format="pyarrow")
-    s2 = s1.groupby("win_hash").map_groups(mark, batch_format="pandas")
-    agg = s2.groupby("doc_id").aggregate(
-        Sum("cnt", alias_name="n_windows"), Sum("cnt_dup", alias_name="dup_windows")
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.greater(batch["dup_windows"], 0))
-        return pa.table(
-            {
-                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
-                "n_windows": pc.cast(batch["n_windows"], pa.int64()),
-                "dup_windows": pc.cast(batch["dup_windows"], pa.int64()),
-            }
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    s2 = s1.groupby("bkt").map_groups(mark, batch_format="pandas")
+    agg = s2.groupby("dbkt").map_groups(rollup, batch_format="pandas")
+    return agg.sort("doc_id")
 
 
 SQL_DEDUP_SUBSTRING = f"""
@@ -1417,13 +1434,12 @@ def q_dedup_substring_rm(sf_dir: str):
 
     def extract_pos(batch: pa.Table) -> pa.Table:
         from fupi_ray.functions import textkernels as tk
-        from fupi_ray.functions.hashing import mix64
 
         wins, doc_idx, n_win, cw = tk.char_windows(batch["text"], W, S)
         if wins.shape[0] == 0:
             return pa.table(
                 {
-                    "win_hash": pa.array([], pa.int64()),
+                    "bkt": pa.array([], pa.int64()),
                     "win": pa.array([], pa.large_binary()),
                     "doc_id": pa.array([], pa.int64()),
                     "pos": pa.array([], pa.int64()),
@@ -1435,11 +1451,6 @@ def q_dedup_substring_rm(sf_dir: str):
         np.cumsum(n_win, out=first[1:])
         k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
         d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[doc_idx]
-        with np.errstate(over="ignore"):
-            h = (wins.astype(np.uint64) * _SUBSTR_POWS[:wb][None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-        h = mix64(h).view(np.int64)
         offs = np.arange(0, (m + 1) * wb, wb, dtype=np.int64)
         win_arr = pa.Array.from_buffers(
             pa.large_binary(),
@@ -1448,7 +1459,7 @@ def q_dedup_substring_rm(sf_dir: str):
         )
         return pa.table(
             {
-                "win_hash": pa.array(h),
+                "bkt": pa.array(_window_bucket_hash(np.ascontiguousarray(wins), wb)),
                 "win": win_arr,
                 "doc_id": pa.array(d),
                 "pos": pa.array(k * S),
@@ -1456,24 +1467,40 @@ def q_dedup_substring_rm(sf_dir: str):
         )
 
     def choose_removals(g: pd.DataFrame) -> pd.DataFrame:
-        # same-hash group: sub-group on exact bytes; windows spanning
-        # >= 2 distinct docs lose every instance but the (doc_id, pos)
-        # minimum
+        # whole-bucket group, one vectorized pass: sub-group on exact
+        # bytes; windows spanning >= 2 distinct docs lose every
+        # instance but the (doc_id, pos) minimum
         gg = g.sort_values(["win", "doc_id", "pos"], kind="stable")
         ndocs = gg.groupby("win", sort=False)["doc_id"].transform("nunique")
         first = ~gg.duplicated("win")
         rm = gg[(ndocs >= 2).to_numpy() & ~first.to_numpy()]
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"doc_id": rm["doc_id"].to_numpy(), "pos": rm["pos"].to_numpy()}
         )
+        out["dbkt"] = (
+            out["doc_id"].to_numpy().view(np.uint64) % np.uint64(_SUBSTR_BUCKETS)
+        ).astype(np.int64)
+        return out
 
-    def spans_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+    def spans_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # span starts packed as little-endian int64 bytes: Acero join
         # payloads can't be list<int64>, and the blob decodes back into
-        # one flat numpy view per block (no per-row parse loop)
-        pos = np.sort(g["pos"].to_numpy()).astype("<i8")
+        # one flat numpy view per block. One doc-bucket per group: the
+        # per-doc slicing below is a boundary scan + one C-level
+        # tobytes per REWRITTEN doc, not per span.
+        gg = g.sort_values(["doc_id", "pos"], kind="stable")
+        pos = gg["pos"].to_numpy().astype("<i8")
+        ids = gg["doc_id"].to_numpy()
+        first = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            first[1:] = ids[1:] != ids[:-1]
+        bounds = np.flatnonzero(first)
+        ends = np.r_[bounds[1:], len(ids)]
         return pd.DataFrame(
-            {"doc_id": [int(g["doc_id"].iloc[0])], "starts": [pos.tobytes()]}
+            {
+                "doc_id": ids[bounds],
+                "starts": [pos[s:e].tobytes() for s, e in zip(bounds, ends)],
+            }
         )
 
     def rewrite(batch: pa.Table) -> pa.Table:
@@ -1585,8 +1612,8 @@ def q_dedup_substring_rm(sf_dir: str):
         )
 
     inst = docs.map_batches(extract_pos, batch_format="pyarrow")
-    removals = inst.groupby("win_hash").map_groups(choose_removals, batch_format="pandas")
-    spans = removals.groupby("doc_id").map_groups(spans_per_doc, batch_format="pandas")
+    removals = inst.groupby("bkt").map_groups(choose_removals, batch_format="pandas")
+    spans = removals.groupby("dbkt").map_groups(spans_per_bucket, batch_format="pandas")
     spans_schema = pa.schema([("doc_id", pa.int64()), ("starts", pa.binary())])
     joined = hash_join(
         spans,
