@@ -165,6 +165,111 @@ def char_windows(
     return wins, doc_idx, n_win, cw
 
 
+def list_windows(
+    list_col, width: int, stride: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """``char_windows`` for list<int32> columns (pre-tokenized
+    sequences): fixed-``width`` TOKEN windows at ``stride`` offsets per
+    row, zero-copy from the list values buffer. Returns
+    ``(wins (m, width*4) uint8, doc_idx, n_win, 4)`` — window rows are
+    the little-endian int32 bytes, so byte equality == token equality.
+    """
+    arr = _combined(list_col)
+    n = len(arr)
+    offsets = np.asarray(arr.offsets).astype(np.int64)
+    values = arr.values
+    if values.type != pa.int32():
+        values = values.cast(pa.int32())
+    ew = 4
+    buf = np.frombuffer(values.buffers()[1], dtype=np.uint8)[
+        (values.offset + offsets[0]) * ew : (values.offset + offsets[-1]) * ew
+    ]
+    lens = np.diff(offsets)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    base = starts[:-1] * ew
+    n_win = np.where(lens >= width, (lens - width) // stride + 1, 0).astype(np.int64)
+    m = int(n_win.sum())
+    if m == 0:
+        return np.empty((0, width * ew), np.uint8), np.empty(0, np.int64), n_win, ew
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_win)
+    first = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_win, out=first[1:])
+    k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
+    startb = base[doc_idx] + k * (stride * ew)
+    wins = buf[startb[:, None] + np.arange(width * ew, dtype=np.int64)[None, :]]
+    return wins, doc_idx, n_win, ew
+
+
+def merged_cut_segments(
+    n: int,
+    doc_rep: np.ndarray,
+    starts_flat: np.ndarray,
+    width: int,
+    lengths: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Merge fixed-``width`` cut spans and return the complement.
+
+    ``doc_rep`` (non-decreasing row index per span) and ``starts_flat``
+    (ascending within each row) name the spans; ``lengths`` is each
+    row's element count. Returns ``(seg_doc, seg_s, seg_e, removed,
+    n_spans)``: kept ``[s, e)`` element segments ordered by
+    ``(row, s)`` plus per-row removed-element counts and merged-span
+    counts. Rows without spans contribute no segments — callers keep
+    them verbatim.
+    """
+    mtot = len(starts_flat)
+    if mtot == 0:
+        z = np.zeros(n, dtype=np.int64)
+        e = np.empty(0, np.int64)
+        return e, e, e, z, z
+    new = np.ones(mtot, dtype=bool)
+    if mtot > 1:
+        same = doc_rep[1:] == doc_rep[:-1]
+        new[1:] = ~same | (starts_flat[1:] > starts_flat[:-1] + width)
+    isl_s = starts_flat[new]
+    last = np.empty(mtot, dtype=bool)
+    last[:-1] = new[1:]
+    last[-1] = True
+    isl_e = starts_flat[last] + width
+    isl_doc = doc_rep[new]
+    n_spans = np.bincount(isl_doc, minlength=n).astype(np.int64)
+    removed = np.bincount(
+        isl_doc, weights=(isl_e - isl_s).astype(np.float64), minlength=n
+    ).astype(np.int64)
+    isl_first = np.ones(len(isl_doc), dtype=bool)
+    if len(isl_doc) > 1:
+        isl_first[1:] = isl_doc[1:] != isl_doc[:-1]
+    prev_end = np.empty(len(isl_doc), dtype=np.int64)
+    prev_end[isl_first] = 0
+    if len(isl_doc) > 1:
+        prev_end[1:][~isl_first[1:]] = isl_e[:-1][~isl_first[1:]]
+    isl_last = np.empty(len(isl_doc), dtype=bool)
+    isl_last[:-1] = isl_first[1:]
+    isl_last[-1] = True
+    seg_doc = np.concatenate([isl_doc, isl_doc[isl_last]])
+    seg_s = np.concatenate([prev_end, isl_e[isl_last]])
+    seg_e = np.concatenate([isl_s, lengths[isl_doc[isl_last]]])
+    keep = seg_e > seg_s
+    seg_doc, seg_s, seg_e = seg_doc[keep], seg_s[keep], seg_e[keep]
+    order = np.lexsort((seg_s, seg_doc))
+    return seg_doc[order], seg_s[order], seg_e[order], removed, n_spans
+
+
+def multirange_gather(
+    buf: np.ndarray, abs_starts: np.ndarray, seg_lens: np.ndarray
+) -> np.ndarray:
+    """Gather ``buf[abs_starts[j] : abs_starts[j]+seg_lens[j]]`` for all
+    segments as ONE fancy index (no per-segment Python)."""
+    tot = int(seg_lens.sum())
+    if tot == 0:
+        return np.empty(0, dtype=buf.dtype)
+    shift = np.zeros(len(seg_lens), dtype=np.int64)
+    np.cumsum(seg_lens[:-1], out=shift[1:])
+    idx = np.arange(tot, dtype=np.int64) + np.repeat(abs_starts - shift, seg_lens)
+    return buf[idx]
+
+
 def flat_word_hashes(
     texts, split_pattern: str = r"[^a-z0-9_]+"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -1524,25 +1524,6 @@ def q_dedup_substring_rm(sf_dir: str):
             vals[blob_offs[0] : blob_offs[-1]].copy().view("<i8").astype(np.int64)
         )
         doc_rep = np.repeat(np.arange(n, dtype=np.int64), span_counts)
-        # merge overlapping fixed-width spans (starts sorted per doc, so
-        # the running merged end is simply prev_start + W)
-        mtot = len(starts_flat)
-        new = np.ones(mtot, dtype=bool)
-        if mtot > 1:
-            same = doc_rep[1:] == doc_rep[:-1]
-            new[1:] = ~same | (starts_flat[1:] > starts_flat[:-1] + W)
-        isl_s = starts_flat[new]
-        last = np.empty(mtot, dtype=bool)
-        last[:-1] = new[1:]
-        last[-1] = True
-        isl_e = starts_flat[last] + W
-        isl_doc = doc_rep[new]
-        n_spans = np.bincount(isl_doc, minlength=n).astype(np.int64)
-        removed = np.bincount(
-            isl_doc, weights=(isl_e - isl_s).astype(np.float64), minlength=n
-        ).astype(np.int64)
-        # kept segments: before each island (prev island end -> start),
-        # plus each doc's tail (last island end -> len)
         arr = batch["text"].combine_chunks()
         nchars = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
         offsets, data = tk.string_byte_view(arr)
@@ -1561,30 +1542,11 @@ def q_dedup_substring_rm(sf_dir: str):
             starts0 = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(nchars, out=starts0[1:])
             base = starts0[:-1] * 4
-        isl_first = np.ones(len(isl_doc), dtype=bool)
-        if len(isl_doc) > 1:
-            isl_first[1:] = isl_doc[1:] != isl_doc[:-1]
-        prev_end = np.empty(len(isl_doc), dtype=np.int64)
-        prev_end[isl_first] = 0
-        if len(isl_doc) > 1:
-            prev_end[1:][~isl_first[1:]] = isl_e[:-1][~isl_first[1:]]
-        isl_last = np.empty(len(isl_doc), dtype=bool)
-        isl_last[:-1] = isl_first[1:]
-        isl_last[-1] = True
-        seg_doc = np.concatenate([isl_doc, isl_doc[isl_last]])
-        seg_s = np.concatenate([prev_end, isl_e[isl_last]])
-        seg_e = np.concatenate([isl_s, nchars[isl_doc[isl_last]]])
-        keep = seg_e > seg_s
-        seg_doc, seg_s, seg_e = seg_doc[keep], seg_s[keep], seg_e[keep]
-        order = np.lexsort((seg_s, seg_doc))
-        seg_doc, seg_s, seg_e = seg_doc[order], seg_s[order], seg_e[order]
+        seg_doc, seg_s, seg_e, removed, n_spans = tk.merged_cut_segments(
+            n, doc_rep, starts_flat, W, nchars
+        )
         seg_len_b = (seg_e - seg_s) * cw
-        tot = int(seg_len_b.sum())
-        abs_s = base[seg_doc] + seg_s * cw
-        shift = np.zeros(len(seg_len_b), dtype=np.int64)
-        np.cumsum(seg_len_b[:-1], out=shift[1:])
-        idx = np.arange(tot, dtype=np.int64) + np.repeat(abs_s - shift, seg_len_b)
-        newdata = buf[idx]
+        newdata = tk.multirange_gather(buf, base[seg_doc] + seg_s * cw, seg_len_b)
         newlen_b = np.bincount(seg_doc, weights=seg_len_b.astype(np.float64), minlength=n).astype(np.int64)
         if ascii_batch:
             offs = np.zeros(n + 1, dtype=np.int64)
