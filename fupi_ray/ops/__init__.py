@@ -16,6 +16,7 @@ from fupi_ray.ops.maintain import maintain
 from fupi_ray.ops.matview import create_matview, matview_watermark, refresh_matview
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.ops.mutate import delete_where, rollback, update_where
+from fupi_ray.ops.windowdedup import dedup_token_windows
 from fupi_ray.ops.stage import (
     abort_stage,
     list_stages,
@@ -55,6 +56,7 @@ __all__ = [
     "drop_column",
     "rename_column",
     "widen_column",
+    "dedup_token_windows",
     "delete_where",
     "expire_snapshots",
     "maintain",
