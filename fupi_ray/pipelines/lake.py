@@ -743,6 +743,81 @@ def q_lake_timetravel(sf_dir: str):
 
 SQL_LAKE_TIMETRAVEL = SQL_LAKE_COMPACT
 
+# Motif geometry for q_lake_window_dedup: with windows of _WD_W tokens
+# at stride _WD_S, a shared motif of _WD_L = W + 2S tokens planted at a
+# stride-aligned offset contributes exactly three duplicated windows
+# (relative starts 0, S, 2S) whose merged cut span is the whole motif —
+# so the expected n_tok after removal is closed-form in SQL.
+_WD_W, _WD_S = 40, 20
+_WD_L = _WD_W + 2 * _WD_S
+
+
+def q_lake_window_dedup(sf_dir: str):
+    """Duplicated token-window removal (ops/windowdedup.py) as a
+    query: derive the sequences table, plant a shared ``_WD_L``-token
+    motif at offset ``_WD_S*(doc_id%3)`` in every 7th sufficiently-long
+    row, run ``dedup_token_windows`` (detection exchange → span
+    assembly → enrich-join rewrite → MERGE update), and return the
+    canonical scan. Every planted row except the corpus-first loses
+    exactly the motif span; token-array equality is asserted by
+    tests/test_windowdedup.py, the oracle checks the n_tok arithmetic."""
+    from fupi_ray.ops.windowdedup import dedup_token_windows
+
+    motif, _ = gen_tokens_flat(
+        np.array([10**9], dtype=np.int64),
+        np.array([_WD_L], dtype=np.int32),
+        seed=42,
+        salt=999,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def to_planted(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        tbl = sequences_batch(ids, n, batch["source"].to_pylist(), salt=100)
+        toks = tbl["tokens"].combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        o = _WD_S * (ids % 3)
+        aff = (ids % 7 == 0) & (n >= o + _WD_L)
+        if not aff.any():
+            return tbl
+        vals = toks.values.to_numpy(zero_copy_only=False).copy()
+        starts = offs[:-1][aff] + o[aff]
+        idx = (starts[:, None] + np.arange(_WD_L, dtype=np.int64)[None, :]).ravel()
+        vals[idx] = np.tile(motif, int(aff.sum()))
+        planted = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(vals, pa.int32())
+        )
+        return tbl.set_column(
+            tbl.column_names.index("tokens"), "tokens", planted
+        )
+
+    t = Table.create(_tmp_table(sf_dir, "windedup"), config=LAKE_CFG)
+    t.commit_append(
+        docs.map_batches(to_planted, batch_format="pyarrow"),
+        target_fragment_rows=100,
+    )
+    dedup_token_windows(t, width=_WD_W, stride=_WD_S)
+    return canonical_scan(t)
+
+
+SQL_LAKE_WINDOW_DEDUP = f"""
+WITH aff AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 7 = 0 AND n_chars >= {_WD_S} * (doc_id % 3) + {_WD_L}),
+fst AS (SELECT min(doc_id) AS m FROM aff)
+SELECT {_DOC_SQL} AS doc_id, source,
+       CAST(CASE WHEN doc_id % 7 = 0
+                  AND n_chars >= {_WD_S} * (doc_id % 3) + {_WD_L}
+                  AND doc_id <> (SELECT m FROM fst)
+             THEN n_chars - {_WD_L} ELSE n_chars END AS BIGINT) AS n_tok
+FROM documents
+"""
+
 
 def q_pack_tokens(sf_dir: str):
     """Sequence packing as a query: derive the sequences table, pack
