@@ -330,6 +330,18 @@ def run_bench() -> dict:
         bucket_stats["join_only_sec"] = round(time.perf_counter() - t0, 3)
 
     timed("bucket_join", do_bucket_join)
+
+    def do_window_dedup():
+        # duplicated token-window sweep over the full bench table: the
+        # PRNG tokens carry no cross-row duplicates, so this times the
+        # DETECTION exchange (extract + bucket shuffle + survivor pick)
+        # at full data volume — the dominant phase; the rewrite path is
+        # timed by tests and the lake_window_dedup oracle query
+        from fupi_ray.ops import dedup_token_windows
+
+        return dedup_token_windows(table, width=50, stride=25)
+
+    timed("window_dedup_detect", do_window_dedup)
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
@@ -370,6 +382,7 @@ def run_bench() -> dict:
         ("segment_sentences", q.q_segment_sentences),
         ("gopher_repetition", q.q_gopher_repetition),
         ("dedup_substring", q.q_dedup_substring),
+        ("dedup_substring_rm", q.q_dedup_substring_rm),
     ]:
         timed(name, lambda fn=fn: consume(fn(sf_dir)))
 

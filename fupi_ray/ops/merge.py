@@ -684,9 +684,19 @@ def merge_into(
     strategy: str = "auto",
     mode: str = "cow",
     when_matched: str = "update",
+    expected_parent: int | None = None,
 ) -> int:
     """Upsert ``source`` into ``table`` on ``doc_id``; returns the new
     version. ``strategy``: "broadcast", "shuffle" or "auto".
+
+    ``expected_parent`` pins the merge to a specific snapshot: the
+    whole plan (prune, rewrite, commit) runs against that version and
+    the optimistic commit fails loudly (``CommitError``) if any other
+    writer committed meanwhile. Read-compute-write callers whose
+    SOURCE was derived from a scan (e.g. ``ops/windowdedup.py``) need
+    this — under the default (latest at entry) a concurrent DELETE
+    landing between their scan and the merge would make the stale
+    source row unmatched, and the upsert would re-insert it.
 
     ``mode="cow"`` (default) rewrites hit fragments without the
     matched rows; ``mode="dv"`` masks the matched rows behind
@@ -714,7 +724,9 @@ def merge_into(
             "(local path, file://, s3://)"
         )
     cfg = table.config
-    parent = table.latest_version()
+    parent = (
+        table.latest_version() if expected_parent is None else expected_parent
+    )
     job_id = job_id or f"merge-v{parent}"
     phase_t: dict[str, float] = {}
     t_last = time.perf_counter()

@@ -50,13 +50,13 @@ rows is a policy decision left to a separate ``delete_where``.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
 from fupi_ray.functions import textkernels as tk
-from fupi_ray.functions.hashing import mix64, stable_hash
+from fupi_ray.functions import windowspans as ws
+from fupi_ray.functions.hashing import mix64
 from fupi_ray.ops.join import enrich_join
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.schema import _unwrap_tensor
@@ -65,9 +65,16 @@ from fupi_ray.table import Table
 
 def _win_bucket(wins: np.ndarray, num_buckets: int) -> np.ndarray:
     """Bucket id per window-byte row: fold the 8-byte words of each
-    row through mix64 (vectorized over rows; width/2 passes total)."""
+    row through mix64 (vectorized over rows; width/2 passes total).
+    Odd widths pay one zero-pad copy so the uint64 view is legal
+    (padding is constant per row — equal windows still collide)."""
+    m, wb = wins.shape
+    if wb % 8:
+        padded = np.zeros((m, wb + (8 - wb % 8)), dtype=np.uint8)
+        padded[:, :wb] = wins
+        wins = padded
     w64 = np.ascontiguousarray(wins).view(np.uint64)
-    h = np.zeros(len(wins), dtype=np.uint64)
+    h = np.zeros(m, dtype=np.uint64)
     for j in range(w64.shape[1]):
         h = mix64(h ^ w64[:, j])
     return (h % np.uint64(num_buckets)).astype(np.int64)
@@ -102,14 +109,14 @@ def _detect_spans(
         np.cumsum(n_win, out=first[1:])
         k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
         offs = np.arange(0, (m + 1) * wb, wb, dtype=np.int64)
+        # py_buffer wraps the gather output zero-copy (the fancy-index
+        # result is C-contiguous and the buffer keeps it alive) — the
+        # window matrix is ~2x the block's token bytes, so an extra
+        # .tobytes() pass here would double the hottest path's memcpy
         win_arr = pa.Array.from_buffers(
             pa.large_binary(),
             m,
-            [
-                None,
-                pa.py_buffer(offs.tobytes()),
-                pa.py_buffer(np.ascontiguousarray(wins).tobytes()),
-            ],
+            [None, pa.py_buffer(offs), pa.py_buffer(wins)],
         )
         ids = batch["doc_id"].combine_chunks().take(pa.array(doc_idx))
         return pa.table(
@@ -121,54 +128,14 @@ def _detect_spans(
             }
         )
 
-    def choose_removals(g: pd.DataFrame) -> pa.Table:
-        # whole window-hash bucket, one vectorized pass: sub-group on
-        # the exact bytes; a window spanning >= min_dups distinct rows
-        # loses every instance but the (doc_id, pos) minimum. Output is
-        # a TYPED Arrow table: a 0-row object-dtype pandas frame (most
-        # buckets, when duplication is sparse) trips Ray's block-size
-        # estimator into per-block error logs.
-        gg = g.sort_values(["win", "doc_id", "pos"], kind="stable")
-        ndocs = gg.groupby("win", sort=False)["doc_id"].transform("nunique")
-        first = ~gg.duplicated("win")
-        rm = gg[(ndocs >= min_dups).to_numpy() & ~first.to_numpy()]
-        ids = rm["doc_id"].to_numpy()
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.string()),
-                "pos": pa.array(rm["pos"].to_numpy(), pa.int64()),
-                "dbkt": pa.array(
-                    (stable_hash(ids) % np.uint64(num_buckets)).astype(np.int64)
-                    if len(ids)
-                    else np.empty(0, np.int64)
-                ),
-            }
-        )
-
-    def spans_per_bucket(g: pd.DataFrame) -> pa.Table:
-        # one doc-hash bucket per group: boundary scan + one C-level
-        # tobytes per AFFECTED row, not per span
-        gg = g.sort_values(["doc_id", "pos"], kind="stable")
-        pos = gg["pos"].to_numpy().astype("<i8")
-        ids = gg["doc_id"].to_numpy()
-        first = np.ones(len(ids), dtype=bool)
-        if len(ids) > 1:
-            first[1:] = ids[1:] != ids[:-1]
-        bounds = np.flatnonzero(first)
-        ends = np.r_[bounds[1:], len(ids)]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[bounds], pa.string()),
-                "starts": pa.array(
-                    [pos[s:e].tobytes() for s, e in zip(bounds, ends)],
-                    pa.binary(),
-                ),
-            }
-        )
-
     inst = src.map_batches(extract, batch_format="pyarrow")
-    removals = inst.groupby("bkt").map_groups(choose_removals, batch_format="pandas")
-    return removals.groupby("dbkt").map_groups(spans_per_bucket, batch_format="pandas")
+    removals = inst.groupby("bkt").map_groups(
+        ws.choose_removals_fn(min_dups, num_buckets, pa.string()),
+        batch_format="pandas",
+    )
+    return removals.groupby("dbkt").map_groups(
+        ws.spans_per_bucket_fn(pa.string()), batch_format="pandas"
+    )
 
 
 def _cut_batch(batch: pa.Table, width: int, n_tok_type: pa.DataType) -> pa.Table:
@@ -240,10 +207,15 @@ def dedup_token_windows(
     stride = max(width // 2, 1) if stride is None else stride
     parent = table.latest_version()
     if num_buckets is None:
-        # windows ~2x the token bytes at stride=width/2; size buckets
-        # so one materialized group stays well under a worker heap
-        tok_bytes = sum(f.bytes or 0 for f in table.manifest(parent).fragments)
-        num_buckets = int(max(64, -(-tok_bytes * 2 // (256 * 1024 * 1024))))
+        # size buckets from the IN-MEMORY exchange volume, not the
+        # compressed on-disk bytes (dictionary/RLE-friendly token
+        # distributions compress several-fold, which would under-bucket
+        # and let one materialized group outgrow a worker heap):
+        # windows/row ~ n_tok/stride, 4*width bytes each, plus ~25% for
+        # doc_id/pos/bkt — sum_n_tok is exact per fragment meta
+        tok = sum(f.sum_n_tok or 0 for f in table.manifest(parent).fragments)
+        exch_bytes = int(tok * 4 * max(width / stride, 1.0) * 1.25)
+        num_buckets = int(max(64, -(-exch_bytes // (256 * 1024 * 1024))))
 
     spans = _detect_spans(
         table.scan(parent, columns=["doc_id", "tokens"]),
@@ -272,12 +244,17 @@ def dedup_token_windows(
     ).materialize()
     stats = rewritten.sum(["_wd_removed", "_wd_spans"]) or {}
     source = rewritten.drop_columns(["_wd_removed", "_wd_spans"])
+    # pin the MERGE to the detection snapshot: a commit landing between
+    # our scan and here must fail this op loudly (CommitError — caller
+    # re-runs), never upsert stale rows (a concurrently-deleted row
+    # would come back as an unmatched "insert")
     version = merge_into(
         table,
         source,
         job_id=job_id or f"windedup-v{parent}",
         mode=mode,
         when_matched="update",
+        expected_parent=parent,
     )
     return {
         "version": version,

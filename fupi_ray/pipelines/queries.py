@@ -1339,13 +1339,15 @@ def q_dedup_substring(sf_dir: str):
             rec.view(np.dtype((np.void, rec.shape[1]))).ravel(), return_counts=True
         )
         urec = np.frombuffer(u.tobytes(), dtype=np.uint8).reshape(len(u), rec.shape[1])
-        uwins = urec[:, :wb]
+        # the column slice is strided — one packing copy, then the
+        # buffer wraps it zero-copy
+        uwins = np.ascontiguousarray(urec[:, :wb])
         udoc = urec[:, wb:].copy().view(np.int64).ravel()
         offs = np.arange(0, (len(u) + 1) * wb, wb, dtype=np.int64)
         win_arr = pa.Array.from_buffers(
             pa.large_binary(),
             len(u),
-            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(uwins.tobytes())],
+            [None, pa.py_buffer(offs), pa.py_buffer(uwins)],
         )
         return pa.table(
             {
@@ -1452,56 +1454,30 @@ def q_dedup_substring_rm(sf_dir: str):
         k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
         d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[doc_idx]
         offs = np.arange(0, (m + 1) * wb, wb, dtype=np.int64)
+        # py_buffer wraps the (contiguous) gather output zero-copy —
+        # the window matrix is ~2x the block's text bytes, so an extra
+        # .tobytes() pass would double the hottest path's memcpy
+        wins = np.ascontiguousarray(wins)
         win_arr = pa.Array.from_buffers(
             pa.large_binary(),
             m,
-            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(np.ascontiguousarray(wins).tobytes())],
+            [None, pa.py_buffer(offs), pa.py_buffer(wins)],
         )
         return pa.table(
             {
-                "bkt": pa.array(_window_bucket_hash(np.ascontiguousarray(wins), wb)),
+                "bkt": pa.array(_window_bucket_hash(wins, wb)),
                 "win": win_arr,
                 "doc_id": pa.array(d),
                 "pos": pa.array(k * S),
             }
         )
 
-    def choose_removals(g: pd.DataFrame) -> pd.DataFrame:
-        # whole-bucket group, one vectorized pass: sub-group on exact
-        # bytes; windows spanning >= 2 distinct docs lose every
-        # instance but the (doc_id, pos) minimum
-        gg = g.sort_values(["win", "doc_id", "pos"], kind="stable")
-        ndocs = gg.groupby("win", sort=False)["doc_id"].transform("nunique")
-        first = ~gg.duplicated("win")
-        rm = gg[(ndocs >= 2).to_numpy() & ~first.to_numpy()]
-        out = pd.DataFrame(
-            {"doc_id": rm["doc_id"].to_numpy(), "pos": rm["pos"].to_numpy()}
-        )
-        out["dbkt"] = (
-            out["doc_id"].to_numpy().view(np.uint64) % np.uint64(_SUBSTR_BUCKETS)
-        ).astype(np.int64)
-        return out
+    # survivor choice + span assembly are shared with the token-table
+    # op (ops/windowdedup.py) — one implementation for both removers
+    from fupi_ray.functions import windowspans as ws
 
-    def spans_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # span starts packed as little-endian int64 bytes: Acero join
-        # payloads can't be list<int64>, and the blob decodes back into
-        # one flat numpy view per block. One doc-bucket per group: the
-        # per-doc slicing below is a boundary scan + one C-level
-        # tobytes per REWRITTEN doc, not per span.
-        gg = g.sort_values(["doc_id", "pos"], kind="stable")
-        pos = gg["pos"].to_numpy().astype("<i8")
-        ids = gg["doc_id"].to_numpy()
-        first = np.ones(len(ids), dtype=bool)
-        if len(ids) > 1:
-            first[1:] = ids[1:] != ids[:-1]
-        bounds = np.flatnonzero(first)
-        ends = np.r_[bounds[1:], len(ids)]
-        return pd.DataFrame(
-            {
-                "doc_id": ids[bounds],
-                "starts": [pos[s:e].tobytes() for s, e in zip(bounds, ends)],
-            }
-        )
+    choose_removals = ws.choose_removals_fn(2, _SUBSTR_BUCKETS, pa.int64())
+    spans_per_bucket = ws.spans_per_bucket_fn(pa.int64())
 
     def rewrite(batch: pa.Table) -> pa.Table:
         from fupi_ray.functions import textkernels as tk
