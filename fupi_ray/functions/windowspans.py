@@ -21,7 +21,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from fupi_ray.functions.hashing import stable_hash
+from fupi_ray.functions.hashing import mix64, stable_hash
+
+
+def row_hash64(wins: np.ndarray) -> np.ndarray:
+    """Full 64-bit hash per window-byte row: fold the 8-byte words of
+    each row through mix64 (vectorized over rows; width/2 passes for
+    int32 token windows). Odd byte-widths pay one zero-pad copy so the
+    uint64 view is legal (padding is constant per row — equal windows
+    still collide). Both removers derive their shuffle bucket AND the
+    two-phase candidate filter from this one hash, so the phases can
+    never disagree."""
+    m, wb = wins.shape
+    if wb % 8:
+        padded = np.zeros((m, wb + (8 - wb % 8)), dtype=np.uint8)
+        padded[:, :wb] = wins
+        wins = padded
+    w64 = np.ascontiguousarray(wins).view(np.uint64)
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(w64.shape[1]):
+        h = mix64(h ^ w64[:, j])
+    return h
 
 
 def choose_removals_fn(min_dups: int, num_buckets: int, id_type: pa.DataType):

@@ -15,17 +15,28 @@ variant (``pipelines/queries.py q_dedup_substring_rm``).
 
 Scale shape, phase by phase:
 
-1. **Detect** — one streaming pass over ``scan(columns=[doc_id,
-   tokens])``: windows come out of each block as a single vectorized
-   byte-gather (``textkernels.list_windows``: window rows are the
-   little-endian int32 token bytes, so byte equality == token
-   equality); instances shuffle ONCE keyed on ``hash(window) % B``
-   (never the raw window — one Ray group per distinct window means one
-   Python call per window) and each bucket picks survivors with one
-   vectorized pandas pass over the full window bytes (a hash collision
-   only CO-LOCATES two windows, never merges them). At ``stride =
-   width/2`` the exchange carries ~``8 bytes/token`` ≈ 2x the token
-   volume — the documented cost of exact-match semantics.
+1. **Detect, two exact phases** — phase A streams
+   ``scan(columns=[doc_id, tokens])`` once and exchanges only 16 bytes
+   per block-distinct 64-bit window hash (``np.unique``-pre-aggregated
+   counts → global ``groupby(h).sum``); hashes occurring >=
+   ``min_dups`` times broadcast back as one sorted array (``ray.put``
+   once, zero-copy ``ray.get`` per block). Phase B re-scans and ships
+   the FULL window bytes only for candidate windows — each bucket then
+   picks survivors with one vectorized pandas pass over the exact
+   bytes and the exact distinct-row count, so phase A being a superset
+   (within-row repeats, hash collisions) never changes the result.
+   With no duplication (the common production case) phase B never
+   runs: the whole detect is one hash exchange at ~``0.3
+   bytes/token`` vs the naive ~``8 bytes/token`` (full windows at
+   ``stride = width/2``). Past ``_CAND_BROADCAST_MAX`` candidates the
+   direct single-pass shape takes over (dense duplication: most
+   windows must travel anyway, and it avoids a driver-heap copy).
+   Windows come out of each block as a single vectorized byte-gather
+   (``textkernels.list_windows``: window rows are the little-endian
+   int32 token bytes, so byte equality == token equality); instances
+   shuffle keyed on ``hash(window) % B`` — never the raw window (one
+   Ray group per distinct window would mean one Python call per
+   window).
 2. **Span assembly** — removals roll up to one ``(doc_id, starts)``
    row per affected row (starts packed as little-endian int64 bytes:
    one flat buffer per block, no list-of-list columns on the wire);
@@ -56,79 +67,186 @@ import ray.data
 
 from fupi_ray.functions import textkernels as tk
 from fupi_ray.functions import windowspans as ws
-from fupi_ray.functions.hashing import mix64
 from fupi_ray.ops.join import enrich_join
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.schema import _unwrap_tensor
 from fupi_ray.table import Table
 
 
-def _win_bucket(wins: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Bucket id per window-byte row: fold the 8-byte words of each
-    row through mix64 (vectorized over rows; width/2 passes total).
-    Odd widths pay one zero-pad copy so the uint64 view is legal
-    (padding is constant per row — equal windows still collide)."""
+# broadcast ceiling for the phase-A candidate set: 48M uint64 hashes
+# ≈ 384 MB in the object store. Past this, duplication is so dense
+# that most windows would travel anyway — the direct single-pass path
+# is exchange-optimal there and avoids a driver-heap copy.
+_CAND_BROADCAST_MAX = 48_000_000
+
+_INST_EMPTY = pa.table(
+    {
+        "bkt": pa.array([], pa.int64()),
+        "win": pa.array([], pa.large_binary()),
+        "doc_id": pa.array([], pa.string()),
+        "pos": pa.array([], pa.int64()),
+    }
+)
+
+
+def _block_windows(batch: pa.Table, width: int, stride: int):
+    """Per-block window extraction shared by both phases: returns
+    ``(wins, h64, doc_idx, pos)`` or None when the block has none."""
+    if batch.num_rows == 0:
+        return None
+    wins, doc_idx, n_win, _ew = tk.list_windows(
+        _unwrap_tensor(batch["tokens"].combine_chunks()), width, stride
+    )
+    m = wins.shape[0]
+    if m == 0:
+        return None
+    first = np.zeros(len(n_win) + 1, dtype=np.int64)
+    np.cumsum(n_win, out=first[1:])
+    k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
+    return wins, ws.row_hash64(wins), doc_idx, k * stride
+
+
+def _instances_table(
+    wins: np.ndarray, h: np.ndarray, ids: pa.Array, pos: np.ndarray, num_buckets: int
+) -> pa.Table:
+    """(bkt, win, doc_id, pos) instance rows for the survivor exchange.
+    py_buffer wraps the gather output zero-copy (the fancy-index result
+    is C-contiguous and the buffer keeps it alive) — the window matrix
+    is ~2x the covered token bytes, so an extra ``.tobytes()`` pass
+    here would double this path's memcpy."""
     m, wb = wins.shape
-    if wb % 8:
-        padded = np.zeros((m, wb + (8 - wb % 8)), dtype=np.uint8)
-        padded[:, :wb] = wins
-        wins = padded
-    w64 = np.ascontiguousarray(wins).view(np.uint64)
-    h = np.zeros(m, dtype=np.uint64)
-    for j in range(w64.shape[1]):
-        h = mix64(h ^ w64[:, j])
-    return (h % np.uint64(num_buckets)).astype(np.int64)
+    offs = np.arange(0, (m + 1) * wb, wb, dtype=np.int64)
+    win_arr = pa.Array.from_buffers(
+        pa.large_binary(), m, [None, pa.py_buffer(offs), pa.py_buffer(wins)]
+    )
+    return pa.table(
+        {
+            "bkt": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
+            "win": win_arr,
+            "doc_id": ids,
+            "pos": pa.array(pos),
+        }
+    )
+
+
+def _candidate_hashes(
+    scan, width: int, stride: int, min_dups: int, n_cbkt: int = 64
+) -> np.ndarray:
+    """Phase A: global occurrence count per 64-bit window hash; returns
+    the SORTED uint64 hashes whose count >= ``min_dups``.
+
+    This is a superset of the truly-duplicated windows (a hash counts
+    repeats WITHIN a row, and distinct windows can collide) — phase B
+    re-checks exact bytes and distinct-row count, so exactness is
+    untouched. The exchange carries 16 bytes per block-distinct hash
+    (``np.unique`` pre-aggregates inside each block) instead of the
+    full window bytes — ~13x less than the direct path at width=50.
+    ``n_cbkt`` bounds one materialized count bucket (the caller sizes
+    it so a bucket stays ~256 MB at its window count)."""
+
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "hbkt": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        got = _block_windows(batch, width, stride)
+        if got is None:
+            return empty
+        _wins, h, _doc_idx, _pos = got
+        u, c = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "hbkt": pa.array((u % np.uint64(n_cbkt)).astype(np.int64)),
+                "h": pa.array(u.view(np.int64)),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def sum_bucket(g: pa.Table) -> pa.Table:
+        # one hash bucket per group: np.unique-keyed reduceat sums —
+        # Ray's per-key Aggregate on millions of distinct keys is the
+        # measured pathology this bucketing exists to avoid (see
+        # queries.py q_dedup_substring). Arrow-typed empty output.
+        h = g["h"].to_numpy(zero_copy_only=False)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, first = np.unique(h[order], return_index=True)
+        sums = np.add.reduceat(cnt[order], first) if len(hs) else np.empty(0, np.int64)
+        keep = sums >= min_dups
+        return pa.table({"h": pa.array(hs[keep], pa.int64())})
+
+    cand = (
+        scan()
+        .map_batches(hash_counts, batch_format="pyarrow")
+        .groupby("hbkt")
+        .map_groups(sum_bucket, batch_format="pyarrow")
+    )
+    blocks = [b for b in ray.get(cand.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return np.empty(0, np.uint64)
+    hs = np.concatenate(
+        [b["h"].to_numpy(zero_copy_only=False) for b in blocks]
+    ).view(np.uint64)
+    hs.sort()
+    return hs
 
 
 def _detect_spans(
-    src: ray.data.Dataset, width: int, stride: int, min_dups: int, num_buckets: int
-) -> ray.data.Dataset:
+    scan,
+    width: int,
+    stride: int,
+    min_dups: int,
+    num_buckets: int,
+    max_broadcast: int = _CAND_BROADCAST_MAX,
+) -> ray.data.Dataset | None:
     """(doc_id, starts) per affected row: starts of every duplicated
     window instance except each window's corpus-first, as LE int64
-    bytes sorted ascending within the row."""
+    bytes sorted ascending within the row. ``scan`` is a zero-arg
+    factory for a fresh ``(doc_id, tokens)`` dataset — the sparse path
+    reads it twice. Returns None when phase A proves nothing repeats
+    (the common production case: one cheap hash exchange, no window
+    bytes ever leave their block, no second scan). ``num_buckets`` was
+    sized by the caller for the ~``5*width``-bytes/window instance
+    exchange; the phase-A count exchange carries 24 bytes/window, so
+    its bucket count scales down by that ratio (floor 64)."""
+    n_cbkt = max(64, -(-num_buckets * 24 // (5 * width)))
+    cands = _candidate_hashes(scan, width, stride, min_dups, n_cbkt=n_cbkt)
+    if len(cands) == 0:
+        return None
 
-    def extract(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "bkt": pa.array([], pa.int64()),
-                "win": pa.array([], pa.large_binary()),
-                "doc_id": pa.array([], pa.string()),
-                "pos": pa.array([], pa.int64()),
-            }
-        )
-        if batch.num_rows == 0:
-            return empty
-        wins, doc_idx, n_win, ew = tk.list_windows(
-            _unwrap_tensor(batch["tokens"].combine_chunks()), width, stride
-        )
-        m = wins.shape[0]
-        if m == 0:
-            return empty
-        wb = width * ew
-        first = np.zeros(len(n_win) + 1, dtype=np.int64)
-        np.cumsum(n_win, out=first[1:])
-        k = np.arange(m, dtype=np.int64) - np.repeat(first[:-1], n_win)
-        offs = np.arange(0, (m + 1) * wb, wb, dtype=np.int64)
-        # py_buffer wraps the gather output zero-copy (the fancy-index
-        # result is C-contiguous and the buffer keeps it alive) — the
-        # window matrix is ~2x the block's token bytes, so an extra
-        # .tobytes() pass here would double the hottest path's memcpy
-        win_arr = pa.Array.from_buffers(
-            pa.large_binary(),
-            m,
-            [None, pa.py_buffer(offs), pa.py_buffer(wins)],
-        )
-        ids = batch["doc_id"].combine_chunks().take(pa.array(doc_idx))
-        return pa.table(
-            {
-                "bkt": pa.array(_win_bucket(wins, num_buckets)),
-                "win": win_arr,
-                "doc_id": ids,
-                "pos": pa.array(k * stride),
-            }
-        )
+    if len(cands) <= max_broadcast:
+        cand_ref = ray.put(cands)
 
-    inst = src.map_batches(extract, batch_format="pyarrow")
+        def extract(batch: pa.Table) -> pa.Table:
+            got = _block_windows(batch, width, stride)
+            if got is None:
+                return _INST_EMPTY
+            wins, h, doc_idx, pos = got
+            cs = ray.get(cand_ref)  # zero-copy view of the plasma copy
+            idx = np.minimum(np.searchsorted(cs, h), len(cs) - 1)
+            sel = np.flatnonzero(cs[idx] == h)
+            if len(sel) == 0:
+                return _INST_EMPTY
+            ids = batch["doc_id"].combine_chunks().take(pa.array(doc_idx[sel]))
+            return _instances_table(wins[sel], h[sel], ids, pos[sel], num_buckets)
+
+    else:
+        # dense-duplication fallback: ship every instance (the original
+        # single-pass shape — most windows travel either way here)
+        def extract(batch: pa.Table) -> pa.Table:
+            got = _block_windows(batch, width, stride)
+            if got is None:
+                return _INST_EMPTY
+            wins, h, doc_idx, pos = got
+            ids = batch["doc_id"].combine_chunks().take(pa.array(doc_idx))
+            return _instances_table(
+                np.ascontiguousarray(wins), h, ids, pos, num_buckets
+            )
+
+    inst = scan().map_batches(extract, batch_format="pyarrow")
     removals = inst.groupby("bkt").map_groups(
         ws.choose_removals_fn(min_dups, num_buckets, pa.string()),
         batch_format="pandas",
@@ -218,13 +336,14 @@ def dedup_token_windows(
         num_buckets = int(max(64, -(-exch_bytes // (256 * 1024 * 1024))))
 
     spans = _detect_spans(
-        table.scan(parent, columns=["doc_id", "tokens"]),
+        lambda: table.scan(parent, columns=["doc_id", "tokens"]),
         width,
         stride,
         min_dups,
         num_buckets,
-    ).materialize()
-    if spans.count() == 0:
+    )
+    spans = spans.materialize() if spans is not None else None
+    if spans is None or spans.count() == 0:
         return {
             "version": parent,
             "rows_rewritten": 0,

@@ -2747,3 +2747,66 @@ FROM (
   FROM documents)
 GROUP BY w ORDER BY n DESC, w LIMIT 20
 """
+
+
+def q_json_extract(sf_dir: str):
+    """Scalar-field extraction from a JSON string column (events.props
+    holds ``{"k": N}`` payloads): pull ``k`` with ONE Arrow RE2 pass
+    per block (``functions/jsonfield.py`` — exact ``json.loads``
+    fallback only for rows flagged nested/escaped, detected
+    vectorized), then aggregate per event_type. The extraction is
+    fused into the per-block combiner, so the exchange carries one row
+    per (event_type, block) — the JSON strings never leave their
+    block. Reference ingests whole-record JSONL via read_json_auto
+    (fupi/data.py:21-36); this is the column-at-rest counterpart."""
+    from fupi_ray.functions.jsonfield import json_scalar_field
+
+    events = read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = json_scalar_field(batch["props"], "k", "int")
+        et = batch["event_type"]
+        types, inv = np.unique(
+            et.to_numpy(zero_copy_only=False).astype(str), return_inverse=True
+        )
+        kv = k.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(kv.astype(np.float64)) if kv.dtype.kind == "f" else np.ones(len(kv), bool)
+        kf = np.where(valid, kv, 0).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "sum_k": pa.array(
+                    np.bincount(inv, weights=kf.astype(np.float64), minlength=len(types)).astype(np.int64)
+                ),
+                "n_with_k": pa.array(
+                    np.bincount(inv[valid], minlength=len(types)).astype(np.int64)
+                ),
+                "n_events": pa.array(np.bincount(inv, minlength=len(types)).astype(np.int64)),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_with_k", alias_name="n_with_k"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {c: (pc.cast(t[c], pa.int64()) if c != "event_type" else t[c]) for c in t.column_names}
+            ),
+            batch_format="pyarrow",
+        )
+        .sort("event_type")
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type,
+       CAST(COALESCE(SUM(CAST(props->>'k' AS BIGINT)), 0) AS BIGINT) AS sum_k,
+       CAST(COUNT(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_with_k,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+"""

@@ -180,3 +180,41 @@ def test_param_validation(tmp_table_dir):
         dedup_token_windows(t, width=0)
     with pytest.raises(ValueError):
         dedup_token_windows(t, width=10, stride=0)
+
+
+def test_dense_fallback_matches_sparse_path(tmp_table_dir):
+    # the two detect shapes (hash-candidate broadcast vs ship-everything)
+    # must produce identical span sets; max_broadcast=0 forces the dense
+    # branch on the same planted table
+    from fupi_ray.ops.windowdedup import _detect_spans
+
+    t, _, _ = _build_planted(tmp_table_dir)
+
+    def spans_with(max_broadcast):
+        ds = _detect_spans(
+            lambda: t.scan(columns=["doc_id", "tokens"]),
+            W,
+            S,
+            2,
+            64,
+            max_broadcast=max_broadcast,
+        )
+        return sorted(
+            (r["doc_id"], bytes(r["starts"])) for r in ds.take_all()
+        )
+
+    sparse = spans_with(10**9)
+    dense = spans_with(0)
+    assert sparse == dense and len(sparse) > 0
+
+
+def test_phase_a_short_circuit_skips_second_scan(tmp_table_dir):
+    # a duplicate-free table must come back None straight from the hash
+    # exchange (no instance extraction, no span assembly)
+    from fupi_ray.ops.windowdedup import _detect_spans
+
+    t, _, _ = _build_planted(tmp_table_dir, n_rows=10, every=99)
+    got = _detect_spans(
+        lambda: t.scan(columns=["doc_id", "tokens"]), W, S, 2, 64
+    )
+    assert got is None
