@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge": lake.q_lake_merge,
         "lake_merge_dv": lake.q_lake_merge_dv,
         "lake_merge_delete": lake.q_lake_merge_delete,
+        "lake_insert_missing": lake.q_lake_insert_missing,
         "lake_evolve": lake.q_lake_evolve,
         "lake_rename": lake.q_lake_rename,
         "lake_expire": lake.q_lake_expire,
@@ -62,7 +63,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract": q.q_json_extract,
         "langid": q.q_langid,
         "quality": q.q_quality,
-        "gopher_quality": q.q_gopher_quality,
         "bpe_tokens": q.q_bpe_tokens,
         "redact": q.q_redact,
         "fingerprint_fast": q.q_fingerprint_fast,
@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green since r1 — plus embed_search, minhash, simhash,
         # ivf_topk) — nothing unchecked is displaced by them.
         "token_stats": q.q_token_stats,
+        "gopher_quality": q.q_gopher_quality,
         "fingerprint": q.q_fingerprint,
         "sample_stratified": q.q_sample_stratified,
         "embed_search": q.q_embed_search,
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge": lake.SQL_LAKE_MERGE,
         "lake_merge_dv": lake.SQL_LAKE_MERGE_DV,
         "lake_merge_delete": lake.SQL_LAKE_MERGE_DELETE,
+        "lake_insert_missing": lake.SQL_LAKE_INSERT_MISSING,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,
         "lake_rename": lake.SQL_LAKE_RENAME,
         "lake_expire": lake.SQL_LAKE_EXPIRE,

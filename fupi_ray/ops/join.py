@@ -178,6 +178,18 @@ def hash_join(
         lt = _coerce(g.filter(pa.array(side == 0)).select(lcols), lcols, l_types)
         rt = g.filter(pa.array(side == 1)).select(["__rk_" + k for k in on] + rpay_out)
         rt = _coerce(rt, on + rpay_out, r_types)
+        if semi_like:
+            # Acero rejects nested (list/struct) NON-KEY fields even in
+            # semi/anti joins, where they are pass-through; run only the
+            # keys plus a row index through the join, then gather the
+            # surviving left rows (original order preserved).
+            idx = pa.table(
+                {k: lt[k] for k in on}
+                | {"__row": pa.array(np.arange(lt.num_rows, dtype=np.int64))}
+            )
+            kept = idx.join(rt.select(on), keys=on, join_type=join_type)
+            rows = np.sort(kept["__row"].to_numpy(zero_copy_only=False))
+            return lt.take(pa.array(rows)).select(out_cols)
         joined = lt.join(rt, keys=on, join_type=join_type, right_suffix="__dup")
         return joined.select(out_cols)
 

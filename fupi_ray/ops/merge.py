@@ -1133,3 +1133,251 @@ def _merge_into_dv(
         expected_parent=parent,
         properties=stats,
     )
+
+
+# ---------------------------------------------------------------------------
+# insert_missing: MERGE ... WHEN NOT MATCHED THEN INSERT (idempotent ingest)
+# ---------------------------------------------------------------------------
+
+
+def _probe_key_positions(
+    ids: np.ndarray, key_hashes: np.ndarray, key_bytes: np.ndarray
+) -> np.ndarray:
+    """Positions (into the sorted broadcast key arrays) of the keys
+    present among ``ids``: sorted-hash ``searchsorted`` probe + exact
+    utf-8 byte confirmation over each equal-hash run (collisions
+    between distinct keys can never produce a wrong position)."""
+    id_hashes = stable_hash(ids)
+    lo = np.searchsorted(key_hashes, id_hashes, side="left")
+    hi = np.searchsorted(key_hashes, id_hashes, side="right")
+    ci = np.nonzero(hi > lo)[0]
+    if not len(ci):
+        return np.empty(0, np.int64)
+    ids_b = np.char.encode(ids[ci].astype(str), "utf-8")
+    run_lo, run_hi = lo[ci], hi[ci]
+    pos = np.full(len(ci), -1, np.int64)
+    for w in range(int((run_hi - run_lo).max())):
+        sel = (run_lo + w < run_hi) & (pos < 0)
+        if not sel.any():
+            break
+        idx = np.minimum(run_lo + w, len(key_bytes) - 1)
+        eq = sel & (key_bytes[idx] == ids_b)
+        pos[eq] = idx[eq]
+    return np.unique(pos[pos >= 0])
+
+
+@ray.remote
+def _probe_fragment_task(
+    table_dir: str, rel_path: str, keys_ref, dv_rel: str | None, recon: dict
+) -> np.ndarray:
+    """Which broadcast keys already exist in this fragment: bloom
+    sidecar early-exit (no Parquet read at all when provably key-free),
+    else a doc_id-column-only masked read + vectorized probe. Returns
+    matched key POSITIONS (small: bounded by the source key count)."""
+    key_hashes, key_bytes = keys_ref
+    abs_path = _fs.join(table_dir, rel_path)
+    blob = bloom.read_sidecar(abs_path)
+    if blob is not None and not bloom.may_contain_any(blob, key_hashes):
+        return np.empty(0, np.int64)
+    rmap = (recon or {}).get("rmap") or {}
+    inv = {d: p for p, d in rmap.items()}
+    phys = inv.get("doc_id", "doc_id")
+    from fupi_ray.ops.dv import masked_fragment_table
+
+    tbl = masked_fragment_table(table_dir, rel_path, dv_rel or None, columns=[phys])
+    ids = tbl[phys].to_numpy(zero_copy_only=False)
+    return _probe_key_positions(ids, key_hashes, key_bytes)
+
+
+def insert_missing(
+    table: Table,
+    source: ray.data.Dataset,
+    job_id: str | None = None,
+    expected_parent: int | None = None,
+) -> dict:
+    """``MERGE INTO table USING source WHEN NOT MATCHED THEN INSERT``:
+    append only the source rows whose ``doc_id`` is absent from the
+    table — the idempotent-ingest / dedup-append primitive (re-running
+    a crashed ingest feed never duplicates rows). Matched target rows
+    are untouched: NO fragment is ever rewritten, so the op writes
+    O(missing rows) bytes regardless of table size.
+
+    Scale shape: the deduped source key set broadcasts once
+    (``ray.put`` of sorted-hash + fixed-width-byte arrays); existence
+    probes fan out one capped task per zone-map-surviving fragment,
+    each answering from the bloom sidecar alone when it can (no read),
+    else from a doc_id-column-only masked read — the table's payload
+    columns never move. Above ``merge_broadcast_max_keys`` the probe
+    flips to one hash-shuffle anti-join between the source and the
+    pruned key column. Commit is an append pinned to
+    ``expected_parent`` (default: latest at entry): a concurrent
+    commit fails this op loudly instead of risking a double insert —
+    re-run to retry against the new snapshot.
+
+    Returns ``{version, rows_inserted, rows_skipped}``; ``version`` is
+    unchanged when every source key already exists.
+    """
+    if _fs.is_process_local(table.table_dir):
+        raise ValueError(
+            "insert_missing probes fragments from Ray worker processes; "
+            "memory:// is process-local — use a shared protocol"
+        )
+    cfg = table.config
+    parent = (
+        table.latest_version() if expected_parent is None else expected_parent
+    )
+    job_id = job_id or f"insmiss-v{parent}"
+    src_m = source.materialize()
+    src_raw_bytes = max(src_m.size_bytes() or 1, 1)
+    num_buckets = int(
+        max(cfg.merge_num_buckets, -(-src_raw_bytes // (256 * 1024 * 1024)))
+    )
+    deduped = table._constrained(_dedup_source(src_m, num_buckets)).materialize()
+    n_src = deduped.count()
+    if n_src == 0:
+        return {"version": parent, "rows_inserted": 0, "rows_skipped": 0}
+    m = table.manifest(parent)
+
+    if n_src <= cfg.merge_broadcast_max_keys:
+        key_df = deduped.select_columns(["doc_id"]).to_pandas()
+        keys = np.sort(key_df["doc_id"].to_numpy(dtype=object))
+        h = stable_hash(keys)
+        order = np.argsort(h, kind="stable")
+        key_bytes = np.char.encode(keys[order].astype(str), "utf-8")
+        keys_ref = ray.put((h[order], key_bytes))
+        # zone-map prune exactly like the broadcast merge: a fragment
+        # whose [min,max] range contains no key cannot hold a match
+        hit = []
+        for f in m.fragments:
+            zm = f.zone_map.get("doc_id")
+            if zm is None or f.rows == 0:
+                if f.rows:
+                    hit.append(f)
+                continue
+            lo_i = np.searchsorted(keys, zm["min"], side="left")
+            if lo_i < len(keys) and keys[lo_i] <= zm["max"]:
+                hit.append(f)
+        results = _fanout.run_capped(
+            _probe_fragment_task,
+            [
+                (table.table_dir, f.path, keys_ref, f.dv_path, mf_recon(f, m.column_ids))
+                for f in hit
+            ],
+            _fanout.copy_concurrency_cap(cfg.memcpy_max_concurrency),
+        )
+        matched = np.zeros(len(keys), dtype=bool)
+        for pos in results:
+            if len(pos):
+                matched[pos] = True
+        n_matched = int(matched.sum())
+        if n_matched == n_src:
+            return {"version": parent, "rows_inserted": 0, "rows_skipped": n_src}
+        mask_ref = ray.put((h[order], key_bytes, matched))
+
+        def drop_matched(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            kh, kb, mm = ray.get(mask_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            # every source id IS a key (keys were collected from this
+            # very dataset); a row drops when its key position probes
+            # matched. Same run-scan as _probe_key_positions, but
+            # per-row so the mask lands on rows, not keys.
+            id_hashes = stable_hash(ids)
+            lo = np.searchsorted(kh, id_hashes, side="left")
+            keep = np.ones(len(ids), dtype=bool)
+            ids_b = np.char.encode(ids.astype(str), "utf-8")
+            hi = np.searchsorted(kh, id_hashes, side="right")
+            for w in range(int((hi - lo).max()) if len(ids) else 0):
+                sel = lo + w < hi
+                if not sel.any():
+                    break
+                idx = np.minimum(lo + w, len(kb) - 1)
+                eq = sel & (kb[idx] == ids_b)
+                keep[eq & mm[idx]] = False
+            return batch.filter(pa.array(keep))
+
+        missing = deduped.map_batches(drop_matched, batch_format="pyarrow")
+        probe_stats = {
+            "strategy": "broadcast",
+            "fragments_probed": len(hit),
+            "fragments_untouched": len(m.fragments) - len(hit),
+        }
+    else:
+        # shuffle path: exact anti-join between the source and the
+        # doc_id column of range-overlapping fragments only
+        from fupi_ray.ops.join import hash_join
+
+        mm_rows = deduped.map_batches(
+            lambda t: pa.table(
+                {"lo": [pc.min(t["doc_id"]).as_py()], "hi": [pc.max(t["doc_id"]).as_py()]}
+            )
+            if t.num_rows
+            else pa.table(
+                {"lo": pa.array([], pa.string()), "hi": pa.array([], pa.string())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        lo = min(r["lo"] for r in mm_rows)
+        hi = max(r["hi"] for r in mm_rows)
+        hit = [
+            f
+            for f in m.fragments
+            if f.zone_map.get("doc_id") is None
+            or not (
+                f.zone_map["doc_id"]["max"] < lo or f.zone_map["doc_id"]["min"] > hi
+            )
+        ]
+        existing = table.scan_fragments(m, hit, columns=["doc_id"])
+        missing = hash_join(deduped, existing, on="doc_id", how="anti")
+        probe_stats = {
+            "strategy": "shuffle",
+            "fragments_probed": len(hit),
+            "fragments_untouched": len(m.fragments) - len(hit),
+        }
+
+    tbl_schema = table.schema(parent)
+    _defaults = m.column_defaults
+    fill_missing = {
+        n: _defaults.get(n)
+        for n in tbl_schema.names
+        if n != "doc_id" and n in _defaults
+    }
+    normed = missing.map_batches(
+        lambda b: normalize_batch(b, tbl_schema, fill_missing),
+        batch_format="pyarrow",
+    ).materialize()
+    n_ins = normed.count()
+    if n_ins == 0:
+        return {"version": parent, "rows_inserted": 0, "rows_skipped": n_src}
+    src_bytes = max(normed.size_bytes() or 1, 1)
+    rows_per_frag = max(
+        1, int(n_ins * min(cfg.target_fragment_bytes / src_bytes, 1.0))
+    )
+    from fupi_ray.ops import bucket as _bk
+
+    lay = _bk.preserving_layout(table, "doc_id")
+    if lay:
+        new_frags = _bk.write_bucketized_fragments(
+            table, normed, "doc_id", lay["num_buckets"], f"im-{job_id}-src"
+        )
+    else:
+        new_frags = write_dataset_fragments(
+            normed,
+            table.table_dir,
+            f"im-{job_id}-src",
+            target_fragment_rows=rows_per_frag,
+            bloom_bits=cfg.bloom_bits_per_key,
+            row_group_rows=cfg.row_group_rows,
+        )
+    stats = dict(probe_stats)
+    stats.update({"rows_inserted": n_ins, "rows_skipped": n_src - n_ins})
+    version = table.commit_fragment_swap(
+        set(), new_frags, operation="insert-missing",
+        expected_parent=parent, properties=stats,
+    )
+    return {
+        "version": version,
+        "rows_inserted": n_ins,
+        "rows_skipped": n_src - n_ins,
+    }

@@ -1033,3 +1033,51 @@ def flagship(sf_dir: str) -> ray.data.Dataset:
     merge_into(t, docs.map_batches(mk_upd, batch_format="pyarrow"))
     expire_snapshots(t, keep_last=2)
     return canonical_scan(t)
+
+
+def q_lake_insert_missing(sf_dir: str):
+    """MERGE ... WHEN NOT MATCHED THEN INSERT as a query
+    (``ops.insert_missing`` — idempotent ingest): the source re-offers
+    every ``doc_id % 4 == 0`` key with CHANGED payload (must be
+    skipped, target rows byte-untouched) plus genuinely new shifted
+    keys (``doc_id % 7 == 0`` → +2,000,000, tag 'ingested'). Asserts
+    the insert-only contract inline: every pre-op fragment survives
+    unrewritten. Oracle: base ∪ (new keys) — the matched half of the
+    source simply vanishes."""
+    from fupi_ray.ops import insert_missing
+
+    t = _build(sf_dir, "insmiss")
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def mk_source(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        dup_m = ids % 4 == 0
+        new_m = ids % 7 == 0
+        dup = sequences_batch(
+            ids[dup_m], n[dup_m] + 9, ["dup"] * int(dup_m.sum()), salt=103
+        )
+        new = sequences_batch(
+            ids[new_m] + 2_000_000, n[new_m] + 5, ["ingested"] * int(new_m.sum()), salt=104
+        )
+        return pa.concat_tables([dup, new])
+
+    parent_paths = {f.path for f in t.manifest().fragments}
+    res = insert_missing(t, docs.map_batches(mk_source, batch_format="pyarrow"))
+    m = t.manifest(res["version"])
+    assert parent_paths <= {f.path for f in m.fragments}, (
+        "insert_missing must never rewrite or drop an existing fragment"
+    )
+    assert res["rows_inserted"] > 0 and res["rows_skipped"] > 0
+    return canonical_scan(t)
+
+
+SQL_LAKE_INSERT_MISSING = f"""
+SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok FROM documents
+UNION ALL
+SELECT 'doc-' || lpad(CAST(doc_id + 2000000 AS VARCHAR), 12, '0') AS doc_id,
+       'ingested' AS source, CAST(n_chars + 5 AS BIGINT) AS n_tok
+FROM documents WHERE doc_id % 7 = 0
+"""
