@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_dv": lake.q_lake_merge_dv,
         "lake_merge_delete": lake.q_lake_merge_delete,
         "lake_insert_missing": lake.q_lake_insert_missing,
+        "lake_dedup_docs": lake.q_lake_dedup_docs,
         "lake_evolve": lake.q_lake_evolve,
         "lake_rename": lake.q_lake_rename,
         "lake_expire": lake.q_lake_expire,
@@ -80,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_families": q.q_dedup_families,
         "sample_exact_n": q.q_sample_exact_n,
         "group_quantiles": q.q_group_quantiles,
-        "decontaminate": q.q_decontaminate,
         "keyword_search": q.q_keyword_search,
         "distinct_count": q.q_distinct_count,
         "approx_distinct": q.q_approx_distinct,
@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green since r1 — plus embed_search, minhash, simhash,
         # ivf_topk) — nothing unchecked is displaced by them.
         "token_stats": q.q_token_stats,
+        "decontaminate": q.q_decontaminate,
         "gopher_quality": q.q_gopher_quality,
         "fingerprint": q.q_fingerprint,
         "sample_stratified": q.q_sample_stratified,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge_dv": lake.SQL_LAKE_MERGE_DV,
         "lake_merge_delete": lake.SQL_LAKE_MERGE_DELETE,
         "lake_insert_missing": lake.SQL_LAKE_INSERT_MISSING,
+        "lake_dedup_docs": lake.SQL_LAKE_DEDUP_DOCS,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,
         "lake_rename": lake.SQL_LAKE_RENAME,
         "lake_expire": lake.SQL_LAKE_EXPIRE,

@@ -1081,3 +1081,52 @@ SELECT 'doc-' || lpad(CAST(doc_id + 2000000 AS VARCHAR), 12, '0') AS doc_id,
        'ingested' AS source, CAST(n_chars + 5 AS BIGINT) AS n_tok
 FROM documents WHERE doc_id % 7 = 0
 """
+
+
+def q_lake_dedup_docs(sf_dir: str):
+    """Near-dup document removal as a query (``ops.dedup_documents``):
+    the table's token content is a function of ``doc_id % 200`` only,
+    so every residue class is one exact-duplicate family (Jaccard 1 —
+    the op's near-dup machinery must find it) and the canonical
+    survivor is the class minimum. Distinct classes are independent
+    PRNG streams (Jaccard ~0 — the verifier must reject any band
+    collision). Oracle: one row per class minimum, closed-form n_tok."""
+    from fupi_ray.ops import dedup_documents
+
+    t = Table.create(_tmp_table(sf_dir, "dedupdocs"), config=LAKE_CFG)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        g = (ids % 200).astype(np.int64)
+        n = (20 + g % 40).astype(np.int32)
+        vals, offsets = gen_tokens_flat(g, n, seed=42, salt=105)
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(vals, pa.int32())
+        )
+        return pa.table(
+            {
+                "doc_id": _doc_id_str(ids),
+                "tokens": tokens.cast(pa.list_(pa.int32())),
+                "n_tok": pa.array(n, pa.int32()),
+                "source": batch["source"],
+            }
+        )
+
+    t.commit_append(docs.map_batches(mk, batch_format="pyarrow"),
+                    target_fragment_rows=100)
+    before = t.scan().count()
+    res = dedup_documents(t, threshold=0.8)
+    assert res["rows_deleted"] > 0 and res["version"] == t.latest_version()
+    assert t.scan().count() == before - res["rows_deleted"]
+    return canonical_scan(t)
+
+
+SQL_LAKE_DEDUP_DOCS = f"""
+SELECT {_DOC_SQL} AS doc_id, source,
+       CAST(20 + (doc_id % 200) % 40 AS BIGINT) AS n_tok
+FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY doc_id % 200)
+"""
