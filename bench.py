@@ -342,6 +342,39 @@ def run_bench() -> dict:
         return dedup_token_windows(table, width=50, stride=25)
 
     timed("window_dedup_detect", do_window_dedup)
+
+    im_stats = {}
+
+    def do_insert_missing():
+        # idempotent-ingest probe at full table width: ~10% of the
+        # table re-offered as existing keys (must be skipped via the
+        # bloom-sidecar / doc_id-column-only probes — no payload read,
+        # no rewrite) plus 1% genuinely new rows appended
+        from fupi_ray.ops import insert_missing
+
+        feed = sequences_dataset(
+            bench_rows // 10, rows_per_partition=10_000, token_salt=7
+        ).union(
+            sequences_dataset(
+                bench_rows // 100,
+                rows_per_partition=10_000,
+                start=bench_rows + 3_000_000,
+            )
+        )
+        im_stats.update(insert_missing(table, feed))
+
+    timed("insert_missing", do_insert_missing)
+
+    def do_dedup_docs():
+        # near-dup document detection at full volume: the PRNG
+        # sequences share no content, so this times the signature scan
+        # + band exchange + in-bucket verify (the dominant phase); the
+        # delete path is timed by the lake_dedup_docs oracle query
+        from fupi_ray.ops import dedup_documents
+
+        return dedup_documents(table, num_perm=32, bands=8)
+
+    timed("dedup_docs_detect", do_dedup_docs)
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
@@ -407,6 +440,7 @@ def run_bench() -> dict:
         "matview": mv_stats,
         "sorted_scan": sorted_stats,
         "bucket": bucket_stats,
+        "insert_missing": im_stats,
         "copy_cap": {"measured": probe_cap, "probe_seconds": probe_seconds},
     }
     ray.shutdown()

@@ -136,6 +136,25 @@ def mix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+def mix64_into(x: np.ndarray, tmp: np.ndarray, out: np.ndarray) -> np.ndarray:
+    """``mix64`` with caller-provided scratch: identical math (splitmix64
+    finalizer), zero allocations. ``tmp``/``out`` must match ``x``'s
+    shape; ``out is x`` is allowed. The hot MinHash loop calls this per
+    permutation so the working set stays one gram-array wide (L3-sized)
+    instead of materializing ~10 temporaries per chunk."""
+    with np.errstate(over="ignore"):
+        np.add(x, _M1, out=out)
+        np.right_shift(out, np.uint64(30), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _M2, out=out)
+        np.right_shift(out, np.uint64(27), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _M3, out=out)
+        np.right_shift(out, np.uint64(31), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+    return out
+
+
 def quantize_to_bits(values: np.ndarray, lo: float, hi: float, bits: int = 21) -> np.ndarray:
     """Linearly scale numeric values in [lo, hi] to ``bits``-bit ints."""
     v = np.asarray(values, dtype=np.float64)

@@ -12,23 +12,29 @@ atomic commit, pinned to the snapshot the detection ran against.
 
 Scale shape (the whole point):
 
-1. **One scan** of ``(doc_id, tokens)``. Per batch, vectorized token
-   k-gram mix-chain hashes → a (n, P) MinHash signature matrix
-   (``functions/textkernels.py`` — the same kernels the text-side
-   minhash query uses, fed token values instead of word hashes).
-2. **One bucket exchange.** Each doc emits ``bands`` rows
-   ``(id, band, band_key, sig)`` — the signature RIDES ALONG so
-   verification happens inside the bucket; there is no second scan of
-   the corpus and no candidate-pair join back to the token data. Rows
-   are hash-bucketed on (band, band_key); a bucket holds complete band
-   groups by construction.
-3. **In-bucket verify.** Per band group, candidate (a<b) pairs —
-   star-capped around the group minimum above ``max_group`` so
-   degenerate boilerplate stays output-linear — are verified by the
-   unbiased MinHash estimate ``mean(sig_a == sig_b)`` (vectorized lane
-   compare); only pairs with estimated Jaccard ≥ ``threshold``
-   survive. The estimator needs no token bytes, which is what lets the
-   whole detection move O(docs × P × 8) bytes instead of O(corpus).
+1. **One scan** of ``(doc_id, tokens)`` → a per-doc signature table
+   ``(id, sig)``: vectorized token k-gram mix-chain hashes → a (n, P)
+   MinHash matrix (``functions/textkernels.py`` — the same kernels the
+   text-side minhash query uses, fed token values instead of word
+   hashes), stored as ONE ``fixed_size_binary(P*8)`` value per doc.
+   This is the only pass that touches token bytes; the materialized
+   signature table is P*8 bytes/doc (KBs per thousand docs), the
+   working set of everything downstream.
+2. **Banding runs on the signature table, not the corpus** — band keys
+   are a pure function of the signature. Band rows carry only
+   ``(id, band, band_key)`` (~40B), NOT the signature: measured 7×
+   less exchange volume than shipping the signature with every band
+   row, because each doc emits ``bands`` rows. One hash-bucket
+   exchange groups identical band keys; per group, candidate (a<b)
+   pairs are star-capped around the group minimum above ``max_group``
+   so degenerate boilerplate stays output-linear
+   (``stages/dedup._grouped_pairs`` — shared with the text pipeline).
+3. **Candidate-bounded verify.** Distinct pairs are enriched with both
+   sides' signatures (size-guarded broadcast-or-hash join against the
+   small signature table; ``fixed_size_binary`` passes through Acero,
+   unlike nested types) and kept when the unbiased MinHash estimate
+   ``mean(sig_a == sig_b)`` ≥ ``threshold``. Work is O(candidates),
+   never O(corpus).
 4. **Families** via ``stages/dedup.resolve_duplicate_families``
    (driver union-find below 2M edges, distributed min-label
    propagation above — bounded exchanges, O(log diameter) rounds).
@@ -50,173 +56,168 @@ corpus).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
 from fupi_ray.functions import textkernels as tk
-from fupi_ray.functions.hashing import mix64, stable_hash
+from fupi_ray.functions.hashing import mix64
+from fupi_ray.ops.join import enrich_join
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.schema import _unwrap_tensor
-from fupi_ray.stages.dedup import dedup_pairs, resolve_duplicate_families
+from fupi_ray.stages.dedup import (
+    _grouped_pairs,
+    dedup_pairs,
+    resolve_duplicate_families,
+)
 from fupi_ray.table import Table
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-class TokenMinHashStage:
-    """Actor-pool stage: token sequences → one ``(id, band, band_key,
-    sig)`` row per (doc, band). Salts are derived once per actor in
-    ``__init__``; ``__call__`` is pure vectorized kernels."""
+def _salts(num_perm: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
 
-    def __init__(
-        self,
-        id_col: str = "doc_id",
-        tokens_col: str = "tokens",
-        num_perm: int = 64,
-        bands: int = 16,
-        gram: int = 8,
-        seed: int = 42,
-    ):
-        if num_perm % bands:
-            raise ValueError("num_perm must be a multiple of bands")
-        self.id_col, self.tokens_col = id_col, tokens_col
-        self.num_perm, self.bands, self.gram = num_perm, bands, gram
-        self.rows_per_band = num_perm // bands
-        rng = np.random.default_rng(seed)
-        self.salts = (
-            rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
-        )
 
-    def signatures(self, tokens_col) -> np.ndarray:
-        """(n, P) uint64 signature matrix for a token list column."""
-        lst = _unwrap_tensor(tokens_col)
-        offsets = np.asarray(lst.offsets, dtype=np.int64)
-        vals = lst.values.to_numpy(zero_copy_only=False)
-        lengths = np.diff(offsets)
-        W = mix64(vals.astype(np.uint64, copy=False) + _GOLDEN)
-        grams, gstarts = tk.doc_shingle_hashes(W, lengths, self.gram)
-        return tk.minhash_signatures(grams, gstarts, self.salts).T
+def token_signatures(tokens_col, salts: np.ndarray, gram: int) -> np.ndarray:
+    """(n, P) uint64 MinHash matrix for a token list column: flat
+    value mix → per-doc k-gram chain hashes → per-perm minima. All
+    reduceat/broadcast kernels, no per-doc Python."""
+    lst = _unwrap_tensor(tokens_col)
+    offsets = np.asarray(lst.offsets, dtype=np.int64)
+    vals = lst.values.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets)
+    W = mix64(vals.astype(np.uint64, copy=False) + _GOLDEN)
+    grams, gstarts = tk.doc_shingle_hashes(W, lengths, gram)
+    return tk.minhash_signatures(grams, gstarts, salts).T
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+
+def _sig_binary(sigs: np.ndarray) -> pa.Array:
+    """(n, P) uint64 → one fixed_size_binary(P*8) value per row,
+    zero-copy from the matrix buffer."""
+    n, P = sigs.shape
+    flat = np.ascontiguousarray(sigs).view(np.uint8).reshape(-1)
+    return pa.Array.from_buffers(pa.binary(P * 8), n, [None, pa.py_buffer(flat)])
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """fixed_size_binary signature column → (n, P) uint64 matrix,
+    zero-copy from the Arrow data buffer."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = num_perm * 8
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+    start = arr.offset * num_perm
+    return raw[start : start + len(arr) * num_perm].reshape(len(arr), num_perm)
+
+
+def signature_dataset(
+    corpus: ray.data.Dataset,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    num_perm: int = 64,
+    gram: int = 8,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """One ``(id, sig fixed_size_binary(P*8))`` row per document — the
+    only stage that reads token bytes."""
+    salts = _salts(num_perm, seed)
+
+    def to_sigs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id": pa.array([], batch.schema.field(id_col).type),
+                    "sig": pa.array([], pa.binary(num_perm * 8)),
+                }
+            )
+        sigs = token_signatures(batch[tokens_col], salts, gram)
+        return pa.table({"id": batch[id_col], "sig": _sig_binary(sigs)})
+
+    return corpus.map_batches(to_sigs, batch_format="pyarrow")
+
+
+def band_rows(
+    sigs: ray.data.Dataset, num_perm: int, bands: int
+) -> ray.data.Dataset:
+    """(id, band, band_key) rows from the signature table — a pure
+    function of the signature, so banding never re-reads the corpus
+    and the LSH exchange ships ~40B/row instead of the signature."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be a multiple of bands")
+    rpb = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        id_type = batch.schema.field(self.id_col).type
         if n == 0:
             return pa.table(
                 {
-                    "id": pa.array([], id_type),
+                    "id": pa.array([], batch.schema.field("id").type),
                     "band": pa.array([], pa.int32()),
                     "band_key": pa.array([], pa.int64()),
-                    "sig": pa.array([], pa.list_(pa.int64(), self.num_perm)),
                 }
             )
-        sigs = self.signatures(batch[self.tokens_col])  # (n, P)
-        chunks = sigs.reshape(n, self.bands, self.rows_per_band)
-        key = chunks[:, :, 0]
-        for r in range(1, self.rows_per_band):
-            key = mix64(key ^ chunks[:, :, r])
-        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
-        sig_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(sigs.reshape(-1).view(np.int64)), self.num_perm
-        )
+        S = _sig_matrix(batch["sig"], num_perm).reshape(n, bands, rpb)
+        key = S[:, :, 0]
+        for r in range(1, rpb):
+            key = mix64(key ^ S[:, :, r])
+        take = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
-                "id": batch[self.id_col].take(take),
+                "id": batch["id"].take(take),
                 "band": pa.array(
-                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()
+                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
                 ),
                 "band_key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
-                "sig": sig_arr.take(take),
             }
         )
 
+    return sigs.map_batches(to_bands, batch_format="pyarrow")
 
-def _verified_pairs_from_bands(
-    band_rows: ray.data.Dataset,
+
+def _verify_pairs(
+    pairs: ray.data.Dataset,
+    sigs: ray.data.Dataset,
     num_perm: int,
     threshold: float,
-    max_group: int,
-    num_buckets: int,
 ) -> ray.data.Dataset:
-    """Candidate pairs verified INSIDE the LSH bucket (the signatures
-    travelled with the band rows): one hash-bucket exchange total, no
-    join back to the corpus. Emits ``(id_a, id_b, est_jaccard)`` with
-    ``id_a < id_b``; a pair may fire in several bands (dedup after)."""
+    """Candidate pairs → pairs whose MinHash-estimated Jaccard ≥
+    ``threshold``. Two size-guarded enrichment joins against the
+    signature table (O(candidates) work), then one vectorized lane
+    compare."""
+    sig_t = pa.binary(num_perm * 8)
+    a = enrich_join(pairs, sigs, on="id_a", right_on="id", value_cols=["sig"])
+    a = a.map_batches(
+        lambda t: t.rename_columns(
+            [("sig_a" if c == "sig" else c) for c in t.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    ab = enrich_join(a, sigs, on="id_b", right_on="id", value_cols=["sig"])
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
+    def estimate(batch: pa.Table) -> pa.Table:
+        out_names = ["id_a", "id_b", "est_jaccard"]
         if batch.num_rows == 0:
-            return batch.append_column("_bucket", pa.array([], pa.int32()))
-        h = mix64(
-            batch["band_key"].to_numpy(zero_copy_only=False).view(np.uint64)
-            ^ mix64(batch["band"].to_numpy(zero_copy_only=False).astype(np.uint64))
-        )
-        return batch.append_column(
-            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
-        )
-
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        id_type = g.schema.field("id").type
-        empty = pa.table(
-            {
-                "id_a": pa.array([], id_type),
-                "id_b": pa.array([], id_type),
-                "est_jaccard": pa.array([], pa.float64()),
-            }
-        )
-        n = g.num_rows
-        if n < 2:
-            return empty
-        band = g["band"].to_numpy(zero_copy_only=False)
-        key = g["band_key"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, band))
-        band, key = band[order], key[order]
-        ids = g["id"].take(pa.array(order)).to_numpy(zero_copy_only=False)
-        change = np.ones(n, dtype=bool)
-        change[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
-        starts = np.nonzero(change)[0]
-        sizes = np.diff(np.append(starts, n))
-        ia_parts: list[np.ndarray] = []
-        ib_parts: list[np.ndarray] = []
-        for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
-            u, first = np.unique(ids[s : s + sz], return_index=True)
-            if len(u) < 2:
-                continue
-            pos = order[s + first]  # positions in the ORIGINAL bucket table
-            if len(u) > max_group:
-                ia_parts.append(np.repeat(pos[0], len(u) - 1))
-                ib_parts.append(pos[1:])
-            else:
-                iu = np.triu_indices(len(u), k=1)
-                ia_parts.append(pos[iu[0]])
-                ib_parts.append(pos[iu[1]])
-        if not ia_parts:
-            return empty
-        ia = np.concatenate(ia_parts)
-        ib = np.concatenate(ib_parts)
-        S = (
-            g["sig"]
-            .combine_chunks()
-            .values.to_numpy(zero_copy_only=False)
-            .reshape(n, num_perm)
-        )
-        est = (S[ia] == S[ib]).mean(axis=1)
+            return pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            ).select(out_names)
+        Sa = _sig_matrix(pc.cast(batch["sig_a"], sig_t), num_perm)
+        Sb = _sig_matrix(pc.cast(batch["sig"], sig_t), num_perm)
+        est = (Sa == Sb).mean(axis=1)
         keep = est >= threshold
-        ia, ib, est = ia[keep], ib[keep], est[keep]
-        id_col = g["id"].combine_chunks()
         return pa.table(
             {
-                "id_a": id_col.take(pa.array(ia)),
-                "id_b": id_col.take(pa.array(ib)),
-                "est_jaccard": pa.array(est, pa.float64()),
+                "id_a": batch["id_a"].filter(pa.array(keep)),
+                "id_b": batch["id_b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
             }
         )
 
-    return (
-        band_rows.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
+    return ab.map_batches(estimate, batch_format="pyarrow")
 
 
 def dedup_documents(
@@ -246,43 +247,41 @@ def dedup_documents(
     parent = table.latest_version()
     m = table.manifest(parent)
     n_rows = sum(f.rows for f in m.fragments)
+    empty = {
+        "version": parent,
+        "rows_deleted": 0,
+        "docs_in_families": 0,
+        "families": 0,
+        "pairs_verified": 0,
+    }
     if n_rows < 2:
-        return {
-            "version": parent,
-            "rows_deleted": 0,
-            "docs_in_families": 0,
-            "families": 0,
-            "pairs_verified": 0,
-        }
+        return empty
     if num_buckets is None:
-        # the band exchange moves bands rows/doc of (key 8B + sig P*8B
-        # + id ~24B); size buckets so one materialized bucket fits a
+        # the band exchange moves bands rows/doc of (key 8B + id ~24B
+        # + overhead); size buckets so one materialized bucket fits a
         # worker heap
-        exch_bytes = n_rows * bands * (num_perm * 8 + 32)
+        exch_bytes = n_rows * bands * 48
         num_buckets = int(max(64, -(-exch_bytes // (256 * 1024 * 1024))))
 
-    band_rows = table.scan(parent, columns=["doc_id", "tokens"]).map_batches(
-        TokenMinHashStage,
-        fn_constructor_kwargs=dict(
-            num_perm=num_perm, bands=bands, gram=gram
-        ),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
-    pairs = dedup_pairs(
-        _verified_pairs_from_bands(
-            band_rows, num_perm, threshold, max_group, num_buckets
+    sigs = signature_dataset(
+        table.scan(parent, columns=["doc_id", "tokens"]),
+        num_perm=num_perm,
+        gram=gram,
+    ).materialize()  # P*8 bytes/doc — the working set from here on
+    cand = dedup_pairs(
+        _grouped_pairs(
+            band_rows(sigs, num_perm, bands),
+            ["band", "band_key"],
+            max_group=max_group,
+            num_buckets=num_buckets,
         )
-    ).materialize()
+    ).materialize()  # candidate-bounded; lets a clean corpus skip the
+    if cand.count() == 0:  # verify joins entirely
+        return empty
+    pairs = _verify_pairs(cand, sigs, num_perm, threshold).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
-        return {
-            "version": parent,
-            "rows_deleted": 0,
-            "docs_in_families": 0,
-            "families": 0,
-            "pairs_verified": 0,
-        }
+        return empty
     fams = resolve_duplicate_families(pairs).materialize()
 
     def victims(batch: pa.Table) -> pa.Table:
@@ -294,13 +293,9 @@ def dedup_documents(
     n_nodes = fams.count()
     n_fams = n_nodes - n_drop  # one canonical survivor per family
     if n_drop == 0:
-        return {
-            "version": parent,
-            "rows_deleted": 0,
-            "docs_in_families": n_nodes,
-            "families": n_fams,
-            "pairs_verified": n_pairs,
-        }
+        return dict(
+            empty, docs_in_families=n_nodes, families=n_fams, pairs_verified=n_pairs
+        )
     version = merge_into(
         table,
         drop,

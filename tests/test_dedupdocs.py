@@ -10,7 +10,7 @@ import ray
 import ray.data
 
 from fupi_ray.ops import dedup_documents
-from fupi_ray.ops.dedupdocs import TokenMinHashStage
+from fupi_ray.ops.dedupdocs import _salts, token_signatures
 from fupi_ray.table import Table
 
 
@@ -110,12 +110,12 @@ def test_signature_estimator_tracks_jaccard():
     # the in-bucket verifier uses mean(sig_a == sig_b); on disjoint
     # content the estimate must be ~0 (never passes threshold), on
     # identical content exactly 1
-    st = TokenMinHashStage(num_perm=64, bands=16, gram=8)
+    salts = _salts(64, 42)
     a = pa.array([_rng_tokens(7, 800)], pa.list_(pa.int32()))
     b = pa.array([_rng_tokens(8, 800)], pa.list_(pa.int32()))
-    sa, sb = st.signatures(a)[0], st.signatures(b)[0]
+    sa, sb = token_signatures(a, salts, 8)[0], token_signatures(b, salts, 8)[0]
     assert (sa == sb).mean() < 0.2
-    assert (sa == st.signatures(a)[0]).mean() == 1.0
+    assert (sa == token_signatures(a, salts, 8)[0]).mean() == 1.0
 
 
 def test_short_docs_do_not_crash(tmp_table_dir):
