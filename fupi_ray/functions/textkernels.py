@@ -347,9 +347,9 @@ def doc_shingle_hashes(
 
 
 def minhash_signatures(
-    grams: np.ndarray, gram_starts: np.ndarray, salts: np.ndarray, perm_chunk: int = 16
+    grams: np.ndarray, gram_starts: np.ndarray, salts: np.ndarray
 ) -> np.ndarray:
-    """(num_perm, n) MinHash signature matrix via chunked broadcast +
+    """(num_perm, n) MinHash signature matrix via vectorized mixing +
     ``np.minimum.reduceat`` (no per-doc Python). Every doc must own at
     least one gram (``doc_shingle_hashes`` guarantees it)."""
     n = len(gram_starts) - 1

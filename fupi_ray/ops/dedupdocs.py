@@ -105,7 +105,6 @@ def _sig_matrix(col, num_perm: int) -> np.ndarray:
     """fixed_size_binary signature column → (n, P) uint64 matrix,
     zero-copy from the Arrow data buffer."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    width = num_perm * 8
     raw = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
     start = arr.offset * num_perm
     return raw[start : start + len(arr) * num_perm].reshape(len(arr), num_perm)

@@ -142,36 +142,73 @@ def _dedup_source(source: ray.data.Dataset, num_buckets: int) -> ray.data.Datase
     )
 
 
-def _probe_keys(
+def _probe_key_run_positions(
     ids: np.ndarray, key_hashes: np.ndarray, key_bytes: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Membership of each ``doc_id`` in the broadcast key set: sorted-
-    hash ``searchsorted`` probe, then exact utf-8 byte confirmation on
-    hash hits so collisions between distinct keys cannot match a wrong
-    row. Returns ``(matched bool mask, id hashes)`` — the hashes are
-    reused by callers (bloom sidecar rebuild)."""
+    """Per-id POSITION into the sorted broadcast key arrays (-1 when
+    the id is not a key): sorted-hash ``searchsorted`` probe, then
+    exact utf-8 byte confirmation over the FULL run of equal hashes
+    (collisions between distinct doc_ids would otherwise hide the
+    second key; runs are length 1 almost always, so the loop is over
+    the max run width, vectorized across rows at each width). Returns
+    ``(positions int64, id hashes)`` — the hashes are reused by
+    callers (bloom sidecar rebuild). This is the single home of the
+    collision-run logic; every broadcast-side probe derives from it."""
     id_hashes = stable_hash(ids)
+    pos = np.full(len(ids), -1, np.int64)
     lo = np.searchsorted(key_hashes, id_hashes, side="left")
     hi = np.searchsorted(key_hashes, id_hashes, side="right")
-    matched = np.zeros(len(ids), dtype=bool)
     ci = np.nonzero(hi > lo)[0]
     if len(ci):
-        # scan the FULL run of equal hashes (hash collisions between
-        # distinct doc_ids would otherwise hide the second key): runs
-        # are length 1 almost always, so this loops over the max run
-        # width, vectorized across rows at each width
         ids_b = np.char.encode(ids[ci].astype(str), "utf-8")
         run_lo, run_hi = lo[ci], hi[ci]
-        width = int((run_hi - run_lo).max())
-        hit = np.zeros(len(ci), dtype=bool)
-        for w in range(width):
-            sel = run_lo + w < run_hi
+        sub = np.full(len(ci), -1, np.int64)
+        for w in range(int((run_hi - run_lo).max())):
+            sel = (run_lo + w < run_hi) & (sub < 0)
             if not sel.any():
                 break
             idx = np.minimum(run_lo + w, len(key_bytes) - 1)
-            hit |= sel & (key_bytes[idx] == ids_b)
-        matched[ci] = hit
-    return matched, id_hashes
+            eq = sel & (key_bytes[idx] == ids_b)
+            sub[eq] = idx[eq]
+        pos[ci] = sub
+    return pos, id_hashes
+
+
+def _probe_keys(
+    ids: np.ndarray, key_hashes: np.ndarray, key_bytes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Membership of each ``doc_id`` in the broadcast key set; returns
+    ``(matched bool mask, id hashes)``."""
+    pos, id_hashes = _probe_key_run_positions(ids, key_hashes, key_bytes)
+    return pos >= 0, id_hashes
+
+
+def _source_range_hit_fragments(
+    deduped: ray.data.Dataset, m
+) -> list[FragmentMeta] | None:
+    """Shuffle-path coarse prune shared by MERGE and insert_missing:
+    fragments whose doc_id zone range overlaps the source's [min,max]
+    key range (per-batch partial min/max — no full-column aggregate
+    kernel, nothing but two strings per batch on the driver). Returns
+    None when the source has no rows."""
+    mm = deduped.map_batches(
+        lambda t: pa.table(
+            {"lo": [pc.min(t["doc_id"]).as_py()], "hi": [pc.max(t["doc_id"]).as_py()]}
+        )
+        if t.num_rows
+        else pa.table({"lo": pa.array([], pa.string()), "hi": pa.array([], pa.string())}),
+        batch_format="pyarrow",
+    ).take_all()
+    if not mm:
+        return None
+    lo = min(r["lo"] for r in mm)
+    hi = max(r["hi"] for r in mm)
+    return [
+        f
+        for f in m.fragments
+        if f.zone_map.get("doc_id") is None
+        or not (f.zone_map["doc_id"]["max"] < lo or f.zone_map["doc_id"]["min"] > hi)
+    ]
 
 
 @ray.remote(num_cpus=1)
@@ -909,26 +946,9 @@ def merge_into(
             "fragments_untouched": len(kept),
         }
     else:
-        # shuffle path: prune by key min/max range only (cheap, coarse —
-        # per-batch partial min/max, no full-column aggregate kernel needed)
-        mm = deduped.map_batches(
-            lambda t: pa.table(
-                {"lo": [pc.min(t["doc_id"]).as_py()], "hi": [pc.max(t["doc_id"]).as_py()]}
-            )
-            if t.num_rows
-            else pa.table({"lo": pa.array([], pa.string()), "hi": pa.array([], pa.string())}),
-            batch_format="pyarrow",
-        ).take_all()
-        if not mm:
+        hit = _source_range_hit_fragments(deduped, m)
+        if hit is None:
             return parent
-        lo = min(r["lo"] for r in mm)
-        hi = max(r["hi"] for r in mm)
-        hit = [
-            f
-            for f in m.fragments
-            if f.zone_map.get("doc_id") is None
-            or not (f.zone_map["doc_id"]["max"] < lo or f.zone_map["doc_id"]["min"] > hi)
-        ]
         hit_bytes = sum(f.bytes for f in hit) + src_bytes
         hit_rows = sum(f.live_rows for f in hit) + n_src
         merged_rows_per_frag = max(
@@ -1140,32 +1160,6 @@ def _merge_into_dv(
 # ---------------------------------------------------------------------------
 
 
-def _probe_key_positions(
-    ids: np.ndarray, key_hashes: np.ndarray, key_bytes: np.ndarray
-) -> np.ndarray:
-    """Positions (into the sorted broadcast key arrays) of the keys
-    present among ``ids``: sorted-hash ``searchsorted`` probe + exact
-    utf-8 byte confirmation over each equal-hash run (collisions
-    between distinct keys can never produce a wrong position)."""
-    id_hashes = stable_hash(ids)
-    lo = np.searchsorted(key_hashes, id_hashes, side="left")
-    hi = np.searchsorted(key_hashes, id_hashes, side="right")
-    ci = np.nonzero(hi > lo)[0]
-    if not len(ci):
-        return np.empty(0, np.int64)
-    ids_b = np.char.encode(ids[ci].astype(str), "utf-8")
-    run_lo, run_hi = lo[ci], hi[ci]
-    pos = np.full(len(ci), -1, np.int64)
-    for w in range(int((run_hi - run_lo).max())):
-        sel = (run_lo + w < run_hi) & (pos < 0)
-        if not sel.any():
-            break
-        idx = np.minimum(run_lo + w, len(key_bytes) - 1)
-        eq = sel & (key_bytes[idx] == ids_b)
-        pos[eq] = idx[eq]
-    return np.unique(pos[pos >= 0])
-
-
 @ray.remote
 def _probe_fragment_task(
     table_dir: str, rel_path: str, keys_ref, dv_rel: str | None, recon: dict
@@ -1186,7 +1180,8 @@ def _probe_fragment_task(
 
     tbl = masked_fragment_table(table_dir, rel_path, dv_rel or None, columns=[phys])
     ids = tbl[phys].to_numpy(zero_copy_only=False)
-    return _probe_key_positions(ids, key_hashes, key_bytes)
+    pos, _ = _probe_key_run_positions(ids, key_hashes, key_bytes)
+    return np.unique(pos[pos >= 0])
 
 
 def insert_missing(
@@ -1272,29 +1267,23 @@ def insert_missing(
         n_matched = int(matched.sum())
         if n_matched == n_src:
             return {"version": parent, "rows_inserted": 0, "rows_skipped": n_src}
-        mask_ref = ray.put((h[order], key_bytes, matched))
+        # broadcast only the bool mask; the (dominant) key arrays are
+        # already in the object store as keys_ref — reuse them
+        mask_ref = ray.put(matched)
 
         def drop_matched(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return batch
-            kh, kb, mm = ray.get(mask_ref)
+            kh, kb = ray.get(keys_ref)
+            mm = ray.get(mask_ref)
             ids = batch["doc_id"].to_numpy(zero_copy_only=False)
             # every source id IS a key (keys were collected from this
-            # very dataset); a row drops when its key position probes
-            # matched. Same run-scan as _probe_key_positions, but
-            # per-row so the mask lands on rows, not keys.
-            id_hashes = stable_hash(ids)
-            lo = np.searchsorted(kh, id_hashes, side="left")
+            # very dataset); a row drops when its key position probed
+            # matched in some fragment
+            pos, _ = _probe_key_run_positions(ids, kh, kb)
+            sel = pos >= 0
             keep = np.ones(len(ids), dtype=bool)
-            ids_b = np.char.encode(ids.astype(str), "utf-8")
-            hi = np.searchsorted(kh, id_hashes, side="right")
-            for w in range(int((hi - lo).max()) if len(ids) else 0):
-                sel = lo + w < hi
-                if not sel.any():
-                    break
-                idx = np.minimum(lo + w, len(kb) - 1)
-                eq = sel & (kb[idx] == ids_b)
-                keep[eq & mm[idx]] = False
+            keep[sel] = ~mm[pos[sel]]
             return batch.filter(pa.array(keep))
 
         missing = deduped.map_batches(drop_matched, batch_format="pyarrow")
@@ -1308,28 +1297,15 @@ def insert_missing(
         # doc_id column of range-overlapping fragments only
         from fupi_ray.ops.join import hash_join
 
-        mm_rows = deduped.map_batches(
-            lambda t: pa.table(
-                {"lo": [pc.min(t["doc_id"]).as_py()], "hi": [pc.max(t["doc_id"]).as_py()]}
-            )
-            if t.num_rows
-            else pa.table(
-                {"lo": pa.array([], pa.string()), "hi": pa.array([], pa.string())}
-            ),
-            batch_format="pyarrow",
-        ).take_all()
-        lo = min(r["lo"] for r in mm_rows)
-        hi = max(r["hi"] for r in mm_rows)
-        hit = [
-            f
-            for f in m.fragments
-            if f.zone_map.get("doc_id") is None
-            or not (
-                f.zone_map["doc_id"]["max"] < lo or f.zone_map["doc_id"]["min"] > hi
-            )
-        ]
-        existing = table.scan_fragments(m, hit, columns=["doc_id"])
-        missing = hash_join(deduped, existing, on="doc_id", how="anti")
+        hit = _source_range_hit_fragments(deduped, m) or []
+        if hit:
+            existing = table.scan_fragments(m, hit, columns=["doc_id"])
+            missing = hash_join(deduped, existing, on="doc_id", how="anti")
+        else:
+            # no fragment's range overlaps any key: every source row is
+            # new (the common bulk-ingest shape — a feed of fresh keys
+            # above the table's current range)
+            missing = deduped
         probe_stats = {
             "strategy": "shuffle",
             "fragments_probed": len(hit),

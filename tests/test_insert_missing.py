@@ -94,6 +94,22 @@ def test_insert_missing_stale_pin_fails_loudly(tmp_table_dir):
     assert "z-2" not in got
 
 
+def test_insert_missing_shuffle_all_new_keys(tmp_table_dir):
+    # regression: zero range-overlapping fragments on the shuffle path
+    # (a bulk feed of entirely fresh keys above the table's range) must
+    # insert everything, not crash in scan_fragments
+    from fupi_ray.config import EngineConfig
+
+    cfg = EngineConfig(merge_broadcast_max_keys=1)
+    t = Table.create(tmp_table_dir, config=cfg)
+    ids = [f"doc-{i:06d}" for i in range(8)]
+    t.commit_append(ray.data.from_arrow(_seq_table(ids)), target_fragment_rows=4)
+    src = ray.data.from_arrow(_seq_table(["zzz-1", "zzz-2", "zzz-3"], salt=2))
+    res = insert_missing(t, src)
+    assert res["rows_inserted"] == 3 and res["rows_skipped"] == 0
+    assert t.scan().count() == 11
+
+
 def test_insert_missing_shuffle_strategy_equivalent(tmp_table_dir):
     # force the anti-join path by dropping the broadcast ceiling
     from fupi_ray.config import EngineConfig
