@@ -4,6 +4,10 @@ jobs launched as Ray jobs on a fixed-size cluster).
     ray job submit -- python -m fupi_ray.cli compact --table /data/seq
     ray job submit -- python -m fupi_ray.cli cluster --table /data/seq --curve hilbert
     ray job submit -- python -m fupi_ray.cli merge --table /data/seq --source /data/updates
+    ray job submit -- python -m fupi_ray.cli insert-missing --table /data/seq \
+        --source /data/feed   # idempotent ingest: only absent doc_ids land
+    ray job submit -- python -m fupi_ray.cli dedup-docs --table /data/seq \
+        --threshold 0.7 --mode dv   # near-dup families -> keep min doc_id
     ray job submit -- python -m fupi_ray.cli expire --table /data/seq --keep-last 3
     ray job submit -- python -m fupi_ray.cli ingest --table /data/seq --rows 1000000
     ray job submit -- python -m fupi_ray.cli delete --table /data/seq --where n_tok:<:8
@@ -45,7 +49,8 @@ def main(argv=None) -> int:
     p.add_argument(
         "op",
         choices=[
-            "ingest", "overwrite", "compact", "cluster", "merge", "expire",
+            "ingest", "overwrite", "compact", "cluster", "merge",
+            "insert-missing", "dedup-docs", "expire",
             "scan", "add-column", "drop-column",
             "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
@@ -70,6 +75,12 @@ def main(argv=None) -> int:
         default=None,
         help="expire: keep every version committed within this many "
         "seconds, even past --keep-last (time-based retention)",
+    )
+    p.add_argument(
+        "--threshold",
+        type=float,
+        default=0.7,
+        help="dedup-docs: MinHash-estimated token-gram Jaccard cutoff",
     )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(
@@ -275,6 +286,36 @@ def main(argv=None) -> int:
         out["version"] = merge_into(t, src, job_id=args.job_id, mode=args.mode)
         if args.auto_compact:
             out["compacted_version"] = compact(t)
+    elif args.op == "insert-missing":
+        # MERGE WHEN NOT MATCHED INSERT: idempotent ingest — replaying
+        # a crashed feed never duplicates rows, never rewrites a
+        # fragment
+        if not args.source:
+            p.error("insert-missing requires --source")
+        import ray.data
+
+        from fupi_ray.ops import insert_missing
+
+        t = Table.open(args.table)
+        out.update(
+            insert_missing(
+                t, ray.data.read_parquet(args.source), job_id=args.job_id
+            )
+        )
+    elif args.op == "dedup-docs":
+        # near-dup document removal: token-gram MinHash+LSH families,
+        # keep min doc_id, MERGE-delete the rest (snapshot-pinned)
+        from fupi_ray.ops import dedup_documents
+
+        t = Table.open(args.table)
+        out.update(
+            dedup_documents(
+                t,
+                threshold=args.threshold,
+                mode=args.mode,
+                job_id=args.job_id,
+            )
+        )
     elif args.op == "expire":
         t = Table.open(args.table)
         out.update(

@@ -162,3 +162,39 @@ def test_cli_fork_cycle(tmp_path):
     assert run_cli("scan", "--table", src)["rows"] == run_cli("scan", "--table", dev)["rows"]
 
     run_cli("drop-fork", "--table", src, "--fork-dir", dev)
+
+
+def test_cli_insert_missing_and_dedup_docs(tmp_path):
+    from fupi_ray.fixtures import generate_rows
+
+    table = str(tmp_path / "tbl")
+    run_cli("ingest", "--table", table, "--rows", "2000", "--rows-per-fragment", "500")
+
+    # feed re-offers 300 existing keys (changed payload) + 100 new ones
+    src = pa.concat_tables(
+        [generate_rows(0, 300, token_salt=9), generate_rows(1_000_000, 100)]
+    )
+    src_path = str(tmp_path / "feed.parquet")
+    pq.write_table(src, src_path)
+    r = run_cli("insert-missing", "--table", table, "--source", src_path)
+    assert r["rows_inserted"] == 100 and r["rows_skipped"] == 300
+    # replay is a no-op
+    r = run_cli("insert-missing", "--table", table, "--source", src_path)
+    assert r["rows_inserted"] == 0
+
+    # plant exact duplicates: re-insert 50 rows under NEW doc_ids with
+    # the same token content as rows 0..49 (token content is a pure
+    # function of (id, salt), so copy tokens from the originals)
+    orig = generate_rows(0, 50)
+    dup = orig.set_column(
+        orig.schema.get_field_index("doc_id"),
+        "doc_id",
+        pa.array([f"dup-{i:06d}" for i in range(50)], pa.string()),
+    )
+    dup_path = str(tmp_path / "dups.parquet")
+    pq.write_table(dup, dup_path)
+    run_cli("insert-missing", "--table", table, "--source", dup_path)
+    r = run_cli("dedup-docs", "--table", table, "--threshold", "0.8", "--mode", "dv")
+    assert r["rows_deleted"] == 50 and r["families"] == 50
+    r = run_cli("scan", "--table", table)
+    assert r["rows"] == 2100
