@@ -82,6 +82,13 @@ def main(argv=None) -> int:
         default=0.7,
         help="dedup-docs: MinHash-estimated token-gram Jaccard cutoff",
     )
+    p.add_argument(
+        "--dedup-threshold",
+        type=float,
+        default=None,
+        help="maintain: opt into the growth-gated near-dup sweep at "
+        "this Jaccard cutoff",
+    )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(
         "--rows-per-fragment",
@@ -215,7 +222,8 @@ def main(argv=None) -> int:
         out["version"] = cluster(t, curve=args.curve, job_id=args.job_id)
     elif args.op == "maintain":
         # policy-driven one-call maintenance: compact → recluster on
-        # drift (unless bucketed) → bucket-layout repair → expire
+        # drift (unless bucketed) → bucket-layout repair → growth-gated
+        # near-dup sweep (opt-in) → expire
         from fupi_ray.ops import maintain
 
         t = Table.open(args.table)
@@ -224,6 +232,7 @@ def main(argv=None) -> int:
                 t,
                 keep_last=args.keep_last,
                 older_than_seconds=args.older_than,
+                dedup_threshold=args.dedup_threshold,
                 job_id=args.job_id,
             )
         )

@@ -70,9 +70,44 @@ from fupi_ray.stages.dedup import (
     dedup_pairs,
     resolve_duplicate_families,
 )
+from fupi_ray.state import fs as _fs
 from fupi_ray.table import Table
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _check_path(table_dir: str) -> str:
+    return _fs.join(table_dir, "manifest", "dedupdocs_check.json")
+
+
+def read_dedup_check(table: Table) -> dict | None:
+    """Last completed dedup sweep: ``{checked_version, live_rows,
+    threshold, checked_unix}`` — written on EVERY completion, including
+    no-op sweeps, so ``maintain()`` can gate re-detection on table
+    growth instead of re-scanning a clean corpus each cycle."""
+    import json
+
+    p = _check_path(table.table_dir)
+    if not _fs.exists(p):
+        return None
+    return json.loads(_fs.read_text(p))
+
+
+def _record_check(table: Table, version: int, live_rows: int, threshold: float):
+    import json
+    import time
+
+    _fs.write_text(
+        _check_path(table.table_dir),
+        json.dumps(
+            {
+                "checked_version": version,
+                "live_rows": int(live_rows),
+                "threshold": float(threshold),
+                "checked_unix": time.time(),
+            }
+        ),
+    )
 
 
 def _salts(num_perm: int, seed: int) -> np.ndarray:
@@ -245,7 +280,7 @@ def dedup_documents(
     """
     parent = table.latest_version()
     m = table.manifest(parent)
-    n_rows = sum(f.rows for f in m.fragments)
+    n_rows = sum(f.live_rows for f in m.fragments)
     empty = {
         "version": parent,
         "rows_deleted": 0,
@@ -254,6 +289,7 @@ def dedup_documents(
         "pairs_verified": 0,
     }
     if n_rows < 2:
+        _record_check(table, parent, n_rows, threshold)
         return empty
     if num_buckets is None:
         # the band exchange moves bands rows/doc of (key 8B + id ~24B
@@ -276,10 +312,12 @@ def dedup_documents(
         )
     ).materialize()  # candidate-bounded; lets a clean corpus skip the
     if cand.count() == 0:  # verify joins entirely
+        _record_check(table, parent, n_rows, threshold)
         return empty
     pairs = _verify_pairs(cand, sigs, num_perm, threshold).materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
+        _record_check(table, parent, n_rows, threshold)
         return empty
     fams = resolve_duplicate_families(pairs).materialize()
 
@@ -292,6 +330,7 @@ def dedup_documents(
     n_nodes = fams.count()
     n_fams = n_nodes - n_drop  # one canonical survivor per family
     if n_drop == 0:
+        _record_check(table, parent, n_rows, threshold)
         return dict(
             empty, docs_in_families=n_nodes, families=n_fams, pairs_verified=n_pairs
         )
@@ -303,6 +342,7 @@ def dedup_documents(
         when_matched="delete",
         expected_parent=parent,
     )
+    _record_check(table, version, n_rows - n_drop, threshold)
     return {
         "version": version,
         "rows_deleted": n_drop,

@@ -17,7 +17,12 @@ until an action is chosen):
 3. **rebucket** — only if a bucket layout exists and some live
    fragment lost its tag (e.g. a raw append): the shuffle-free-join
    contract is repaired with the recorded key/bucket-count.
-4. **expire** — drop old snapshots per the retention knobs and GC
+4. **dedup** (opt-in via ``dedup_threshold``) — near-dup document
+   removal, gated on table GROWTH since the last completed sweep
+   (``ops/dedupdocs.py`` records every sweep, no-ops included):
+   repacks and re-sorts keep the row count and never trigger a
+   re-scan.
+5. **expire** — drop old snapshots per the retention knobs and GC
    unreferenced files.
 
 Ordering matters: compact before recluster (fewer, bigger inputs for
@@ -37,6 +42,8 @@ def maintain(
     keep_last: int | None = None,
     older_than_seconds: float | None = None,
     recluster_fraction: float = 0.2,
+    dedup_threshold: float | None = None,
+    dedup_fraction: float = 0.2,
     job_id: str | None = None,
 ) -> dict:
     """Run whatever maintenance the manifest says the table needs;
@@ -114,6 +121,33 @@ def maintain(
             }
         else:
             actions["rebucket"] = {"skipped": True}
+
+    # near-dup removal (opt-in): detection scans the corpus, so it is
+    # gated on GROWTH since the last completed sweep (recorded by the
+    # op itself, including no-op sweeps) — a table that merely got
+    # repacked or re-sorted since keeps its row count and is not
+    # re-scanned. Runs after compact (bigger scan inputs) and before
+    # expiry (its superseded fragments GC in the same call).
+    if dedup_threshold is not None:
+        from fupi_ray.ops.dedupdocs import dedup_documents, read_dedup_check
+
+        chk = read_dedup_check(table)
+        cur_rows = sum(f.live_rows for f in table.manifest().fragments)
+        base = (
+            chk["live_rows"]
+            if chk and chk.get("threshold") == dedup_threshold
+            else 0
+        )
+        grown = max(cur_rows - base, 0) / max(cur_rows, 1)
+        if grown > dedup_fraction:
+            actions["dedup"] = dict(
+                dedup_documents(
+                    table, threshold=dedup_threshold, job_id=f"{job_id}-dedup"
+                ),
+                grown_fraction=round(grown, 3),
+            )
+        else:
+            actions["dedup"] = {"skipped": True, "grown_fraction": round(grown, 3)}
 
     actions["expire"] = expire_snapshots(
         table, keep_last=keep_last, older_than_seconds=older_than_seconds

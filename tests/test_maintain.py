@@ -55,3 +55,57 @@ def test_maintain_repairs_bucket_layout_and_skips_recluster(tmp_path):
     # second call: layout healthy → skip
     out2 = maintain(t, keep_last=10)
     assert out2["rebucket"] == {"skipped": True}
+
+
+def test_maintain_dedup_growth_gate(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    def seqs(ids, payload_seed):
+        toks = [
+            np.random.default_rng(payload_seed(i)).integers(0, 50000, 300).tolist()
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([f"d-{i:05d}" for i in ids], pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+                "n_tok": pa.array([300] * len(ids), pa.int32()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+            }
+        )
+
+    t = Table.create(str(tmp_path / "t"), config=CFG)
+    # 10 unique docs + 4 copies of doc 0's content under other ids
+    t.commit_append(
+        ray.data.from_arrow(seqs(range(10), lambda i: i)), target_fragment_rows=5
+    )
+    t.commit_append(
+        ray.data.from_arrow(seqs(range(100, 104), lambda i: 0)),
+        target_fragment_rows=5,
+    )
+    out = maintain(t, dedup_threshold=0.8)
+    assert out["dedup"]["rows_deleted"] == 4  # d-00000 survives the family
+    assert t.scan().count() == 10
+
+    # healthy table: the sweep is SKIPPED (no growth since the check)
+    out2 = maintain(t, dedup_threshold=0.8)
+    assert out2["dedup"] == {"skipped": True, "grown_fraction": 0.0}
+
+    # repack-only churn must not trigger a re-scan either
+    maintain(t, dedup_threshold=0.8)
+    out3 = maintain(t, dedup_threshold=0.8)
+    assert out3["dedup"]["skipped"] is True
+
+    # >20% growth re-arms the sweep (new rows are unique -> no deletes,
+    # but the sweep RAN and re-recorded)
+    t.commit_append(
+        ray.data.from_arrow(seqs(range(200, 205), lambda i: i)),
+        target_fragment_rows=5,
+    )
+    out4 = maintain(t, dedup_threshold=0.8)
+    assert "rows_deleted" in out4["dedup"] and out4["dedup"]["rows_deleted"] == 0
+    # a different threshold invalidates the recorded check
+    out5 = maintain(t, dedup_threshold=0.5)
+    assert "rows_deleted" in out5["dedup"]
