@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_delete": lake.q_lake_merge_delete,
         "lake_insert_missing": lake.q_lake_insert_missing,
         "lake_dedup_docs": lake.q_lake_dedup_docs,
+        "lake_decontaminate": lake.q_lake_decontaminate,
         "lake_evolve": lake.q_lake_evolve,
         "lake_rename": lake.q_lake_rename,
         "lake_expire": lake.q_lake_expire,
@@ -80,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_jaccard": q.q_char_jaccard,
         "dedup_families": q.q_dedup_families,
         "sample_exact_n": q.q_sample_exact_n,
-        "group_quantiles": q.q_group_quantiles,
         "keyword_search": q.q_keyword_search,
         "distinct_count": q.q_distinct_count,
         "approx_distinct": q.q_approx_distinct,
@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # simhash, ivf_topk, rolling_fp) — nothing oracle-checkable and
         # unchecked is displaced.
         "token_stats": q.q_token_stats,
+        "group_quantiles": q.q_group_quantiles,
         "decontaminate": q.q_decontaminate,
         "gopher_quality": q.q_gopher_quality,
         "fingerprint": q.q_fingerprint,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge_delete": lake.SQL_LAKE_MERGE_DELETE,
         "lake_insert_missing": lake.SQL_LAKE_INSERT_MISSING,
         "lake_dedup_docs": lake.SQL_LAKE_DEDUP_DOCS,
+        "lake_decontaminate": lake.SQL_LAKE_DECONTAMINATE,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,
         "lake_rename": lake.SQL_LAKE_RENAME,
         "lake_expire": lake.SQL_LAKE_EXPIRE,

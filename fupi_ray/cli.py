@@ -50,7 +50,7 @@ def main(argv=None) -> int:
         "op",
         choices=[
             "ingest", "overwrite", "compact", "cluster", "merge",
-            "insert-missing", "dedup-docs", "expire",
+            "insert-missing", "dedup-docs", "decontaminate", "expire",
             "scan", "add-column", "drop-column",
             "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
@@ -81,6 +81,12 @@ def main(argv=None) -> int:
         type=float,
         default=0.7,
         help="dedup-docs: MinHash-estimated token-gram Jaccard cutoff",
+    )
+    p.add_argument(
+        "--width",
+        type=int,
+        default=13,
+        help="decontaminate: eval n-gram window width in tokens",
     )
     p.add_argument(
         "--dedup-threshold",
@@ -321,6 +327,25 @@ def main(argv=None) -> int:
             dedup_documents(
                 t,
                 threshold=args.threshold,
+                mode=args.mode,
+                job_id=args.job_id,
+            )
+        )
+    elif args.op == "decontaminate":
+        # GPT-3-style n-gram decontamination: --source is the EVAL
+        # parquet (tokens list column); contaminated docs MERGE-delete
+        if not args.source:
+            p.error("decontaminate requires --source (eval parquet)")
+        import ray.data
+
+        from fupi_ray.ops import decontaminate_table
+
+        t = Table.open(args.table)
+        out.update(
+            decontaminate_table(
+                t,
+                ray.data.read_parquet(args.source),
+                width=args.width,
                 mode=args.mode,
                 job_id=args.job_id,
             )

@@ -14,6 +14,7 @@ from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.fork import drop_fork, fork_base_version, fork_source, fork_table
 from fupi_ray.ops.maintain import maintain
 from fupi_ray.ops.matview import create_matview, matview_watermark, refresh_matview
+from fupi_ray.ops.decontaminate import decontaminate_table, eval_window_hashes
 from fupi_ray.ops.dedupdocs import dedup_documents
 from fupi_ray.ops.merge import insert_missing, merge_into
 from fupi_ray.ops.mutate import delete_where, rollback, update_where
@@ -58,8 +59,10 @@ __all__ = [
     "rename_column",
     "widen_column",
     "dedup_token_windows",
+    "decontaminate_table",
     "dedup_documents",
     "delete_where",
+    "eval_window_hashes",
     "expire_snapshots",
     "maintain",
     "insert_missing",

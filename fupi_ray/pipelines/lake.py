@@ -1130,3 +1130,60 @@ SELECT {_DOC_SQL} AS doc_id, source,
 FROM documents
 WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY doc_id % 200)
 """
+
+
+def q_lake_decontaminate(sf_dir: str):
+    """Benchmark decontamination as a query
+    (``ops.decontaminate_table``): every ``doc_id % 5 == 0`` document
+    carries a planted 13-token eval motif at position 0; the op must
+    delete exactly those (the motif constants sit outside the PRNG
+    vocabulary, so a false hit would need a 64-bit hash collision).
+    Oracle: the untouched 4/5 of the table, closed-form n_tok."""
+    from fupi_ray.ops import decontaminate_table
+
+    MOTIF = list(range(70_001, 70_014))
+    t = Table.create(_tmp_table(sf_dir, "decon"), config=LAKE_CFG)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = (16 + batch["n_chars"].to_numpy(zero_copy_only=False) % 50).astype(
+            np.int32
+        )
+        vals, offsets = gen_tokens_flat(ids, n, seed=42, salt=106)
+        planted = np.nonzero(ids % 5 == 0)[0]
+        if len(planted):
+            pos = offsets[planted][:, None] + np.arange(13, dtype=np.int64)[None, :]
+            vals[pos.reshape(-1)] = np.tile(
+                np.array(MOTIF, dtype=vals.dtype), len(planted)
+            )
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(vals, pa.int32())
+        )
+        return pa.table(
+            {
+                "doc_id": _doc_id_str(ids),
+                "tokens": tokens.cast(pa.list_(pa.int32())),
+                "n_tok": pa.array(n, pa.int32()),
+                "source": batch["source"],
+            }
+        )
+
+    t.commit_append(docs.map_batches(mk, batch_format="pyarrow"),
+                    target_fragment_rows=100)
+    eval_ds = ray.data.from_arrow(
+        pa.table({"tokens": pa.array([MOTIF], pa.list_(pa.int32()))})
+    )
+    res = decontaminate_table(t, eval_ds, width=13)
+    assert res["rows_deleted"] > 0 and res["version"] == t.latest_version()
+    return canonical_scan(t)
+
+
+SQL_LAKE_DECONTAMINATE = f"""
+SELECT {_DOC_SQL} AS doc_id, source,
+       CAST(16 + n_chars % 50 AS BIGINT) AS n_tok
+FROM documents WHERE doc_id % 5 <> 0
+"""
