@@ -123,3 +123,36 @@ def test_insert_missing_shuffle_strategy_equivalent(tmp_table_dir):
     assert res["rows_inserted"] == 2 and res["rows_skipped"] == 4
     got = sorted(r["doc_id"] for r in t.scan().take_all())
     assert got == sorted(ids + ["w-1", "w-2"])
+
+
+def test_insert_missing_concurrent_no_double_insert(tmp_table_dir):
+    # two racers replay the SAME feed concurrently: the snapshot pin
+    # guarantees at most one lands; the loser fails loudly (never
+    # silently double-inserts). A retry of the loser is then a no-op.
+    import threading
+
+    t, ids = _build(tmp_table_dir, n=20)
+    feed = _seq_table(ids[:5] + ["r-1", "r-2", "r-3"], salt=21)
+    results, errors = [], []
+
+    def racer():
+        try:
+            results.append(insert_missing(Table(tmp_table_dir), ray.data.from_arrow(feed)))
+        except Exception as e:  # noqa: BLE001 - assert on it below
+            errors.append(e)
+
+    th = [threading.Thread(target=racer) for _ in range(2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    inserted = sum(r["rows_inserted"] for r in results)
+    # exactly one racer inserted the 3 new rows; the other either lost
+    # the commit race (error) or ran after and skipped everything
+    assert inserted == 3, (results, errors)
+    got = [r["doc_id"] for r in t.scan().take_all()]
+    assert sorted(got).count("r-1") == 1
+    assert len(got) == 23
+    # loser retry: clean no-op
+    r = insert_missing(t, ray.data.from_arrow(feed))
+    assert r["rows_inserted"] == 0 and r["rows_skipped"] == 8
