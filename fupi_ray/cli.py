@@ -56,7 +56,7 @@ def main(argv=None) -> int:
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
             "fork", "drop-fork", "bucket", "constrain", "unconstrain",
-            "inspect", "maintain",
+            "inspect", "maintain", "fsck",
         ],
     )
     p.add_argument("--table", required=True)
@@ -81,6 +81,11 @@ def main(argv=None) -> int:
         type=float,
         default=0.7,
         help="dedup-docs: MinHash-estimated token-gram Jaccard cutoff",
+    )
+    p.add_argument(
+        "--deep",
+        action="store_true",
+        help="fsck: also verify Parquet footers against the manifest",
     )
     p.add_argument(
         "--width",
@@ -331,6 +336,13 @@ def main(argv=None) -> int:
                 job_id=args.job_id,
             )
         )
+    elif args.op == "fsck":
+        # consistency audit: metadata tier by default, --deep adds one
+        # Parquet footer read per fragment (capped fan-out)
+        from fupi_ray.ops import check_table
+
+        t = Table.open(args.table)
+        out.update(check_table(t, deep=args.deep))
     elif args.op == "decontaminate":
         # GPT-3-style n-gram decontamination: --source is the EVAL
         # parquet (tokens list column); contaminated docs MERGE-delete

@@ -12,6 +12,7 @@ from fupi_ray.ops.evolve import add_column, drop_column, rename_column, widen_co
 from fupi_ray.ops.export import export_training_shards, read_export_manifest
 from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.fork import drop_fork, fork_base_version, fork_source, fork_table
+from fupi_ray.ops.fsck import check_table
 from fupi_ray.ops.maintain import maintain
 from fupi_ray.ops.matview import create_matview, matview_watermark, refresh_matview
 from fupi_ray.ops.decontaminate import decontaminate_table, eval_window_hashes
@@ -59,6 +60,7 @@ __all__ = [
     "rename_column",
     "widen_column",
     "dedup_token_windows",
+    "check_table",
     "decontaminate_table",
     "dedup_documents",
     "delete_where",
