@@ -93,8 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver's 50-entry window (verified against the r1-r3
         # correctness keys). The ops below spill past the cap: all are
         # either driver-green in an earlier round (token_stats,
-        # decontaminate, gopher_quality, fingerprint, sample_stratified
-        # and every relational query at the tail) or rows-only by
+        # group_quantiles, decontaminate, gopher_quality, fingerprint,
+        # sample_stratified — all hash-green in CORRECTNESS_r03 — and
+        # every relational query at the tail) or rows-only by
         # design with no SQL twin to lose (embed_search, minhash,
         # simhash, ivf_topk, rolling_fp) — nothing oracle-checkable and
         # unchecked is displaced.

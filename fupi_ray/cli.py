@@ -143,10 +143,13 @@ def main(argv=None) -> int:
     p.add_argument("--output", help="changelog: write result parquet here")
     p.add_argument(
         "--mode",
-        default="cow",
+        default=None,
         choices=["cow", "dv"],
-        help="delete/update/merge: cow rewrites hit fragments; dv records "
-        "a deletion-vector sidecar (merge-on-read, O(changed rows) write)",
+        help="delete/update/merge/dedup-docs/decontaminate: cow rewrites "
+        "hit fragments; dv records a deletion-vector sidecar "
+        "(merge-on-read, O(changed rows) write). Defaults match the "
+        "op's API: cow for delete/update/merge, dv for "
+        "dedup-docs/decontaminate",
     )
     p.add_argument("--view", help="matview/refresh-view: view table dir")
     p.add_argument("--fork-dir", help="fork/drop-fork: the fork's table dir")
@@ -199,6 +202,9 @@ def main(argv=None) -> int:
 
     t0 = time.perf_counter()
     out: dict = {"op": args.op, "table": args.table}
+    # per-op --mode default: the CLI must match each op's API default
+    if args.mode is None:
+        args.mode = "dv" if args.op in ("dedup-docs", "decontaminate") else "cow"
     if args.op == "ingest":
         from fupi_ray.fixtures import sequences_dataset
 
@@ -594,6 +600,10 @@ def main(argv=None) -> int:
     out["seconds"] = round(time.perf_counter() - t0, 3)
     print(json.dumps(out, default=str))
     ray.shutdown()
+    # fsck is a canary: corruption findings must fail the job so a
+    # scheduler keyed on exit status can alert
+    if args.op == "fsck" and not out.get("ok", True):
+        return 1
     return 0
 
 

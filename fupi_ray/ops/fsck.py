@@ -76,8 +76,12 @@ def _footer_check_task(table_dir: str, frag: dict) -> list[dict]:
             continue  # no stats → nothing to verify against
         try:
             too_narrow = lo < zm["min"] or hi > zm["max"]
-        except TypeError:
-            continue  # incomparable types (e.g. truncated binary stats)
+        except (KeyError, TypeError):
+            # malformed entries are the metadata tier's finding
+            # (zone-map-malformed); incomparable types (e.g. truncated
+            # binary stats) are unverifiable — either way, never raise
+            # out of the audit task
+            continue
         if too_narrow:
             out.append(
                 {
@@ -115,6 +119,7 @@ def check_table(
 
     m = table.manifest(version)
     seen_paths: set[str] = set()
+    present: set[str] = set()  # stat'ed once here; the deep tier reuses it
     for f in m.fragments:
         if f.path in seen_paths:
             add("duplicate-fragment", f.path, "listed twice in one manifest")
@@ -123,6 +128,7 @@ def check_table(
         if not _fs.exists(abs_path):
             add("missing-fragment", f.path, "file not found on storage")
             continue
+        present.add(f.path)
         if f.rows < 0 or f.dv_rows < 0 or f.live_rows < 0:
             add(
                 "row-accounting",
@@ -196,7 +202,7 @@ def check_table(
         live = [
             {"path": f.path, "rows": f.rows, "zone_map": f.zone_map}
             for f in m.fragments
-            if _fs.exists(_fs.join(table.table_dir, f.path))
+            if f.path in present  # already stat'ed by the metadata tier
         ]
         results = _fanout.run_capped(
             _footer_check_task,
