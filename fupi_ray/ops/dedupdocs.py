@@ -110,6 +110,67 @@ def _record_check(table: Table, version: int, live_rows: int, threshold: float):
     )
 
 
+SIG_SUFFIX = ".sigs"
+
+
+def sig_sidecar_path(parquet_abs_path: str) -> str:
+    return parquet_abs_path + SIG_SUFFIX
+
+
+@ray.remote(num_cpus=1)
+def _fragment_sig_task(
+    table_dir: str,
+    rel_path: str,
+    dv_rel: str | None,
+    recon: dict,
+    num_perm: int,
+    gram: int,
+    seed: int,
+) -> pa.Table:
+    """(id, sig) rows for one fragment, DV-masked. Reuses the
+    fragment's signature SIDECAR (``<fragment>.parquet.sigs``) when its
+    parameters match; otherwise computes from the token bytes and
+    persists the sidecar over the PHYSICAL row order — a later
+    deletion vector masks the cached rows by position, exactly like
+    the fragment itself. Fragments are content-addressed, so a sidecar
+    can never describe stale content; it dies with its fragment
+    (``ops/expire.py`` GC, same rule as bloom sidecars)."""
+    from fupi_ray.ops.dv import apply_dv, masked_fragment_table, read_dv
+
+    abs_path = _fs.join(table_dir, rel_path)
+    side = sig_sidecar_path(abs_path)
+    want = {"num_perm": str(num_perm), "gram": str(gram), "seed": str(seed)}
+    tbl = None
+    try:
+        if _fs.exists(side):
+            cached = _fs.read_parquet_table(side)
+            meta = {
+                k.decode(): v.decode()
+                for k, v in (cached.schema.metadata or {}).items()
+            }
+            if all(meta.get(k) == v for k, v in want.items()):
+                tbl = cached.select(["id", "sig"])
+    except (OSError, ValueError, KeyError):
+        tbl = None  # unreadable/foreign sidecar → recompute
+    if tbl is None:
+        rmap = (recon or {}).get("rmap") or {}
+        inv = {d: p for p, d in rmap.items()}
+        phys_id = inv.get("doc_id", "doc_id")
+        phys_tok = inv.get("tokens", "tokens")
+        phys = masked_fragment_table(
+            table_dir, rel_path, None, columns=[phys_id, phys_tok]
+        )
+        sigs = token_signatures(phys[phys_tok], _salts(num_perm, seed), gram)
+        tbl = pa.table({"id": phys[phys_id], "sig": _sig_binary(sigs)})
+        try:
+            _fs.write_parquet(tbl.replace_schema_metadata(want), side)
+        except OSError:
+            pass  # a failed cache write must never fail the detection
+    if dv_rel:
+        tbl = apply_dv(tbl, read_dv(table_dir, dv_rel))
+    return tbl
+
+
 def _salts(num_perm: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
@@ -263,6 +324,7 @@ def dedup_documents(
     max_group: int = 64,
     num_buckets: int | None = None,
     mode: str = "dv",
+    incremental: bool = False,
     job_id: str | None = None,
 ) -> dict:
     """Remove near-duplicate documents from ``table`` (keep the min
@@ -277,6 +339,15 @@ def dedup_documents(
     the version current at entry and the delete is PINNED to it — a
     concurrent commit fails the op (``CommitError``) rather than
     deleting rows the detection never saw; re-run to retry.
+
+    ``incremental=True`` reads/writes per-fragment signature SIDECARS
+    (bit-identical results): the first sweep computes and persists
+    every fragment's signatures; later sweeps touch token bytes ONLY
+    for fragments that appeared since (fragments are content-addressed
+    and immutable, so a cached sidecar is always current). A repeated
+    sweep over a grown table costs O(new fragments) token reads +
+    O(all docs) signature bytes — the shape a periodic
+    ``maintain()``-driven sweep needs at 100 TB.
     """
     parent = table.latest_version()
     m = table.manifest(parent)
@@ -298,11 +369,29 @@ def dedup_documents(
         exch_bytes = n_rows * bands * 48
         num_buckets = int(max(64, -(-exch_bytes // (256 * 1024 * 1024))))
 
-    sigs = signature_dataset(
-        table.scan(parent, columns=["doc_id", "tokens"]),
-        num_perm=num_perm,
-        gram=gram,
-    ).materialize()  # P*8 bytes/doc — the working set from here on
+    if incremental:
+        from fupi_ray.manifest import frag_recon
+
+        refs = [
+            _fragment_sig_task.remote(
+                table.table_dir,
+                f.path,
+                f.dv_path,
+                frag_recon(f, m.column_ids),
+                num_perm,
+                gram,
+                42,
+            )
+            for f in m.fragments
+            if f.rows
+        ]
+        sigs = ray.data.from_arrow_refs(refs).materialize()
+    else:
+        sigs = signature_dataset(
+            table.scan(parent, columns=["doc_id", "tokens"]),
+            num_perm=num_perm,
+            gram=gram,
+        ).materialize()  # P*8 bytes/doc — the working set from here on
     cand = dedup_pairs(
         _grouped_pairs(
             band_rows(sigs, num_perm, bands),

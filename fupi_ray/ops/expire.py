@@ -177,6 +177,11 @@ def expire_snapshots(
             # exactly while data/<stem>.parquet is live
             if rel[: -len(".bloom")] in live_paths:
                 continue
+        elif name.endswith(".sigs"):
+            # signature sidecar (ops/dedupdocs.py incremental sweeps):
+            # same fragment-liveness rule as blooms
+            if rel[: -len(".sigs")] in live_paths:
+                continue
         elif ".dv-" in name and name.endswith(".bin"):
             # deletion-vector sidecar: referenced-by-manifest liveness
             if rel in live_dvs:

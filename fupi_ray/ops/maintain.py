@@ -140,9 +140,14 @@ def maintain(
         )
         grown = max(cur_rows - base, 0) / max(cur_rows, 1)
         if grown > dedup_fraction:
+            # incremental: repeated policy sweeps read token bytes only
+            # for fragments that appeared since the last sweep
             actions["dedup"] = dict(
                 dedup_documents(
-                    table, threshold=dedup_threshold, job_id=f"{job_id}-dedup"
+                    table,
+                    threshold=dedup_threshold,
+                    incremental=True,
+                    job_id=f"{job_id}-dedup",
                 ),
                 grown_fraction=round(grown, 3),
             )

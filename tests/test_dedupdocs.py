@@ -130,3 +130,92 @@ def test_short_docs_do_not_crash(tmp_table_dir):
     survivors = {r["doc_id"] for r in t.scan().take_all()}
     assert "s-0" in survivors and "s-1" not in survivors
     assert "s-3" in survivors
+
+
+def test_incremental_matches_full_and_reuses_sidecars(tmp_table_dir):
+    import glob
+    import os
+
+    base = _rng_tokens(10, 400)
+    rows = [(f"d-{i:03d}", base) for i in range(4)]
+    rows += [(f"u-{i:03d}", _rng_tokens(500 + i, 400)) for i in range(6)]
+    t1 = _build(str(tmp_table_dir) + "-inc", rows)
+    t2 = _build(str(tmp_table_dir) + "-full", rows)
+    r1 = dedup_documents(t1, incremental=True)
+    r2 = dedup_documents(t2)
+    assert r1["rows_deleted"] == r2["rows_deleted"] == 3
+    assert sorted(r["doc_id"] for r in t1.scan().take_all()) == sorted(
+        r["doc_id"] for r in t2.scan().take_all()
+    )
+    # sidecars persisted beside every live fragment
+    sides = glob.glob(os.path.join(t1.table_dir, "data", "*.parquet.sigs"))
+    live = [f.path for f in t1.manifest().fragments]
+    assert len(sides) >= len(live) - 1  # dv-mode delete adds no fragments
+
+    # append NEW unique rows: the re-sweep must not touch old sidecars
+    extra = [(f"x-{i:03d}", _rng_tokens(900 + i, 400)) for i in range(3)]
+    mtimes = {s: os.path.getmtime(s) for s in sides}
+    t1.commit_append(ray.data.from_arrow(_table_of(extra)), target_fragment_rows=2)
+    r3 = dedup_documents(t1, incremental=True)
+    assert r3["rows_deleted"] == 0
+    for s, mt in mtimes.items():
+        assert os.path.getmtime(s) == mt, f"old sidecar rewritten: {s}"
+    new_sides = glob.glob(os.path.join(t1.table_dir, "data", "*.parquet.sigs"))
+    assert len(new_sides) > len(sides)  # new fragments got sidecars
+
+
+def test_incremental_respects_deletion_vectors(tmp_table_dir):
+    from fupi_ray.ops import delete_where
+
+    base = _rng_tokens(11, 400)
+    rows = [(f"d-{i}", base) for i in range(3)] + [("u-0", _rng_tokens(600, 400))]
+    t = _build(tmp_table_dir, rows, frag_rows=2)
+    r1 = dedup_documents(t, incremental=True)
+    assert r1["rows_deleted"] == 2  # d-1, d-2 dropped; d-0 canonical
+    # now DV-delete the canonical survivor and re-offer the family:
+    # cached sidecars must be masked so the vanished rep never anchors
+    delete_where(t, [("doc_id", "==", "d-0")], mode="dv")
+    t.commit_append(
+        ray.data.from_arrow(_table_of([("z-8", base), ("z-9", base)])),
+        target_fragment_rows=2,
+    )
+    r2 = dedup_documents(t, incremental=True)
+    assert r2["rows_deleted"] == 1  # z-9 drops, z-8 is the new min LIVE member
+    got = sorted(r["doc_id"] for r in t.scan().take_all())
+    assert got == ["u-0", "z-8"]
+
+
+def test_incremental_param_mismatch_recomputes(tmp_table_dir):
+    rows = [("a", _rng_tokens(1, 300)), ("b", _rng_tokens(1, 300))]
+    t = _build(tmp_table_dir, rows)
+    r1 = dedup_documents(t, incremental=True, num_perm=32, bands=8)
+    assert r1["rows_deleted"] == 1
+    # different parameters invalidate the cached sidecars (metadata
+    # mismatch) — the sweep recomputes instead of trusting stale sigs
+    r2 = dedup_documents(t, incremental=True, num_perm=64, bands=16)
+    assert r2["rows_deleted"] == 0  # nothing left to dedup; no crash
+
+
+def test_sig_sidecars_follow_fragment_gc(tmp_table_dir):
+    import glob
+    import os
+
+    from fupi_ray.ops import compact, expire_snapshots
+
+    rows = [(f"u-{i:02d}", _rng_tokens(700 + i, 300)) for i in range(8)]
+    t = _build(tmp_table_dir, rows, frag_rows=2)
+    dedup_documents(t, incremental=True)
+    before = set(glob.glob(os.path.join(t.table_dir, "data", "*.sigs")))
+    assert before
+    # compaction supersedes the small fragments; expiry (grace 0) must
+    # GC the dead fragments AND their sig sidecars, keep live ones
+    compact(t)
+    dedup_documents(t, incremental=True)  # sidecars for the new layout
+    expire_snapshots(t, keep_last=1, gc_grace_seconds=0.0)
+    after = set(glob.glob(os.path.join(t.table_dir, "data", "*.sigs")))
+    live = {
+        os.path.join(t.table_dir, f.path + ".sigs")
+        for f in t.manifest().fragments
+    }
+    assert after == live, (after, live)
+    assert not (before & after)  # every pre-compaction sidecar is gone
