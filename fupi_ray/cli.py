@@ -88,6 +88,12 @@ def main(argv=None) -> int:
         help="fsck: also verify Parquet footers against the manifest",
     )
     p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="dedup-docs: reuse per-fragment signature sidecars (token "
+        "bytes read only for fragments new since the last sweep)",
+    )
+    p.add_argument(
         "--width",
         type=int,
         default=13,
@@ -339,6 +345,7 @@ def main(argv=None) -> int:
                 t,
                 threshold=args.threshold,
                 mode=args.mode,
+                incremental=args.incremental,
                 job_id=args.job_id,
             )
         )
