@@ -93,10 +93,32 @@ def read_dedup_check(table: Table) -> dict | None:
     return json.loads(_fs.read_text(p))
 
 
+_CHECK_PATHS_CAP = 200_000
+
+
 def _record_check(table: Table, version: int, live_rows: int, threshold: float):
     import json
     import time
 
+    # the live path-hash SET at check time lets maintain() gate on
+    # "rows in fragments that postdate the sweep" — the only measure
+    # that survives a shrink-then-grow window (a net row count would
+    # mask duplicate-heavy appends behind an earlier delete's deficit).
+    # Capped: past ~200k fragments the record falls back to the count
+    # gate rather than growing a multi-MB sidecar.
+    path_hashes = None
+    try:
+        paths = [f.path for f in table.manifest(version).fragments]
+        if len(paths) <= _CHECK_PATHS_CAP:
+            from fupi_ray.functions.hashing import stable_hash
+
+            path_hashes = (
+                sorted(int(h) for h in stable_hash(np.array(paths, dtype=object)))
+                if paths
+                else []
+            )
+    except FileNotFoundError:
+        pass  # expired concurrently: count-gate fallback
     _fs.write_text(
         _check_path(table.table_dir),
         json.dumps(
@@ -105,6 +127,7 @@ def _record_check(table: Table, version: int, live_rows: int, threshold: float):
                 "live_rows": int(live_rows),
                 "threshold": float(threshold),
                 "checked_unix": time.time(),
+                "path_hashes": path_hashes,
             }
         ),
     )
@@ -126,6 +149,7 @@ def _fragment_sig_task(
     num_perm: int,
     gram: int,
     seed: int,
+    id_type_str: str = "string",
 ) -> pa.Table:
     """(id, sig) rows for one fragment, DV-masked. Reuses the
     fragment's signature SIDECAR (``<fragment>.parquet.sigs``) when its
@@ -168,6 +192,17 @@ def _fragment_sig_task(
             pass  # a failed cache write must never fail the detection
     if dv_rel:
         tbl = apply_dv(tbl, read_dv(table_dir, dv_rel))
+    # emit the DECLARED key type: a pre-widening fragment physically
+    # stores the narrow type, and mixed-type blocks would corrupt the
+    # band exchange and the MERGE-delete source (the full-scan path
+    # casts per batch; the incremental path must match it exactly)
+    from fupi_ray import manifest as _mf
+
+    want_t = _mf.type_from_str(id_type_str)
+    if tbl.schema.field("id").type != want_t:
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("id"), "id", pc.cast(tbl["id"], want_t)
+        )
     return tbl
 
 
@@ -372,6 +407,7 @@ def dedup_documents(
     if incremental:
         from fupi_ray.manifest import frag_recon
 
+        id_type_str = str(table.schema(parent).field("doc_id").type)
         refs = [
             _fragment_sig_task.remote(
                 table.table_dir,
@@ -381,6 +417,7 @@ def dedup_documents(
                 num_perm,
                 gram,
                 42,
+                id_type_str,
             )
             for f in m.fragments
             if f.rows

@@ -39,6 +39,47 @@ from fupi_ray.table import Table
 
 
 @ray.remote(num_cpus=1)
+def _dv_check_task(
+    table_dir: str, frag_path: str, dv_rel: str, rows: int, dv_rows: int
+) -> list[dict]:
+    """One deletion-vector sidecar's audit: readable, count matches the
+    manifest, positions in range and strictly increasing. Corruption is
+    a finding, never a raise."""
+    from fupi_ray.ops.dv import read_dv
+
+    out: list[dict] = []
+    try:
+        pos = read_dv(table_dir, dv_rel)
+    except Exception as e:
+        return [{"code": "dv-unreadable", "path": dv_rel, "detail": str(e)}]
+    if len(pos) != dv_rows:
+        out.append(
+            {
+                "code": "dv-count-mismatch",
+                "path": dv_rel,
+                "detail": f"manifest dv_rows={dv_rows} sidecar={len(pos)}",
+            }
+        )
+    if len(pos) and (int(pos[-1]) >= rows or int(pos[0]) < 0):
+        out.append(
+            {
+                "code": "dv-position-out-of-range",
+                "path": dv_rel,
+                "detail": f"positions [{pos[0]},{pos[-1]}] vs rows={rows}",
+            }
+        )
+    if len(pos) > 1 and bool(np.any(np.diff(pos) <= 0)):
+        out.append(
+            {
+                "code": "dv-not-sorted-unique",
+                "path": dv_rel,
+                "detail": "positions must be strictly increasing",
+            }
+        )
+    return out
+
+
+@ray.remote(num_cpus=1)
 def _footer_check_task(table_dir: str, frag: dict) -> list[dict]:
     """One fragment's deep check: footer row count vs manifest, footer
     column stats inside the manifest zone map. Footer-only — no row
@@ -117,9 +158,28 @@ def check_table(
         except Exception as e:
             add("manifest-unreadable", f"manifest v{v}", str(e))
 
-    m = table.manifest(version)
+    # the audited manifest itself may be the corrupt artifact — a crash
+    # here would discard the findings already collected, violating the
+    # "findings are returned, not raised" contract on exactly the input
+    # fsck exists for
+    try:
+        m = table.manifest(version)
+    except Exception as e:
+        add(
+            "audited-manifest-unreadable",
+            f"manifest v{version if version is not None else 'latest'}",
+            str(e),
+        )
+        return {
+            "ok": False,
+            "findings": findings,
+            "fragments_checked": 0,
+            "versions_checked": len(versions),
+            "deep": deep,
+        }
     seen_paths: set[str] = set()
     present: set[str] = set()  # stat'ed once here; the deep tier reuses it
+    dv_work: list[tuple] = []  # validated by capped fan-out, not the driver
     for f in m.fragments:
         if f.path in seen_paths:
             add("duplicate-fragment", f.path, "listed twice in one manifest")
@@ -150,23 +210,18 @@ def check_table(
             if not _fs.exists(dv_abs):
                 add("missing-dv", f.dv_path, f"for fragment {f.path}")
             else:
-                from fupi_ray.ops.dv import read_dv
+                dv_work.append((f.path, f.dv_path, f.rows, f.dv_rows))
 
-                pos = read_dv(table.table_dir, f.dv_path)
-                if len(pos) != f.dv_rows:
-                    add(
-                        "dv-count-mismatch",
-                        f.dv_path,
-                        f"manifest dv_rows={f.dv_rows} sidecar={len(pos)}",
-                    )
-                if len(pos) and (int(pos[-1]) >= f.rows or int(pos[0]) < 0):
-                    add(
-                        "dv-position-out-of-range",
-                        f.dv_path,
-                        f"positions [{pos[0]},{pos[-1]}] vs rows={f.rows}",
-                    )
-                if len(pos) > 1 and bool(np.any(np.diff(pos) <= 0)):
-                    add("dv-not-sorted-unique", f.dv_path, "positions must be strictly increasing")
+    # -- DV sidecar contents, validated inside capped tasks: a 100 TB
+    # table can carry thousands of DVs and the driver must not read
+    # them serially; corrupt sidecars are findings, never raises ------
+    if dv_work:
+        for r in _fanout.run_capped(
+            _dv_check_task,
+            [(table.table_dir,) + w for w in dv_work],
+            _fanout.copy_concurrency_cap(table.config.memcpy_max_concurrency),
+        ):
+            findings.extend(r)
 
     # -- staged (WAP) fragments must exist until published/aborted -----
     from fupi_ray.ops.stage import list_stages
@@ -179,7 +234,9 @@ def check_table(
 
     # -- bucket layout contract (shuffle-free joins depend on it) ------
     lay = read_layout(table)
-    if lay is not None:
+    # a declared layout over ZERO live fragments is vacuously intact (a
+    # COW delete can empty a bucketed table without breaking anything)
+    if lay is not None and m.fragments:
         live_lay = fragment_layout(m)
         if live_lay is None:
             untagged = [f.path for f in m.fragments if f.bucket is None]

@@ -131,14 +131,46 @@ def maintain(
     if dedup_threshold is not None:
         from fupi_ray.ops.dedupdocs import dedup_documents, read_dedup_check
 
+        import numpy as np
+
+        from fupi_ray.functions.hashing import stable_hash
+
         chk = read_dedup_check(table)
-        cur_rows = sum(f.live_rows for f in table.manifest().fragments)
-        base = (
-            chk["live_rows"]
-            if chk and chk.get("threshold") == dedup_threshold
-            else 0
-        )
-        grown = max(cur_rows - base, 0) / max(cur_rows, 1)
+        m_now = table.manifest()
+        cur_rows = sum(f.live_rows for f in m_now.fragments)
+        valid = bool(chk) and chk.get("threshold") == dedup_threshold
+        path_hashes = chk.get("path_hashes") if valid else None
+        if path_hashes is not None:
+            # precise gate: rows living in fragments that POSTDATE the
+            # last sweep. Survives shrink-then-grow windows a net row
+            # count would mask (deletes can't introduce duplicates, so
+            # vanished fragments simply drop out of the sum). The one
+            # over-trigger: a content-preserving repack (compaction,
+            # recluster) renames every path, so the cycle after one
+            # re-sweeps once — conservative and cheap (incremental
+            # sidecars recompute only the rewritten fragments; a clean
+            # corpus commits nothing) — then re-records and settles.
+            old = np.array(path_hashes, dtype=np.uint64)
+            new_rows = 0
+            if m_now.fragments:
+                h = stable_hash(
+                    np.array([f.path for f in m_now.fragments], dtype=object)
+                )
+                is_old = np.isin(h, old)
+                new_rows = int(
+                    sum(
+                        f.live_rows
+                        for f, o in zip(m_now.fragments, is_old)
+                        if not o
+                    )
+                )
+            grown = new_rows / max(cur_rows, 1)
+        else:
+            # fallback (no recorded path set): net count with shrink
+            # re-base — coarser, can under-trigger inside one
+            # shrink+grow window, never over a second cycle
+            base = chk["live_rows"] if valid else 0
+            grown = max(cur_rows - min(base, cur_rows), 0) / max(cur_rows, 1)
         if grown > dedup_fraction:
             # incremental: repeated policy sweeps read token bytes only
             # for fragments that appeared since the last sweep

@@ -112,3 +112,35 @@ def test_bucket_contract_broken_after_raw_append(tmp_path):
     t.commit_append(sequences_dataset(50, start=10_000))
     rep = check_table(t)
     assert "bucket-contract-broken" in _codes(rep)
+
+
+def test_corrupt_manifest_and_dv_are_findings_not_raises(tmp_path):
+    import glob
+
+    t = _build(tmp_path / "t")
+    delete_where(t, [("doc_id", "==", "doc-000000000007")], mode="dv")
+    # garbage DV sidecar: must be a dv-unreadable finding
+    victim = next(f for f in t.manifest().fragments if f.dv_path)
+    with open(os.path.join(t.table_dir, victim.dv_path), "wb") as fh:
+        fh.write(b"not a deletion vector")
+    rep = check_table(t)
+    assert "dv-unreadable" in _codes(rep)
+    # garble the audited manifest itself: findings returned, no raise
+    mp = max(glob.glob(os.path.join(t.table_dir, "manifest", "*.json")))
+    with open(mp, "w") as fh:
+        fh.write("{truncated")
+    rep2 = check_table(t)
+    assert not rep2["ok"]
+    assert any(
+        f["code"] in ("audited-manifest-unreadable", "manifest-unreadable")
+        for f in rep2["findings"]
+    )
+
+
+def test_empty_bucketed_table_is_healthy(tmp_path):
+    t = _build(tmp_path / "t", n=100)
+    bucket_table(t, key="doc_id", num_buckets=4)
+    delete_where(t, [("n_tok", ">", -1)])  # COW-delete every row
+    assert t.scan().count() == 0
+    rep = check_table(t)
+    assert rep["ok"], rep["findings"]

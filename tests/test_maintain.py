@@ -89,14 +89,14 @@ def test_maintain_dedup_growth_gate(tmp_path):
     assert out["dedup"]["rows_deleted"] == 4  # d-00000 survives the family
     assert t.scan().count() == 10
 
-    # healthy table: the sweep is SKIPPED (no growth since the check)
+    # the next cycle's compaction materializes the sweep's DVs (every
+    # path changes), so the path-based gate conservatively re-sweeps
+    # ONCE (finds nothing, re-records) — after that, a healthy table
+    # settles to skipped with zero growth
     out2 = maintain(t, dedup_threshold=0.8)
-    assert out2["dedup"] == {"skipped": True, "grown_fraction": 0.0}
-
-    # repack-only churn must not trigger a re-scan either
-    maintain(t, dedup_threshold=0.8)
+    assert out2["dedup"].get("rows_deleted", 0) == 0
     out3 = maintain(t, dedup_threshold=0.8)
-    assert out3["dedup"]["skipped"] is True
+    assert out3["dedup"] == {"skipped": True, "grown_fraction": 0.0}
 
     # >20% growth re-arms the sweep (new rows are unique -> no deletes,
     # but the sweep RAN and re-recorded)
@@ -109,3 +109,37 @@ def test_maintain_dedup_growth_gate(tmp_path):
     # a different threshold invalidates the recorded check
     out5 = maintain(t, dedup_threshold=0.5)
     assert "rows_deleted" in out5["dedup"]
+
+
+def test_maintain_dedup_rebases_after_shrink(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from fupi_ray.ops import delete_where
+
+    def seqs(ids, payload_seed):
+        toks = [
+            np.random.default_rng(payload_seed(i)).integers(0, 50000, 300).tolist()
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array([f"d-{i:05d}" for i in ids], pa.string()),
+                "tokens": pa.array(toks, pa.list_(pa.int32())),
+                "n_tok": pa.array([300] * len(ids), pa.int32()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+            }
+        )
+
+    t = Table.create(str(tmp_path / "t"), config=CFG)
+    t.commit_append(ray.data.from_arrow(seqs(range(100), lambda i: i)))
+    maintain(t, dedup_threshold=0.8)  # records base=100
+
+    # shrink well below the base, then append duplicate-heavy rows that
+    # are SMALLER than the deficit — the stale base must not mask them
+    delete_where(t, [("doc_id", "<", "d-00060")])  # 40 rows remain
+    dup = seqs(range(200, 230), lambda i: 70)  # 30 copies of doc 70's content
+    t.commit_append(ray.data.from_arrow(dup))
+    out = maintain(t, dedup_threshold=0.8)
+    assert out["dedup"].get("rows_deleted") == 30  # d-00070 survives
