@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_dv": lake.q_lake_merge_dv,
         "lake_merge_delete": lake.q_lake_merge_delete,
         "lake_insert_missing": lake.q_lake_insert_missing,
+        "lake_ingest": lake.q_lake_ingest,
         "lake_dedup_docs": lake.q_lake_dedup_docs,
         "lake_decontaminate": lake.q_lake_decontaminate,
         "lake_evolve": lake.q_lake_evolve,
@@ -80,7 +81,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": q.q_embedding_neardup,
         "char_jaccard": q.q_char_jaccard,
         "dedup_families": q.q_dedup_families,
-        "sample_exact_n": q.q_sample_exact_n,
         "keyword_search": q.q_keyword_search,
         "distinct_count": q.q_distinct_count,
         "approx_distinct": q.q_approx_distinct,
@@ -94,11 +94,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correctness keys). The ops below spill past the cap: all are
         # either driver-green in an earlier round (token_stats,
         # group_quantiles, decontaminate, gopher_quality, fingerprint,
-        # sample_stratified — all hash-green in CORRECTNESS_r03 — and
-        # every relational query at the tail) or rows-only by
-        # design with no SQL twin to lose (embed_search, minhash,
-        # simhash, ivf_topk, rolling_fp) — nothing oracle-checkable and
-        # unchecked is displaced.
+        # sample_stratified, sample_exact_n — all hash-green in
+        # CORRECTNESS_r03 — and every relational query at the tail) or
+        # rows-only by design with no SQL twin to lose (embed_search,
+        # minhash, simhash, ivf_topk, rolling_fp) — nothing
+        # oracle-checkable and unchecked is displaced. lake_ingest
+        # (new in r4) displaced the r3-green sample_exact_n.
+        "sample_exact_n": q.q_sample_exact_n,
         "token_stats": q.q_token_stats,
         "group_quantiles": q.q_group_quantiles,
         "decontaminate": q.q_decontaminate,
@@ -202,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge_dv": lake.SQL_LAKE_MERGE_DV,
         "lake_merge_delete": lake.SQL_LAKE_MERGE_DELETE,
         "lake_insert_missing": lake.SQL_LAKE_INSERT_MISSING,
+        "lake_ingest": lake.SQL_LAKE_INGEST,
         "lake_dedup_docs": lake.SQL_LAKE_DEDUP_DOCS,
         "lake_decontaminate": lake.SQL_LAKE_DECONTAMINATE,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,

@@ -49,7 +49,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "op",
         choices=[
-            "ingest", "overwrite", "compact", "cluster", "merge",
+            "ingest", "ingest-files", "overwrite", "compact", "cluster", "merge",
             "insert-missing", "dedup-docs", "decontaminate", "expire",
             "scan", "add-column", "drop-column",
             "delete", "update", "rollback", "changelog", "replicate",
@@ -107,6 +107,22 @@ def main(argv=None) -> int:
         "this Jaccard cutoff",
     )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
+    p.add_argument(
+        "--files",
+        nargs="+",
+        default=None,
+        help="ingest-files: source files or directories (parquet/jsonl); "
+        "already-ingested files are skipped (exactly-once by file)",
+    )
+    p.add_argument(
+        "--format", default="parquet", choices=["parquet", "jsonl"],
+        help="ingest-files: source format",
+    )
+    p.add_argument(
+        "--identity", default="stat", choices=["stat", "path"],
+        help="ingest-files: file identity — 'stat' re-ingests a changed "
+        "file, 'path' skips any previously seen path",
+    )
     p.add_argument(
         "--rows-per-fragment",
         type=int,
@@ -223,6 +239,23 @@ def main(argv=None) -> int:
             kw["rows_per_partition"] = args.rows_per_fragment
         v = t.commit_append(sequences_dataset(args.rows, **kw))
         out["version"] = v
+        if args.auto_compact:
+            out["compacted_version"] = compact(t)
+    elif args.op == "ingest-files":
+        from fupi_ray.ops import ingest_files
+
+        if not args.files:
+            p.error("ingest-files requires --files")
+        try:
+            t = Table.open(args.table)
+        except FileNotFoundError:
+            t = Table.create(args.table)
+        out.update(
+            ingest_files(
+                t, args.files, format=args.format, identity=args.identity,
+                target_fragment_rows=args.rows_per_fragment,
+            )
+        )
         if args.auto_compact:
             out["compacted_version"] = compact(t)
     elif args.op == "overwrite":

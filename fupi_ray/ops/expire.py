@@ -215,6 +215,10 @@ def expire_snapshots(
         _fs.rm(ap)
         removed_shards += 1
 
+    from fupi_ray.ops import ingest as _ingest
+
+    gc_ingest = _ingest.gc_ingest_metadata(table, gc_grace_seconds)
+
     return {
         "expired_versions": sorted(dead),
         "surviving_versions": table.versions(),
@@ -222,4 +226,5 @@ def expire_snapshots(
         "gc_shards": removed_shards,
         "gc_bytes": freed,
         "cleared_lineage_jobs": cleared_jobs,
+        **gc_ingest,
     }

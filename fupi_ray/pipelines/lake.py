@@ -1187,3 +1187,54 @@ SELECT {_DOC_SQL} AS doc_id, source,
        CAST(16 + n_chars % 50 AS BIGINT) AS n_tok
 FROM documents WHERE doc_id % 5 <> 0
 """
+
+
+def q_lake_ingest(sf_dir: str):
+    """Exactly-once file-level ingestion as a query (``ops.
+    ingest_files`` — the COPY INTO shape): a landing directory of 3
+    parquet files loads once; re-offering the whole directory is a
+    no-op (asserted inline: zero files ingested, version unchanged); a
+    late-arriving 4th file (doc_id % 5 == 0 shifted +3,000,000, tag
+    'late') is the only thing the third call picks up. Oracle: base ∪
+    the late file — the re-offered files contribute nothing twice."""
+    import pyarrow.parquet as pq
+
+    from fupi_ray.ops import ingest_files
+
+    landing = _tmp_table(sf_dir, "ingfiles-landing")
+    os.makedirs(landing, exist_ok=True)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    ids = docs["doc_id"].to_numpy()
+    n = docs["n_chars"].to_numpy()
+    src = docs["source"].to_pylist()
+    for part in range(3):
+        m = ids % 3 == part
+        batch = sequences_batch(ids[m], n[m], [s for s, k in zip(src, m) if k], salt=100)
+        pq.write_table(batch, os.path.join(landing, f"part-{part}.parquet"))
+
+    t = Table.create(_tmp_table(sf_dir, "ingfiles"), config=LAKE_CFG)
+    r1 = ingest_files(t, landing)
+    assert r1["files_ingested"] == 3, r1
+    r2 = ingest_files(t, landing)
+    assert r2["files_ingested"] == 0 and r2["version"] == r1["version"], r2
+
+    late_m = ids % 5 == 0
+    late = sequences_batch(
+        ids[late_m] + 3_000_000, n[late_m] + 3, ["late"] * int(late_m.sum()), salt=106
+    )
+    pq.write_table(late, os.path.join(landing, "part-late.parquet"))
+    r3 = ingest_files(t, landing)
+    assert r3["files_ingested"] == 1 and r3["files_skipped"] == 3, r3
+    return canonical_scan(t)
+
+
+SQL_LAKE_INGEST = f"""
+SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok FROM documents
+UNION ALL
+SELECT 'doc-' || lpad(CAST(doc_id + 3000000 AS VARCHAR), 12, '0') AS doc_id,
+       'late' AS source, CAST(n_chars + 3 AS BIGINT) AS n_tok
+FROM documents WHERE doc_id % 5 = 0
+"""
