@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_merge_delete": lake.q_lake_merge_delete,
         "lake_insert_missing": lake.q_lake_insert_missing,
         "lake_ingest": lake.q_lake_ingest,
+        "lake_keyword_index": lake.q_lake_keyword_index,
         "lake_dedup_docs": lake.q_lake_dedup_docs,
         "lake_decontaminate": lake.q_lake_decontaminate,
         "lake_evolve": lake.q_lake_evolve,
@@ -64,7 +65,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "json_extract": q.q_json_extract,
-        "langid": q.q_langid,
         "quality": q.q_quality,
         "bpe_tokens": q.q_bpe_tokens,
         "redact": q.q_redact,
@@ -98,9 +98,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r03 — and every relational query at the tail) or
         # rows-only by design with no SQL twin to lose (embed_search,
         # minhash, simhash, ivf_topk, rolling_fp) — nothing
-        # oracle-checkable and unchecked is displaced. lake_ingest
-        # (new in r4) displaced the r3-green sample_exact_n.
+        # oracle-checkable and unchecked is displaced. lake_ingest and
+        # lake_keyword_index (new in r4) displaced the r3-green
+        # sample_exact_n and langid.
         "sample_exact_n": q.q_sample_exact_n,
+        "langid": q.q_langid,
         "token_stats": q.q_token_stats,
         "group_quantiles": q.q_group_quantiles,
         "decontaminate": q.q_decontaminate,
@@ -205,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_merge_delete": lake.SQL_LAKE_MERGE_DELETE,
         "lake_insert_missing": lake.SQL_LAKE_INSERT_MISSING,
         "lake_ingest": lake.SQL_LAKE_INGEST,
+        "lake_keyword_index": lake.SQL_LAKE_KEYWORD_INDEX,
         "lake_dedup_docs": lake.SQL_LAKE_DEDUP_DOCS,
         "lake_decontaminate": lake.SQL_LAKE_DECONTAMINATE,
         "lake_evolve": lake.SQL_LAKE_EVOLVE,

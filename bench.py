@@ -375,6 +375,58 @@ def run_bench() -> dict:
         return dedup_documents(table, num_perm=32, bands=8)
 
     timed("dedup_docs_detect", do_dedup_docs)
+
+    # ---- token-bloom needle index ------------------------------------------
+    from fupi_ray.ops import ensure_token_blooms, keyword_lookup
+
+    tokindex_stats: dict = {}
+
+    def do_tokindex_build():
+        # one token pass per fragment, embarrassingly parallel
+        tokindex_stats.update(ensure_token_blooms(table))
+
+    def do_keyword_miss():
+        # audit-shaped probe: a token absent from the corpus must be
+        # answered from the blooms alone (vs the ~full-scan cost of
+        # doing it honestly without the index)
+        s: dict = {}
+        n = keyword_lookup(
+            table, [2_000_000_001], columns=["doc_id"], stats_out=s
+        ).count()
+        # exact-empty result; a rare deterministic bloom FP may open a
+        # fragment or two, never the table
+        assert n == 0 and s["fragments_scanned"] <= 2, (n, s)
+        tokindex_stats.update({f"miss_{k}": v for k, v in s.items()})
+
+    timed("tokindex_build", do_tokindex_build)
+    timed("keyword_miss", do_keyword_miss)
+
+    # ---- exactly-once file ingestion (COPY INTO shape) --------------------
+    # untimed fixture prep: a landing zone of parquet files, the shape
+    # 100 TB actually arrives in
+    landing = f"{bench_root}/landing-rows{bench_rows}-cpus{num_cpus}"
+    shutil.rmtree(landing, ignore_errors=True)
+    sequences_dataset(
+        bench_rows // 4, rows_per_partition=50_000, start=9_000_000
+    ).write_parquet(landing)
+    ing_table = Table.create(f"{tdir}-ingfiles", config=cfg)
+    ing_stats: dict = {}
+
+    def do_ingest_files():
+        from fupi_ray.ops import ingest_files
+
+        ing_stats.update(ingest_files(ing_table, landing))
+
+    def do_ingest_files_reoffer():
+        # the whole landing zone re-offered: the ledger must answer
+        # from metadata alone (no file opened, no row written)
+        from fupi_ray.ops import ingest_files
+
+        r = ingest_files(ing_table, landing)
+        assert r["files_ingested"] == 0, r
+
+    timed("ingest_files", do_ingest_files)
+    timed("ingest_files_reoffer", do_ingest_files_reoffer)
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
@@ -441,10 +493,14 @@ def run_bench() -> dict:
         "sorted_scan": sorted_stats,
         "bucket": bucket_stats,
         "insert_missing": im_stats,
+        "ingest_files": ing_stats,
+        "tokindex": tokindex_stats,
         "copy_cap": {"measured": probe_cap, "probe_seconds": probe_seconds},
     }
     ray.shutdown()
     shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(f"{tdir}-ingfiles", ignore_errors=True)
+    shutil.rmtree(landing, ignore_errors=True)
     return result
 
 

@@ -14,6 +14,7 @@ from fupi_ray.ops.expire import expire_snapshots
 from fupi_ray.ops.fork import drop_fork, fork_base_version, fork_source, fork_table
 from fupi_ray.ops.fsck import check_table
 from fupi_ray.ops.ingest import current_ledger, ingest_files
+from fupi_ray.ops.tokindex import ensure_token_blooms, keyword_lookup
 from fupi_ray.ops.maintain import maintain
 from fupi_ray.ops.matview import create_matview, matview_watermark, refresh_matview
 from fupi_ray.ops.decontaminate import decontaminate_table, eval_window_hashes
@@ -63,7 +64,9 @@ __all__ = [
     "dedup_token_windows",
     "check_table",
     "current_ledger",
+    "ensure_token_blooms",
     "ingest_files",
+    "keyword_lookup",
     "decontaminate_table",
     "dedup_documents",
     "delete_where",

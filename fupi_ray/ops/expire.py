@@ -182,6 +182,11 @@ def expire_snapshots(
             # same fragment-liveness rule as blooms
             if rel[: -len(".sigs")] in live_paths:
                 continue
+        elif name.endswith(".tokbloom"):
+            # token-bloom sidecar (ops/tokindex.py): lives and dies
+            # with its fragment, like the doc_id blooms
+            if rel[: -len(".tokbloom")] in live_paths:
+                continue
         elif ".dv-" in name and name.endswith(".bin"):
             # deletion-vector sidecar: referenced-by-manifest liveness
             if rel in live_dvs:

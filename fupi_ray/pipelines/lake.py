@@ -1238,3 +1238,71 @@ SELECT 'doc-' || lpad(CAST(doc_id + 3000000 AS VARCHAR), 12, '0') AS doc_id,
        'late' AS source, CAST(n_chars + 3 AS BIGINT) AS n_tok
 FROM documents WHERE doc_id % 5 = 0
 """
+
+
+def q_lake_keyword_index(sf_dir: str):
+    """Needle-token lookup through the per-fragment token blooms
+    (``ops.keyword_lookup``): a motif token is planted only in the
+    lowest tenth of the id range (``doc_id <= max(doc_id) // 10``), so
+    the probe must return exactly those — and, since the table's
+    fragments cover contiguous id ranges, the bloom probe must open
+    FEWER fragments than the table holds (asserted inline). An
+    absent-token probe must come back empty. Oracle: the planted
+    predicate."""
+    import pyarrow.parquet as pq
+
+    from fupi_ray.ops import keyword_lookup
+
+    MOTIF = 9_100_001
+    t = Table.create(_tmp_table(sf_dir, "tokindex"), config=LAKE_CFG)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    cut = int(pq.read_table(doc_path, columns=["doc_id"])["doc_id"].to_numpy().max()) // 10
+    docs = ray.data.read_parquet(
+        doc_path, columns=["doc_id", "source", "n_chars"]
+    )
+
+    def mk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        out = sequences_batch(ids, n, batch["source"].to_pylist(), salt=100)
+        # plant the motif as the FIRST token of every row under the cut
+        # (guard zero-length rows: their start offset is the NEXT row's)
+        toks = out["tokens"].combine_chunks()
+        offs = np.asarray(toks.offsets, dtype=np.int64)
+        flat = toks.values.to_numpy(zero_copy_only=False).copy()
+        hit = np.nonzero((ids <= cut) & (n > 0))[0]
+        flat[offs[hit]] = MOTIF
+        planted = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(flat, pa.int32())
+        )
+        return out.set_column(
+            out.schema.get_field_index("tokens"), "tokens",
+            planted.cast(pa.list_(pa.int32())),
+        )
+
+    t.commit_append(docs.map_batches(mk, batch_format="pyarrow"),
+                    target_fragment_rows=100)
+    stats: dict = {}
+    hits = keyword_lookup(
+        t, [MOTIF], columns=["doc_id", "source", "n_tok"], stats_out=stats
+    )
+    assert 0 < stats["fragments_scanned"] < stats["fragments_total"], stats
+    miss = keyword_lookup(t, [9_999_999], columns=["doc_id"]).take_all()
+    assert miss == [], miss
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_tok": pc.cast(batch["n_tok"], pa.int64()),
+            }
+        )
+
+    return hits.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_LAKE_KEYWORD_INDEX = f"""
+SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok
+FROM documents WHERE doc_id <= (SELECT max(doc_id) // 10 FROM documents)
+"""
