@@ -393,9 +393,12 @@ def run_bench() -> dict:
         n = keyword_lookup(
             table, [2_000_000_001], columns=["doc_id"], stats_out=s
         ).count()
-        # exact-empty result; a rare deterministic bloom FP may open a
-        # fragment or two, never the table
-        assert n == 0 and s["fragments_scanned"] <= 2, (n, s)
+        # exact-empty result; deterministic bloom FPs (~0.8%/fragment
+        # at 10 bits/key) may open a few fragments — the allowance must
+        # scale with fragment count or larger GRAFT_BENCH_ROWS runs
+        # would abort spuriously
+        cap = max(2, s["fragments_total"] // 32)
+        assert n == 0 and s["fragments_scanned"] <= cap, (n, s)
         tokindex_stats.update({f"miss_{k}": v for k, v in s.items()})
 
     timed("tokindex_build", do_tokindex_build)

@@ -31,6 +31,11 @@ never toward silently skipping unloaded data:
   batch sidecars of surviving newer headers, so the scan is O(commits
   since the last ingest), not O(history).
 
+An explicit ``rollback()`` past an ingest commit removes the ROWS but
+not the ledger memory (file tracking is table-lifetime, the Delta COPY
+INTO semantic); ``ingest_files(..., force=True)`` is the post-rollback
+reload path.
+
 Scale shape: the checkpoint is one line per ingested file ever —
 ~200k files at 512 MB each for 100 TB ≈ a 20 MB text file, read and
 written once per ingest COMMIT (not per file, not per batch of rows).
@@ -176,6 +181,7 @@ def ingest_files(
     identity: str = "stat",
     max_retries: int = 4,
     target_fragment_rows: int | None = None,
+    force: bool = False,
 ) -> dict:
     """Append the not-yet-ingested files among ``paths``; skip the rest.
 
@@ -183,18 +189,32 @@ def ingest_files(
     "rows_ingested", "retries"}``. Re-running with the same inputs is a
     no-op; a concurrent ingest of overlapping files makes exactly one
     copy win per file. ``format``: ``parquet`` or ``jsonl``.
+
+    File tracking is TABLE-LIFETIME, like Delta's COPY INTO: a
+    ``rollback()`` past an ingest commit removes the rows but the
+    ledger still remembers the files, so a plain re-offer stays
+    skipped. Pass ``force=True`` to reload files regardless of the
+    ledger (the post-rollback recovery path) — forced loads are
+    recorded too, so later plain runs skip them again.
     """
-    files = _expand(paths)
-    bad = [f for f in files if "|" in f]
+    # dedup the input list itself (a directory plus an explicit member,
+    # or the same path twice, must not load a file twice in ONE commit)
+    files = list(dict.fromkeys(_expand(paths)))
+    bad = [f for f in files if any(c in f for c in "|\n\r")]
     if bad:
-        raise ValueError(f"'|' in source paths aliases ledger identities: {bad[:3]}")
+        raise ValueError(
+            f"'|' or newline in source paths corrupts ledger identities: {bad[:3]}"
+        )
     idents = {f: _ident(f, identity) for f in files}
     retries = 0
     rm_frags: list = []
     while True:
         led = current_ledger(table)
-        todo = [f for f in files if not _seen(f, idents[f], led)]
+        todo = [f for f in files if force or not _seen(f, idents[f], led)]
         if not todo:
+            # a race loser can land here with abandoned-attempt
+            # fragments still on disk: clean them before returning
+            _gc_paths(rm_frags)
             return {
                 "version": table.latest_version(),
                 "files_ingested": 0,
@@ -223,10 +243,11 @@ def ingest_files(
         )
 
         def _build(parent: int):
-            led_p = current_ledger(table, upto=parent)
-            clash = {idents[f] for f in todo if _seen(f, idents[f], led_p)}
-            if clash:
-                raise _Overlap(clash)
+            if not force:  # forced reloads are intentional duplicates
+                led_p = current_ledger(table, upto=parent)
+                clash = {idents[f] for f in todo if _seen(f, idents[f], led_p)}
+                if clash:
+                    raise _Overlap(clash)
             return table.manifest(parent).fragments + frags
 
         try:
@@ -242,9 +263,11 @@ def ingest_files(
         except _Overlap:
             # a racer committed some of these files between our plan
             # and our commit: un-write this attempt (nothing references
-            # it) and re-plan against the updated ledger.
+            # it) and re-plan against the updated ledger. Absolute
+            # paths: FragmentMeta.path is table-relative and _fs.rm
+            # would resolve it against the process cwd.
             for f in frags:
-                rm_frags.append(f.path)
+                rm_frags.append(_fs.join(table.table_dir, f.path))
             _fs.rm(_fs.join(table.table_dir, batch_rel))
             retries += 1
             if retries > max_retries:

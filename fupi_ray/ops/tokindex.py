@@ -68,6 +68,34 @@ def _list_parts(col) -> tuple[np.ndarray, np.ndarray]:
     return vals, off
 
 
+def _read_valid_tokbloom(parquet_abs_path: str) -> bytes | None:
+    """Sidecar bytes, or None for absent/torn/foreign content — which
+    always means "cannot prune / rebuild me", never an error (same
+    contract as functions/bloom.py:read_sidecar)."""
+    import struct
+
+    p = tokbloom_path(parquet_abs_path)
+    try:
+        if not _fs.exists(p):
+            return None
+        blob = _fs.read_bytes(p)
+        _bloom._parse(blob)  # validates magic + length
+        return blob
+    except (OSError, ValueError, struct.error):
+        return None
+
+
+@ray.remote(num_cpus=1)
+def _stat_task(table_dir: str, rel_paths: list[str]) -> list[bool]:
+    """Which fragments already hold a VALID sidecar (parallel: a
+    driver-side loop would pay one serial stat round-trip per fragment
+    on object stores)."""
+    return [
+        _read_valid_tokbloom(_fs.join(table_dir, rel)) is not None
+        for rel in rel_paths
+    ]
+
+
 @ray.remote(num_cpus=1)
 def _build_task(
     table_dir: str, rel_path: str, phys_tok: str, bits_per_key: int
@@ -90,18 +118,28 @@ def ensure_token_blooms(
     table: Table, version: int | None = None, bits_per_key: int = 10
 ) -> dict:
     """Build missing token blooms for every fragment of ``version``
-    (default latest). Incremental: cached fragments cost one
-    ``exists`` stat. Returns ``{"built", "cached"}``."""
+    (default latest). Incremental: cached fragments cost one stat,
+    batched through parallel tasks; a torn/corrupt sidecar counts as
+    missing and is rebuilt (self-healing). Returns ``{"built",
+    "cached"}``."""
     m = table.manifest(version)
+    frags = [f for f in m.fragments if f.rows]
+    CHUNK = 64
+    chunks = [frags[i : i + CHUNK] for i in range(0, len(frags), CHUNK)]
+    have = ray.get(
+        [
+            _stat_task.remote(table.table_dir, [f.path for f in ch])
+            for ch in chunks
+        ]
+    )
     todo: list[FragmentMeta] = []
     cached = 0
-    for f in m.fragments:
-        if not f.rows:
-            continue
-        if _fs.exists(tokbloom_path(_fs.join(table.table_dir, f.path))):
-            cached += 1
-        else:
-            todo.append(f)
+    for ch, hs in zip(chunks, have):
+        for f, h in zip(ch, hs):
+            if h:
+                cached += 1
+            else:
+                todo.append(f)
     refs = []
     for f in todo:
         phys = f.physical_name("tokens", m.column_ids) if f.col_ids else "tokens"
@@ -119,15 +157,9 @@ def _probe_task(
 ) -> list[bool]:
     out = []
     for rel in rel_paths:
-        blob = None
-        p = tokbloom_path(_fs.join(table_dir, rel))
-        try:
-            if _fs.exists(p):
-                blob = _fs.read_bytes(p)
-        except OSError:
-            blob = None
+        blob = _read_valid_tokbloom(_fs.join(table_dir, rel))
         if blob is None:
-            out.append(True)  # no sidecar → cannot prune
+            out.append(True)  # no/torn sidecar → cannot prune
             continue
         hits = _bloom.contains_mask(blob, hashes)
         out.append(bool(hits.all() if mode == "all" else hits.any()))

@@ -12,28 +12,22 @@ thing to die).
 from __future__ import annotations
 
 import os
-import threading
 from typing import Sequence
 
 import ray.data
 
-# Ray's path resolution probes ``fsspec.implementations.http`` on every
-# read plan; with aiohttp absent that import FAILS each time, and two
-# threads planning reads concurrently can observe each other's
-# partially-initialized module (CPython's ``from X import Y`` fast path
-# skips the import lock once sys.modules has the entry), surfacing as
-# an ImportError that escapes Ray's ModuleNotFoundError catch. Read
-# PLANNING is cheap driver-side metadata work, so serializing it costs
-# nothing; execution stays fully parallel.
-_PLAN_LOCK = threading.Lock()
+# concurrent read PLANNING is safe here: state/fs.py installs a
+# process-wide stand-in for fsspec's aiohttp-dependent http module at
+# import (see fs._shim_fsspec_http), which is what Ray's path
+# resolution would otherwise re-import — racily — on every plan.
+from fupi_ray.state import fs as _fs  # noqa: F401  (shim side effect)
 
 
 def read_jsonl(paths: str | Sequence[str], **kwargs) -> ray.data.Dataset:
     """S1: JSONL(.gz) reader with schema inference; Arrow JSON reader
     auto-decompresses ``.gz`` (reference: read_json_auto,
     fupi/data.py:64)."""
-    with _PLAN_LOCK:
-        return ray.data.read_json(paths, **kwargs)
+    return ray.data.read_json(paths, **kwargs)
 
 
 def read_parquet_table(
@@ -45,8 +39,7 @@ def read_parquet_table(
     columns for a narrow transform)."""
     if columns is not None:
         kwargs["columns"] = list(columns)
-    with _PLAN_LOCK:
-        return ray.data.read_parquet(paths, **kwargs)
+    return ray.data.read_parquet(paths, **kwargs)
 
 
 def read_csv(paths: str | Sequence[str], **kwargs) -> ray.data.Dataset:

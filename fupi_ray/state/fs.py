@@ -255,3 +255,44 @@ def rm_dir(path: str) -> None:
 
     if os.path.isdir(path):
         shutil.rmtree(path)
+
+
+def _shim_fsspec_http() -> None:
+    """fsspec's http module needs aiohttp; when aiohttp is absent,
+    EVERY Ray read plan re-attempts the failing import (Ray's
+    path_util catches only ModuleNotFoundError) and two threads
+    planning reads concurrently can observe each other's partially
+    initialized module — CPython's ``from X import Y`` fast path skips
+    the import lock once sys.modules holds the entry — surfacing as an
+    ImportError that escapes that catch and fails the read. Register
+    an inert stand-in ONCE at import: Ray's isinstance probe then
+    answers False (same outcome as "module absent") for every planner
+    in the process, with no import ever raced again. A user actually
+    constructing the HTTP filesystem gets a clear error instead of a
+    torn import."""
+    import importlib
+    import sys
+    import types
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        importlib.import_module(name)
+        return  # aiohttp present: the real module works
+    except Exception:
+        pass
+
+    mod = types.ModuleType(name)
+
+    class HTTPFileSystem:  # isinstance-only stand-in
+        def __init__(self, *a, **k):
+            raise ImportError(
+                "aiohttp is required for fsspec HTTP filesystem support"
+            )
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules[name] = mod
+
+
+_shim_fsspec_http()

@@ -100,8 +100,10 @@ def test_concurrent_racers_never_double_load(tmp_path, tmp_table_dir):
         try:
             # each thread gets its own handle (no shared Table state)
             results.append(ingest_files(Table.open(tmp_table_dir), files))
-        except Exception as e:  # pragma: no cover - diagnostic
-            errors.append(e)
+        except Exception:  # pragma: no cover - diagnostic
+            import traceback
+
+            errors.append(traceback.format_exc())
 
     threads = [threading.Thread(target=racer) for _ in range(3)]
     for th in threads:
@@ -114,6 +116,14 @@ def test_concurrent_racers_never_double_load(tmp_path, tmp_table_dir):
     assert sum(r["files_ingested"] for r in results) == 4
     got = sorted(r["doc_id"] for r in t.scan(columns=["doc_id"]).take_all())
     assert got == list(range(40))
+    # race losers must clean up their abandoned-attempt fragments
+    live = {f.path.split("/", 1)[1] for f in t.manifest().fragments}
+    data = [
+        n
+        for n in os.listdir(os.path.join(tmp_table_dir, "data"))
+        if n.endswith(".parquet")
+    ]
+    assert not [n for n in data if n not in live], "orphaned loser fragments"
 
 
 def test_ledger_survives_expiry(tmp_path, tmp_table_dir):
@@ -169,3 +179,37 @@ def test_ingest_bad_format_and_empty_input(tmp_path, tmp_table_dir):
         ingest_files(t, [_write_parquet(tmp_path / "f.parquet", 0, 2)], format="csvx")
     r = ingest_files(t, [])
     assert r["files_ingested"] == 0 and r["files_skipped"] == 0
+
+
+def test_duplicate_inputs_load_once(tmp_path, tmp_table_dir):
+    d = tmp_path / "landing"
+    d.mkdir()
+    a = _write_parquet(d / "a.parquet", 0, 10)
+    t = Table.create(tmp_table_dir)
+    # directory plus an explicit member: one copy, not two
+    r = ingest_files(t, [str(d), a, a])
+    assert r["files_ingested"] == 1 and _rows(t) == 10
+
+
+def test_newline_path_rejected(tmp_path, tmp_table_dir):
+    t = Table.create(tmp_table_dir)
+    with pytest.raises(ValueError, match="newline"):
+        ingest_files(t, ["/tmp/bad\nname.parquet"])
+
+
+def test_force_reloads_after_rollback(tmp_path, tmp_table_dir):
+    from fupi_ray.ops import rollback
+
+    f = _write_parquet(tmp_path / "f.parquet", 0, 10)
+    t = Table.create(tmp_table_dir)
+    v0 = t.latest_version()
+    ingest_files(t, [f])
+    rollback(t, v0)
+    assert _rows(t) == 0
+    # plain re-offer stays skipped (table-lifetime ledger, documented)
+    assert ingest_files(t, [f])["files_ingested"] == 0
+    # force is the recovery path
+    r = ingest_files(t, [f], force=True)
+    assert r["files_ingested"] == 1 and _rows(t) == 10
+    # and a later plain run is a no-op again
+    assert ingest_files(t, [f])["files_ingested"] == 0

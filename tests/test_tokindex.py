@@ -125,3 +125,20 @@ def test_lookup_input_validation(tmp_path):
         keyword_lookup(t, [1], mode="xor")
     with pytest.raises(ValueError, match="probe token"):
         keyword_lookup(t, [])
+
+
+def test_corrupt_sidecar_self_heals(tmp_path):
+    t = _mk_table(tmp_path, n=120)
+    ensure_token_blooms(t)
+    ddir = os.path.join(t.table_dir, "data")
+    victim = next(
+        os.path.join(ddir, n) for n in sorted(os.listdir(ddir)) if n.endswith(".tokbloom")
+    )
+    with open(victim, "wb") as f:
+        f.write(b"torn")
+    # lookup must not crash (torn sidecar = cannot prune) ...
+    got = keyword_lookup(t, [MOTIF_A], columns=["doc_id"], build=False).take_all()
+    assert len(got) == 20
+    # ... and ensure rebuilds exactly the torn one
+    r = ensure_token_blooms(t)
+    assert r["built"] == 1
