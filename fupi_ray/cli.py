@@ -106,6 +106,12 @@ def main(argv=None) -> int:
         help="maintain: opt into the growth-gated near-dup sweep at "
         "this Jaccard cutoff",
     )
+    p.add_argument(
+        "--token-blooms",
+        action="store_true",
+        help="maintain: rebuild needle-index token-bloom sidecars for "
+        "fragments produced by this cycle's rewrites",
+    )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(
         "--files",
@@ -115,7 +121,7 @@ def main(argv=None) -> int:
         "already-ingested files are skipped (exactly-once by file)",
     )
     p.add_argument(
-        "--format", default="parquet", choices=["parquet", "jsonl"],
+        "--format", default="parquet", choices=["parquet", "jsonl", "csv"],
         help="ingest-files: source format",
     )
     p.add_argument(
@@ -289,6 +295,7 @@ def main(argv=None) -> int:
                 keep_last=args.keep_last,
                 older_than_seconds=args.older_than,
                 dedup_threshold=args.dedup_threshold,
+                token_blooms=args.token_blooms,
                 job_id=args.job_id,
             )
         )

@@ -226,8 +226,12 @@ def ingest_files(
             ds = readers.read_parquet_table(todo)
         elif format == "jsonl":
             ds = readers.read_jsonl(todo)
+        elif format == "csv":
+            ds = readers.read_csv(todo)
         else:
-            raise ValueError(f"format must be 'parquet' or 'jsonl', got {format!r}")
+            raise ValueError(
+                f"format must be 'parquet', 'jsonl' or 'csv', got {format!r}"
+            )
         frags = write_dataset_fragments(
             table._constrained(ds),
             table.table_dir,

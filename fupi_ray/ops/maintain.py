@@ -22,7 +22,10 @@ until an action is chosen):
    (``ops/dedupdocs.py`` records every sweep, no-ops included):
    repacks and re-sorts keep the row count and never trigger a
    re-scan.
-5. **expire** — drop old snapshots per the retention knobs and GC
+5. **token blooms** (opt-in via ``token_blooms=True``) — rebuild the
+   needle-index sidecars for fragments the rewrites above produced
+   (``ops/tokindex.py``); no-op on an untouched table.
+6. **expire** — drop old snapshots per the retention knobs and GC
    unreferenced files.
 
 Ordering matters: compact before recluster (fewer, bigger inputs for
@@ -44,6 +47,7 @@ def maintain(
     recluster_fraction: float = 0.2,
     dedup_threshold: float | None = None,
     dedup_fraction: float = 0.2,
+    token_blooms: bool = False,
     job_id: str | None = None,
 ) -> dict:
     """Run whatever maintenance the manifest says the table needs;
@@ -185,6 +189,17 @@ def maintain(
             )
         else:
             actions["dedup"] = {"skipped": True, "grown_fraction": round(grown, 3)}
+
+    # token-index upkeep (opt-in): after the rewrites above, fill in
+    # bloom sidecars for whatever fragments now lack one — compaction
+    # and reclustering rename every rewritten fragment, so this is
+    # exactly "one token pass over the rewritten data" and a no-op on
+    # an untouched table. Before expiry so a failed build never blocks
+    # GC; superseded sidecars die with their fragments right after.
+    if token_blooms:
+        from fupi_ray.ops.tokindex import ensure_token_blooms
+
+        actions["token_blooms"] = ensure_token_blooms(table)
 
     actions["expire"] = expire_snapshots(
         table, keep_last=keep_last, older_than_seconds=older_than_seconds

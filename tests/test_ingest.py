@@ -213,3 +213,12 @@ def test_force_reloads_after_rollback(tmp_path, tmp_table_dir):
     assert r["files_ingested"] == 1 and _rows(t) == 10
     # and a later plain run is a no-op again
     assert ingest_files(t, [f])["files_ingested"] == 0
+
+
+def test_ingest_csv(tmp_path, tmp_table_dir):
+    p = tmp_path / "rows.csv"
+    p.write_text("doc_id,n_tok\n" + "\n".join(f"{i},3" for i in range(6)) + "\n")
+    t = Table.create(tmp_table_dir)
+    r = ingest_files(t, [str(p)], format="csv")
+    assert r["rows_ingested"] == 6 and _rows(t) == 6
+    assert ingest_files(t, [str(p)], format="csv")["files_ingested"] == 0

@@ -142,3 +142,19 @@ def test_corrupt_sidecar_self_heals(tmp_path):
     # ... and ensure rebuilds exactly the torn one
     r = ensure_token_blooms(t)
     assert r["built"] == 1
+
+
+def test_maintain_token_blooms_arm(tmp_path):
+    from fupi_ray.ops import maintain
+
+    t = _mk_table(tmp_path, n=200)
+    ensure_token_blooms(t)
+    # compaction inside maintain renames fragments; the arm must
+    # rebuild exactly the new ones and a second call must no-op
+    r1 = maintain(t, keep_last=2, token_blooms=True)
+    assert r1["token_blooms"]["built"] > 0
+    r2 = maintain(t, keep_last=2, token_blooms=True)
+    assert r2["token_blooms"]["built"] == 0 and r2["token_blooms"]["cached"] > 0
+    # and the index still answers
+    got = keyword_lookup(t, [MOTIF_A], columns=["doc_id"], build=False).take_all()
+    assert len(got) == 20
