@@ -222,12 +222,22 @@ def ingest_files(
                 "rows_ingested": 0,
                 "retries": retries,
             }
+        read_kwargs: dict = {}
+        read_paths = todo
+        if _fs.is_uri(todo[0]):
+            # scheme:// landing zone: resolve ONE fsspec-backed pyarrow
+            # filesystem (pickles into the read tasks) and hand Ray the
+            # bare paths — read_parquet rejects URI strings outright
+            # (same treatment as Table.scan, S8)
+            filesystem, _ = _fs.arrow_fs(todo[0])
+            read_kwargs["filesystem"] = filesystem
+            read_paths = [_fs.get_fs(p)[1] for p in todo]
         if format == "parquet":
-            ds = readers.read_parquet_table(todo)
+            ds = readers.read_parquet_table(read_paths, **read_kwargs)
         elif format == "jsonl":
-            ds = readers.read_jsonl(todo)
+            ds = readers.read_jsonl(read_paths, **read_kwargs)
         elif format == "csv":
-            ds = readers.read_csv(todo)
+            ds = readers.read_csv(read_paths, **read_kwargs)
         else:
             raise ValueError(
                 f"format must be 'parquet', 'jsonl' or 'csv', got {format!r}"

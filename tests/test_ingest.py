@@ -222,3 +222,23 @@ def test_ingest_csv(tmp_path, tmp_table_dir):
     r = ingest_files(t, [str(p)], format="csv")
     assert r["rows_ingested"] == 6 and _rows(t) == 6
     assert ingest_files(t, [str(p)], format="csv")["files_ingested"] == 0
+
+
+def test_ingest_uri_landing(tmp_path, tmp_table_dir):
+    """S8: the landing zone addressed through a scheme:// URI — the
+    ledger identity layer (ls/stat over fsspec) and the read plan must
+    both resolve the protocol."""
+    d = tmp_path / "landing"
+    d.mkdir()
+    _write_parquet(d / "a.parquet", 0, 10)
+    _write_parquet(d / "b.parquet", 10, 14)
+    t = Table.create(tmp_table_dir)
+    uri = f"file://{d}"
+    r = ingest_files(t, uri)
+    assert r["files_ingested"] == 2 and _rows(t) == 14
+    assert ingest_files(t, uri)["files_ingested"] == 0
+    # identities recorded under the URI form: a plain-path re-offer of
+    # the same files is a DIFFERENT identity (documented: the path
+    # string is part of the identity), so dedup is per-addressing-form
+    led = current_ledger(t)
+    assert all(e.startswith("file://") for e in led)
