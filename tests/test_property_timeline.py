@@ -88,7 +88,7 @@ def test_random_timeline_preserves_history_semantics(tmp_path, seed):
             [
                 "append", "dv_delete", "cow_delete", "update", "merge",
                 "insert_missing", "compact", "cluster", "wap_publish",
-                "wap_abort", "rollback", "expire",
+                "wap_abort", "rollback", "expire", "ingest",
             ]
         )
         if op == "append":
@@ -172,6 +172,21 @@ def test_random_timeline_preserves_history_semantics(tmp_path, seed):
             model = snapshots[v].copy()
         elif op == "expire":
             expire_snapshots(t, keep_last=4, gc_grace_seconds=0)
+        elif op == "ingest":
+            # file-level COPY INTO: a fresh landing file loads; the
+            # same file re-offered in the same step is a no-op
+            import pyarrow.parquet as pq
+
+            from fupi_ray.ops import ingest_files
+
+            n = rng.randrange(20, 50)
+            f = str(tmp_path / f"landing-{seed}-{step}.parquet")
+            pq.write_table(generate_rows(next_id, n), f)
+            r = ingest_files(t, [f])
+            assert r["files_ingested"] == 1, r
+            assert ingest_files(t, [f])["files_ingested"] == 0
+            model = pd.concat([model, model_df(n, start=next_id)], ignore_index=True)
+            next_id += n
 
         record()
         assert_state(t, model)
@@ -194,6 +209,13 @@ def test_random_timeline_preserves_history_semantics(tmp_path, seed):
 
         audit = check_table(t)
         assert audit["ok"], audit["findings"]
+
+    # capstone: the needle index over whatever layout the sequence left
+    # behind — an out-of-vocab token must come back empty through the
+    # bloom probes and the DV-masked exact verify
+    from fupi_ray.ops import keyword_lookup
+
+    assert keyword_lookup(t, [2_000_000_001], columns=["doc_id"]).take_all() == []
 
 
 def scan_to_df_changelog(ds) -> pd.DataFrame:
