@@ -109,8 +109,9 @@ def main(argv=None) -> int:
     p.add_argument(
         "--token-blooms",
         action="store_true",
-        help="maintain: rebuild needle-index token-bloom sidecars for "
-        "fragments produced by this cycle's rewrites",
+        help="maintain: fill in missing needle-index token-bloom "
+        "sidecars (rewritten fragments; a never-indexed table pays a "
+        "one-time full build)",
     )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(

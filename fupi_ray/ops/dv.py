@@ -202,11 +202,8 @@ def fragments_dataset(
         kwargs: dict = {"override_num_blocks": override_num_blocks or len(paths)}
         if columns is not None:
             kwargs["columns"] = [inv.get(c, c) for c in columns]
-        if _fs.is_uri(table_dir):
-            filesystem, _ = _fs.arrow_fs(table_dir)
-            kwargs["filesystem"] = filesystem
-            paths = [_fs.get_fs(p)[1] for p in paths]
-        ds = ray.data.read_parquet(paths, **kwargs)
+        paths, fs_kwargs = _fs.ray_read_paths(paths)
+        ds = ray.data.read_parquet(paths, **kwargs, **fs_kwargs)
         if rmap:
             ds = ds.map_batches(
                 lambda b, _r=rmap: _mf.apply_rename(b, _r),

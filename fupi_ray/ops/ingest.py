@@ -39,9 +39,9 @@ reload path.
 Scale shape: the checkpoint is one line per ingested file ever —
 ~200k files at 512 MB each for 100 TB ≈ a 20 MB text file, read and
 written once per ingest COMMIT (not per file, not per batch of rows).
-The data path is exactly an append: ``read_parquet`` /``read_json``
-over only the new files, streamed through constraint checks into
-fragments; no driver materialization.
+The data path is exactly an append: ``read_parquet`` / ``read_json`` /
+``read_csv`` over only the new files, streamed through constraint
+checks into fragments; no driver materialization.
 """
 
 from __future__ import annotations
@@ -83,8 +83,16 @@ def _ident(path: str, identity: str) -> str:
         # size + mtime, not content: one stat per file, no read. A
         # rewritten file is a NEW identity and re-ingests — the safe
         # direction for a landing zone where partial uploads get
-        # replaced.
-        return f"{path}|{_fs.size(path)}|{int(_fs.mtime(path) * 1e9)}"
+        # replaced. A protocol with no mtime must fail LOUDLY: baking
+        # a fabricated timestamp into the identity would re-ingest the
+        # whole zone on every run (unbounded silent duplication).
+        m = _fs.mtime_strict(path)
+        if m is None:
+            raise ValueError(
+                f"{path}: protocol exposes no modification time; use "
+                "identity='path' for this landing zone"
+            )
+        return f"{path}|{_fs.size(path)}|{int(m * 1e9)}"
     raise ValueError(f"identity must be 'stat' or 'path', got {identity!r}")
 
 
@@ -188,7 +196,7 @@ def ingest_files(
     Returns ``{"version", "files_ingested", "files_skipped",
     "rows_ingested", "retries"}``. Re-running with the same inputs is a
     no-op; a concurrent ingest of overlapping files makes exactly one
-    copy win per file. ``format``: ``parquet`` or ``jsonl``.
+    copy win per file. ``format``: ``parquet``, ``jsonl`` or ``csv``.
 
     File tracking is TABLE-LIFETIME, like Delta's COPY INTO: a
     ``rollback()`` past an ingest commit removes the rows but the
@@ -204,6 +212,12 @@ def ingest_files(
     if bad:
         raise ValueError(
             f"'|' or newline in source paths corrupts ledger identities: {bad[:3]}"
+        )
+    local = [f for f in files if _fs.is_process_local(f)]
+    if local:
+        raise ValueError(
+            "ingest reads landing files from Ray worker processes; "
+            f"memory:// is process-local — use a shared protocol: {local[:3]}"
         )
     idents = {f: _ident(f, identity) for f in files}
     retries = 0
@@ -222,26 +236,29 @@ def ingest_files(
                 "rows_ingested": 0,
                 "retries": retries,
             }
-        read_kwargs: dict = {}
-        read_paths = todo
-        if _fs.is_uri(todo[0]):
-            # scheme:// landing zone: resolve ONE fsspec-backed pyarrow
-            # filesystem (pickles into the read tasks) and hand Ray the
-            # bare paths — read_parquet rejects URI strings outright
-            # (same treatment as Table.scan, S8)
-            filesystem, _ = _fs.arrow_fs(todo[0])
-            read_kwargs["filesystem"] = filesystem
-            read_paths = [_fs.get_fs(p)[1] for p in todo]
-        if format == "parquet":
-            ds = readers.read_parquet_table(read_paths, **read_kwargs)
-        elif format == "jsonl":
-            ds = readers.read_jsonl(read_paths, **read_kwargs)
-        elif format == "csv":
-            ds = readers.read_csv(read_paths, **read_kwargs)
-        else:
+        reader = {
+            "parquet": readers.read_parquet_table,
+            "jsonl": readers.read_jsonl,
+            "csv": readers.read_csv,
+        }.get(format)
+        if reader is None:
             raise ValueError(
                 f"format must be 'parquet', 'jsonl' or 'csv', got {format!r}"
             )
+        # one read plan per PROTOCOL (a mixed plain/s3/gs batch is
+        # legal): ray readers need one filesystem per plan and reject
+        # raw URI strings — _fs.ray_read_paths does the translation
+        groups: dict[str, list[str]] = {}
+        for f in todo:
+            proto = f.split("://", 1)[0] if _fs.is_uri(f) else ""
+            groups.setdefault(proto, []).append(f)
+        parts = []
+        for grp in groups.values():
+            read_paths, read_kwargs = _fs.ray_read_paths(grp)
+            parts.append(reader(read_paths, **read_kwargs))
+        ds = parts[0]
+        for extra in parts[1:]:
+            ds = ds.union(extra)
         frags = write_dataset_fragments(
             table._constrained(ds),
             table.table_dir,

@@ -22,9 +22,11 @@ until an action is chosen):
    (``ops/dedupdocs.py`` records every sweep, no-ops included):
    repacks and re-sorts keep the row count and never trigger a
    re-scan.
-5. **token blooms** (opt-in via ``token_blooms=True``) — rebuild the
-   needle-index sidecars for fragments the rewrites above produced
-   (``ops/tokindex.py``); no-op on an untouched table.
+5. **token blooms** (opt-in via ``token_blooms=True``) — fill in the
+   needle-index sidecars for every fragment missing one
+   (``ops/tokindex.py``): after this cycle's rewrites that means the
+   rewritten fragments, but on a table whose index was never built it
+   is a FULL one-time build; no-op on an untouched indexed table.
 6. **expire** — drop old snapshots per the retention knobs and GC
    unreferenced files.
 

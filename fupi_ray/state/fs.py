@@ -219,14 +219,13 @@ def isdir(path: str) -> bool:
     return os.path.isdir(path)
 
 
-def mtime(path: str) -> float:
-    """Modification time as a unix timestamp. Protocols that do not
-    expose one (or expose it oddly) report NOW — for the GC callers
-    that means "too young to delete", the safe direction."""
+def mtime_strict(path: str) -> float | None:
+    """Modification time as a unix timestamp, or None when the
+    protocol exposes none — callers that would bake the value into an
+    IDENTITY (ingest ledgers) must treat None as "unavailable", not
+    fabricate one."""
     if not is_uri(path):
         return os.path.getmtime(path)
-    import time as _time
-
     f, p = get_fs(path)
     try:
         m = f.modified(p)
@@ -241,7 +240,34 @@ def mtime(path: str) -> float:
                 return v.timestamp() if hasattr(v, "timestamp") else float(v)
         except Exception:
             pass
+        return None
+
+
+def mtime(path: str) -> float:
+    """Like :func:`mtime_strict` but protocols without one report NOW —
+    for the GC callers that means "too young to delete", the safe
+    direction."""
+    m = mtime_strict(path)
+    if m is None:
+        import time as _time
+
         return _time.time()
+    return m
+
+
+def ray_read_paths(paths) -> tuple[list, dict]:
+    """``(paths, read_kwargs)`` for handing a SAME-protocol path list
+    to a ``ray.data.read_*`` planner: URI lists get one fsspec-backed
+    pyarrow filesystem (pickles into the read tasks) plus
+    protocol-stripped paths — the readers reject URI strings outright.
+    Plain local lists pass through untouched. One shared helper so the
+    idiom cannot drift between Table.scan, the DV read path and
+    ingest."""
+    paths = list(paths)
+    if not paths or not is_uri(paths[0]):
+        return paths, {}
+    filesystem, _ = arrow_fs(paths[0])
+    return [get_fs(p)[1] for p in paths], {"filesystem": filesystem}
 
 
 def rm_dir(path: str) -> None:

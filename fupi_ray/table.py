@@ -545,14 +545,11 @@ class Table:
                         # target-sized fragment keeps the read fused with the
                         # consumer and makes the fragment the parallelism unit
                         kwargs["override_num_blocks"] = len(paths)
-                if _fs.is_uri(self.table_dir):
-                    # route every scheme through one fsspec-backed pyarrow
-                    # filesystem; the wrapper pickles into the read tasks so
-                    # worker processes resolve the same protocol (S8)
-                    filesystem, _ = _fs.arrow_fs(self.table_dir)
-                    kwargs["filesystem"] = filesystem
-                    paths = [_fs.get_fs(p)[1] for p in paths]
-                ds = ray.data.read_parquet(paths, **kwargs)
+                # route every scheme through one fsspec-backed pyarrow
+                # filesystem; the wrapper pickles into the read tasks so
+                # worker processes resolve the same protocol (S8)
+                paths, fs_kwargs = _fs.ray_read_paths(paths)
+                ds = ray.data.read_parquet(paths, **kwargs, **fs_kwargs)
                 if missing or plain_mask_cols or renames or casts:
                     ds = ds.map_batches(
                         make_pad(apply_pred=not pushdown, mcols=plain_mask_cols),

@@ -242,3 +242,18 @@ def test_ingest_uri_landing(tmp_path, tmp_table_dir):
     # string is part of the identity), so dedup is per-addressing-form
     led = current_ledger(t)
     assert all(e.startswith("file://") for e in led)
+
+
+def test_mixed_plain_and_uri_batch(tmp_path, tmp_table_dir):
+    a = _write_parquet(tmp_path / "a.parquet", 0, 10)
+    b = _write_parquet(tmp_path / "b.parquet", 10, 14)
+    t = Table.create(tmp_table_dir)
+    # one plan per protocol: plain + file:// in one batch must load both
+    r = ingest_files(t, [a, f"file://{b}"])
+    assert r["files_ingested"] == 2 and _rows(t) == 14
+
+
+def test_memory_uri_landing_rejected(tmp_table_dir):
+    t = Table.create(tmp_table_dir)
+    with pytest.raises(ValueError, match="process-local"):
+        ingest_files(t, ["memory://landing/a.parquet"])
