@@ -517,23 +517,25 @@ class SimHashStage:
             return pa.table(
                 {
                     "id": pa.array([], pa.int64()),
-                    "band": pa.array([], pa.int32()),
                     "band_key": pa.array([], pa.int64()),
                     "simhash": pa.array([], pa.int64()),
                 }
             )
         W, _, lengths = tk.flat_word_hashes(batch[self.text_col])
         sh = tk.simhash_values(W, lengths)  # (n,) uint64
-        bands = np.tile(np.arange(4, dtype=np.int32), n)
+        bands = np.tile(np.arange(4, dtype=np.uint64), n)
         sh_rep = np.repeat(sh, 4)
-        key = ((sh_rep >> (bands.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)).astype(
-            np.int64
-        )
+        # band index folded into the key EXACTLY (2 bits + 16-bit
+        # slice = 18 bits): same groups, one fewer exchange column and
+        # sort key than shipping (band, slice) separately
+        key = (
+            (bands << np.uint64(16))
+            | ((sh_rep >> (bands * np.uint64(16))) & np.uint64(0xFFFF))
+        ).astype(np.int64)
         take = pa.array(np.repeat(np.arange(n, dtype=np.int64), 4))
         return pa.table(
             {
                 "id": batch[self.id_col].take(take),
-                "band": pa.array(bands, pa.int32()),
                 "band_key": pa.array(key, pa.int64()),
                 "simhash": pa.array(sh_rep.view(np.int64), pa.int64()),
             }
@@ -558,8 +560,7 @@ def simhash_candidates(
         if batch.num_rows == 0:
             return batch.append_column("_bucket", pa.array([], pa.int32()))
         h = mix64(
-            stable_hash(batch["band"].to_numpy(zero_copy_only=False).astype(np.int64))
-            ^ stable_hash(batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64))
+            stable_hash(batch["band_key"].to_numpy(zero_copy_only=False).astype(np.int64))
         )
         return batch.append_column(
             "_bucket", pa.array((h % np.uint64(64)).astype(np.int32))
@@ -567,13 +568,12 @@ def simhash_candidates(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         dtype = g["id"].dtype
-        g = g.sort_values(["band", "band_key", "id"], kind="mergesort")
-        kb = g["band"].to_numpy()
+        g = g.sort_values(["band_key", "id"], kind="mergesort")
         kk = g["band_key"].to_numpy()
         ids = g["id"].to_numpy()
         sims = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
         change = np.ones(len(g), dtype=bool)
-        change[1:] = (kb[1:] != kb[:-1]) | (kk[1:] != kk[:-1])
+        change[1:] = kk[1:] != kk[:-1]
         starts = np.nonzero(change)[0]
         sizes = np.diff(np.append(starts, len(g)))
         rows_a, rows_b = [], []
