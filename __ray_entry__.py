@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_rollback": lake.q_lake_rollback,
         "lake_matview": lake.q_lake_matview,
         "lake_fork": lake.q_lake_fork,
+        "lake_fork_merge": lake.q_lake_fork_merge,
         "lake_changelog": lake.q_lake_changelog,
         "lake_cdc_apply": lake.q_lake_cdc_apply,
         "lake_bucket_join": lake.q_lake_bucket_join,
@@ -65,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "json_extract": q.q_json_extract,
-        "quality": q.q_quality,
         "bpe_tokens": q.q_bpe_tokens,
         "redact": q.q_redact,
         "fingerprint_fast": q.q_fingerprint_fast,
@@ -98,11 +98,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CORRECTNESS_r03 — and every relational query at the tail) or
         # rows-only by design with no SQL twin to lose (embed_search,
         # minhash, simhash, ivf_topk, rolling_fp) — nothing
-        # oracle-checkable and unchecked is displaced. lake_ingest and
-        # lake_keyword_index (new in r4) displaced the r3-green
-        # sample_exact_n and langid.
+        # oracle-checkable and unchecked is displaced. lake_ingest,
+        # lake_keyword_index and lake_fork_merge (new in r4) displaced
+        # the r3-green sample_exact_n, langid and quality.
         "sample_exact_n": q.q_sample_exact_n,
         "langid": q.q_langid,
+        "quality": q.q_quality,
         "token_stats": q.q_token_stats,
         "group_quantiles": q.q_group_quantiles,
         "decontaminate": q.q_decontaminate,
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_rollback": lake.SQL_LAKE_ROLLBACK,
         "lake_matview": lake.SQL_LAKE_MATVIEW,
         "lake_fork": lake.SQL_LAKE_FORK,
+        "lake_fork_merge": lake.SQL_LAKE_FORK_MERGE,
         "lake_changelog": lake.SQL_LAKE_CHANGELOG,
         "lake_cdc_apply": lake.SQL_LAKE_CDC_APPLY,
         "lake_wap": lake.SQL_LAKE_WAP,

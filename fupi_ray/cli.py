@@ -55,7 +55,7 @@ def main(argv=None) -> int:
             "delete", "update", "rollback", "changelog", "replicate",
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
-            "fork", "drop-fork", "bucket", "constrain", "unconstrain",
+            "fork", "drop-fork", "merge-fork", "bucket", "constrain", "unconstrain",
             "inspect", "maintain", "fsck",
         ],
     )
@@ -181,7 +181,16 @@ def main(argv=None) -> int:
         "dedup-docs/decontaminate",
     )
     p.add_argument("--view", help="matview/refresh-view: view table dir")
-    p.add_argument("--fork-dir", help="fork/drop-fork: the fork's table dir")
+    p.add_argument("--fork-dir", help="fork/drop-fork/merge-fork: the fork's table dir")
+    p.add_argument(
+        "--on-conflict", default="error", choices=["error", "fork"],
+        help="merge-fork: refuse when both sides changed a key (error) "
+        "or let the fork's version win (fork)",
+    )
+    p.add_argument(
+        "--drop", action="store_true",
+        help="merge-fork: release the fork's pin on success",
+    )
     p.add_argument("--name", help="fork: ref name (default: fork dir basename)")
     p.add_argument("--group-col", help="matview: GROUP BY column")
     p.add_argument(
@@ -575,6 +584,25 @@ def main(argv=None) -> int:
         fork = Table.open(args.fork_dir)
         drop_fork(t, fork)
         out["dropped"] = True
+    elif args.op == "merge-fork":
+        import os
+
+        from fupi_ray.ops import fork_source, merge_fork
+
+        if not args.fork_dir:
+            p.error("merge-fork requires --fork-dir")
+        fork = Table.open(args.fork_dir)
+        src_dir, _, _ = fork_source(fork)
+        if os.path.abspath(args.table) != os.path.abspath(src_dir):
+            p.error(f"--table {args.table} is not this fork's source {src_dir}")
+        out.update(
+            merge_fork(
+                fork,
+                on_conflict=args.on_conflict,
+                drop=args.drop,
+                job_id=args.job_id,
+            )
+        )
     elif args.op == "replicate":
         from fupi_ray.ops import apply_changelog
 

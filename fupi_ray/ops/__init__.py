@@ -11,7 +11,14 @@ from fupi_ray.ops.cluster import cluster
 from fupi_ray.ops.evolve import add_column, drop_column, rename_column, widen_column
 from fupi_ray.ops.export import export_training_shards, read_export_manifest
 from fupi_ray.ops.expire import expire_snapshots
-from fupi_ray.ops.fork import drop_fork, fork_base_version, fork_source, fork_table
+from fupi_ray.ops.fork import (
+    ForkConflict,
+    drop_fork,
+    fork_base_version,
+    fork_source,
+    fork_table,
+    merge_fork,
+)
 from fupi_ray.ops.fsck import check_table
 from fupi_ray.ops.ingest import current_ledger, ingest_files
 from fupi_ray.ops.tokindex import ensure_token_blooms, keyword_lookup
@@ -57,6 +64,8 @@ __all__ = [
     "fork_base_version",
     "fork_source",
     "fork_table",
+    "ForkConflict",
+    "merge_fork",
     "add_column",
     "drop_column",
     "rename_column",

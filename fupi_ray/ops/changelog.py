@@ -308,6 +308,26 @@ def changelog(
     return netted.union(exact) if exact is not None else netted
 
 
+def applied_version(
+    src: Table, dst: Table, from_version: int, to_version: int | None = None
+) -> int | None:
+    """The ``dst`` version at which this exact CDC window was already
+    applied (the ``cdc_apply`` watermark), or None. Callers that do
+    work BEFORE applying (e.g. merge-back conflict detection) check
+    this first so a retry can't re-diff against the apply commit
+    itself."""
+    to_version = src.latest_version() if to_version is None else to_version
+    stamp = _cdc_stamp(src, from_version, to_version)
+    for h in dst.history():
+        if h["properties"].get("cdc_apply") == stamp:
+            return h["version"]
+    return None
+
+
+def _cdc_stamp(src: Table, from_version: int, to_version: int) -> str:
+    return f"{src.table_dir.rstrip('/')}@{from_version}->{to_version}"
+
+
 def apply_changelog(
     src: Table,
     dst: Table,
@@ -344,10 +364,10 @@ def apply_changelog(
     from fupi_ray.table import write_dataset_fragments
 
     to_version = src.latest_version() if to_version is None else to_version
-    stamp = f"{src.table_dir.rstrip('/')}@{from_version}->{to_version}"
-    for h in dst.history():
-        if h["properties"].get("cdc_apply") == stamp:
-            return h["version"]
+    done = applied_version(src, dst, from_version, to_version)
+    if done is not None:
+        return done
+    stamp = _cdc_stamp(src, from_version, to_version)
 
     ch = changelog(src, from_version, to_version, net=True).materialize()
     # Dataset.unique returns None on an empty dataset

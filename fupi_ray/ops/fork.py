@@ -137,3 +137,93 @@ def drop_fork(src: Table, fork: Table) -> None:
     forked snapshot, so the fork must not be read anymore."""
     _, _, pin_name = fork_source(fork)
     src.unpin(pin_name)
+
+
+class ForkConflict(RuntimeError):
+    """The source changed keys the fork also changed since the fork
+    point; a default merge refuses rather than silently overwriting."""
+
+    def __init__(self, keys):
+        super().__init__(
+            f"{len(keys)} key(s) changed on BOTH sides since the fork "
+            f"point (first: {sorted(keys)[:3]}); pass "
+            "on_conflict='fork' to let the fork win"
+        )
+        self.keys = keys
+
+
+def merge_fork(
+    fork: Table,
+    *,
+    key: str = "doc_id",
+    on_conflict: str = "error",
+    drop: bool = False,
+    job_id: str | None = None,
+) -> dict:
+    """Merge a fork's divergence back into its source — the other half
+    of the branch workflow (``fork_table`` is checkout, this is the
+    merge commit): the fork's NETTED changelog since the fork point
+    replays onto the source as one atomic keyed upsert
+    (``ops/changelog.apply_changelog`` — exactly-once under retry via
+    its ``cdc_apply`` stamp; O(changed keys), never O(table)).
+
+    ``on_conflict='error'`` (default) first diffs the SOURCE since the
+    fork point and refuses with :class:`ForkConflict` when any key
+    changed on both sides — the data-table analogue of a non
+    fast-forward refusal. ``on_conflict='fork'`` lets the fork's
+    version of conflicting keys win. Keys only the source changed are
+    always preserved; keys only the fork changed always merge.
+
+    ``drop=True`` releases the fork's pin on success (the fork
+    directory itself stays; see :func:`drop_fork`).
+    """
+    if on_conflict not in ("error", "fork"):
+        raise ValueError(f"on_conflict must be 'error' or 'fork', got {on_conflict!r}")
+    from fupi_ray.ops.changelog import applied_version, changelog
+
+    src_dir, src_fork_v, _pin = fork_source(fork)
+    src = Table.open(src_dir, fork.config)
+    base = fork_base_version(fork)
+
+    # retry of an already-applied merge: answer from the watermark
+    # BEFORE diffing — the source's own cdc_apply commit would
+    # otherwise read as a conflicting source-side change
+    done = applied_version(fork, src, base)
+    if done is not None:
+        if drop:
+            drop_fork(src, fork)
+        return {
+            "version": done,
+            "keys_merged": 0,
+            "source": src_dir,
+            "fork_base": base,
+            "dropped": drop,
+            "already_applied": True,
+        }
+
+    fork_ch = changelog(fork, base).materialize()
+    fork_keys = set(fork_ch.unique(key) or []) if fork_ch.count() else set()
+    conflicts: set = set()
+    if fork_keys and on_conflict == "error":
+        src_ch = changelog(src, src_fork_v).materialize()
+        src_keys = set(src_ch.unique(key) or []) if src_ch.count() else set()
+        conflicts = fork_keys & src_keys
+        if conflicts:
+            raise ForkConflict(conflicts)
+
+    from fupi_ray.ops.changelog import apply_changelog
+
+    version = (
+        apply_changelog(fork, src, base, key=key, job_id=job_id)
+        if fork_keys
+        else src.latest_version()
+    )
+    if drop:
+        drop_fork(src, fork)
+    return {
+        "version": version,
+        "keys_merged": len(fork_keys),
+        "source": src_dir,
+        "fork_base": base,
+        "dropped": drop,
+    }

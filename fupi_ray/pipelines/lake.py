@@ -1306,3 +1306,55 @@ SQL_LAKE_KEYWORD_INDEX = f"""
 SELECT {_DOC_SQL} AS doc_id, source, CAST(n_chars AS BIGINT) AS n_tok
 FROM documents WHERE doc_id <= (SELECT max(doc_id) // 10 FROM documents)
 """
+
+
+def q_lake_fork_merge(sf_dir: str):
+    """Branch workflow as a query (``ops.fork_table`` + ``ops.
+    merge_fork``): fork the table zero-copy, retag the long tail and
+    append a branch-only batch ON THE FORK (source untouched — asserted
+    inline), then merge back; the conflict detector must also refuse a
+    both-sides edit before the fork-wins override is requested. Oracle:
+    the source after the merge — retagged tail ∪ branch rows."""
+    from fupi_ray.ops import ForkConflict, fork_table, merge_fork, update_where
+
+    t = _build(sf_dir, "forkmerge")
+    before = t.latest_version()
+    fork = fork_table(t, _tmp_table(sf_dir, "forkmerge-dev"), name="dev")
+    update_where(fork, [("n_tok", ">", 300)], {"source": "branch-tag"})
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+
+    def mk_new(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        m = ids % 11 == 0
+        return sequences_batch(
+            ids[m] + 4_000_000, n[m] + 1, ["branch"] * int(m.sum()), salt=107
+        )
+
+    fork.commit_append(docs.map_batches(mk_new, batch_format="pyarrow"))
+    assert t.latest_version() == before, "fork edits must not touch the source"
+
+    # a source-side edit on overlapping keys must REFUSE by default
+    update_where(t, [("n_tok", ">", 450)], {"source": "src-tag"})
+    try:
+        merge_fork(fork)
+        raise AssertionError("both-sides edit must raise ForkConflict")
+    except ForkConflict:
+        pass
+    res = merge_fork(fork, on_conflict="fork", drop=True)
+    assert res["keys_merged"] > 0 and t.latest_version() == res["version"]
+    return canonical_scan(t)
+
+
+SQL_LAKE_FORK_MERGE = f"""
+SELECT {_DOC_SQL} AS doc_id,
+       CASE WHEN n_chars > 300 THEN 'branch-tag' ELSE source END AS source,
+       CAST(n_chars AS BIGINT) AS n_tok
+FROM documents
+UNION ALL
+SELECT 'doc-' || lpad(CAST(doc_id + 4000000 AS VARCHAR), 12, '0') AS doc_id,
+       'branch' AS source, CAST(n_chars + 1 AS BIGINT) AS n_tok
+FROM documents WHERE doc_id % 11 = 0
+"""

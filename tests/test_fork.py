@@ -124,3 +124,56 @@ def test_fork_from_relative_source_dir(tmp_path, monkeypatch):
     n = fork.scan().count()
     monkeypatch.chdir("/")
     assert Table.open(str(tmp_path / "dev")).scan().count() == n == 500
+
+
+def test_merge_fork_clean_and_idempotent(src, tmp_path):
+    from fupi_ray.ops import merge_fork
+
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    delete_where(fork, [("source", "=", "books")], mode="dv")
+    update_where(fork, [("n_tok", ">", 800)], {"source": "long"})
+    fork.commit_append(sequences_dataset(50, start=90_000))
+    r = merge_fork(fork)
+    pd.testing.assert_frame_equal(canon(src), canon(fork))
+    assert r["keys_merged"] > 0 and r["version"] == src.latest_version()
+    # idempotent rerun (cdc_apply watermark)
+    assert merge_fork(fork)["version"] == r["version"]
+
+
+def test_merge_fork_conflict_detection(src, tmp_path):
+    from fupi_ray.ops import ForkConflict, merge_fork
+
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    # both sides touch n_tok>900 keys: default merge must refuse
+    update_where(fork, [("n_tok", ">", 900)], {"source": "fork-side"})
+    update_where(src, [("n_tok", ">", 900)], {"source": "src-side"})
+    with pytest.raises(ForkConflict):
+        merge_fork(fork)
+    # fork-wins override applies the fork's version of the keys
+    r = merge_fork(fork, on_conflict="fork")
+    got = canon(src)
+    assert (got.loc[got.n_tok > 900, "source"] == "fork-side").all()
+    assert r["keys_merged"] > 0
+
+
+def test_merge_fork_disjoint_sides_no_conflict(src, tmp_path):
+    from fupi_ray.ops import merge_fork
+
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    update_where(fork, [("n_tok", "<", 100)], {"source": "fork-low"})
+    update_where(src, [("n_tok", ">", 900)], {"source": "src-high"})
+    r = merge_fork(fork, drop=True)
+    got = canon(src)
+    # both sides' disjoint edits survive the merge
+    assert (got.loc[got.n_tok < 100, "source"] == "fork-low").all()
+    assert (got.loc[got.n_tok > 900, "source"] == "src-high").all()
+    assert r["dropped"] and f"fork-dev" not in src.pins()
+
+
+def test_merge_fork_nothing_to_merge(src, tmp_path):
+    from fupi_ray.ops import merge_fork
+
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    v0 = src.latest_version()
+    r = merge_fork(fork)
+    assert r["version"] == v0 and r["keys_merged"] == 0
