@@ -136,6 +136,16 @@ def mix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> np.uint64(31))
 
 
+def band_salts(bands: int) -> np.ndarray:
+    """Per-band fold salts for LSH banding: the band INDEX is folded
+    into the 64-bit band key instead of shipped as its own exchange
+    column. ONE shared definition — both MinHash banding paths
+    (ops/dedupdocs.band_rows, stages/dedup.MinHashStage) must stay
+    bit-identical or their keys silently diverge."""
+    with np.errstate(over="ignore"):
+        return mix64(np.arange(1, bands + 1, dtype=np.uint64) * _M1)
+
+
 def mix64_into(x: np.ndarray, tmp: np.ndarray, out: np.ndarray) -> np.ndarray:
     """``mix64`` with caller-provided scratch: identical math (splitmix64
     finalizer), zero allocations. ``tmp``/``out`` must match ``x``'s

@@ -335,6 +335,8 @@ def apply_changelog(
     to_version: int | None = None,
     key: str = "doc_id",
     job_id: str | None = None,
+    changelog_ds=None,
+    expected_parent: int | None = None,
 ) -> int:
     """Replicate ``src``'s changes in ``(from_version, to_version]``
     onto ``dst`` in ONE atomic commit — the consumer half of the CDC
@@ -357,10 +359,19 @@ def apply_changelog(
     the per-fragment bloom probe then skips most of dst without
     reading Parquet). The readd path streams: insert rows go straight
     from the changelog scan into dst fragments, no driver data path.
+
+    ``changelog_ds`` lets a caller that already materialized this
+    exact window's netted changelog (``merge_fork`` does, for conflict
+    detection) pass it in instead of paying the scan+netting twice.
+    ``expected_parent`` pins the commit to a ``dst`` version the
+    caller validated against (conflict checks): if ``dst`` advanced
+    past it before the plan, the apply fails with ``CommitError``
+    instead of silently overwriting the interleaved commit.
     """
     import pyarrow.compute as pc
 
     from fupi_ray.ops.mutate import _plan_mutation
+    from fupi_ray.state.commit import CommitError
     from fupi_ray.table import write_dataset_fragments
 
     to_version = src.latest_version() if to_version is None else to_version
@@ -369,7 +380,11 @@ def apply_changelog(
         return done
     stamp = _cdc_stamp(src, from_version, to_version)
 
-    ch = changelog(src, from_version, to_version, net=True).materialize()
+    ch = (
+        changelog(src, from_version, to_version, net=True).materialize()
+        if changelog_ds is None
+        else changelog_ds
+    )
     # Dataset.unique returns None on an empty dataset
     keys = sorted(set(ch.unique(key) or [])) if ch.count() else []
 
@@ -383,6 +398,14 @@ def apply_changelog(
     if keys:
         parent, removed, added, props = _plan_mutation(
             dst, [(key, "in", keys)], None, "cdc_apply", job_id
+        )
+    if expected_parent is not None and parent != expected_parent:
+        # the caller's conflict check ran against expected_parent; a
+        # commit landed in between — surface it rather than plan the
+        # rewrite over state nobody validated
+        raise CommitError(
+            f"dst advanced v{expected_parent} -> v{parent} between the "
+            "caller's validation and the apply; retry"
         )
     ins = ch.map_batches(only_inserts, batch_format="pyarrow")
     n_ins = ins.count()

@@ -22,7 +22,7 @@ Scale shape (the whole point):
    working set of everything downstream.
 2. **Banding runs on the signature table, not the corpus** — band keys
    are a pure function of the signature. Band rows carry only
-   ``(id, band, band_key)`` (~40B), NOT the signature: measured 7×
+   ``(id, band_key)`` (~40B), NOT the signature: measured 7×
    less exchange volume than shipping the signature with every band
    row, because each doc emits ``bands`` rows. One hash-bucket
    exchange groups identical band keys; per group, candidate (a<b)
@@ -61,7 +61,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from fupi_ray.functions import textkernels as tk
-from fupi_ray.functions.hashing import mix64
+from fupi_ray.functions.hashing import band_salts, mix64
 from fupi_ray.ops.join import enrich_join
 from fupi_ray.ops.merge import merge_into
 from fupi_ray.schema import _unwrap_tensor
@@ -282,7 +282,7 @@ def band_rows(
     if num_perm % bands:
         raise ValueError("num_perm must be a multiple of bands")
     rpb = num_perm // bands
-    band_salt = mix64(np.arange(1, bands + 1, dtype=np.uint64) * _GOLDEN)
+    band_salt = band_salts(bands)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

@@ -174,56 +174,103 @@ def merge_fork(
     version of conflicting keys win. Keys only the source changed are
     always preserved; keys only the fork changed always merge.
 
+    SEQUENTIAL merges work like repeated ``git merge``: each success
+    records a sync point on the fork (a content-preserving
+    ``fork_sync`` commit carrying the source+fork versions it
+    synchronized), so the next merge replays only the divergence SINCE
+    the last merge and diffs the source only past its own apply commit
+    — neither the already-merged keys nor the merge's own ``cdc_apply``
+    commit ever read as conflicts.
+
     ``drop=True`` releases the fork's pin on success (the fork
     directory itself stays; see :func:`drop_fork`).
     """
     if on_conflict not in ("error", "fork"):
         raise ValueError(f"on_conflict must be 'error' or 'fork', got {on_conflict!r}")
-    from fupi_ray.ops.changelog import applied_version, changelog
+    from fupi_ray.ops.changelog import apply_changelog, applied_version, changelog
 
     src_dir, src_fork_v, _pin = fork_source(fork)
     src = Table.open(src_dir, fork.config)
-    base = fork_base_version(fork)
+    sync = _last_sync(fork)
+    base_fork = sync[1] if sync else fork_base_version(fork)
+    base_src = sync[0] if sync else src_fork_v
+    to_fork = fork.latest_version()
 
-    # retry of an already-applied merge: answer from the watermark
-    # BEFORE diffing — the source's own cdc_apply commit would
-    # otherwise read as a conflicting source-side change
-    done = applied_version(fork, src, base)
-    if done is not None:
+    def report(version: int, merged: int, already: bool = False) -> dict:
         if drop:
             drop_fork(src, fork)
-        return {
-            "version": done,
-            "keys_merged": 0,
+        out = {
+            "version": version,
+            "keys_merged": merged,
             "source": src_dir,
-            "fork_base": base,
+            "fork_base": base_fork,
             "dropped": drop,
-            "already_applied": True,
         }
+        if already:
+            out["already_applied"] = True
+        return out
 
-    fork_ch = changelog(fork, base).materialize()
+    # retry of an already-applied window: answer from the watermark
+    # BEFORE diffing (the apply commit would otherwise read as a
+    # conflicting source-side change), and complete the sync record a
+    # crash between apply and sync left missing
+    done = applied_version(fork, src, base_fork, to_fork)
+    if done is not None:
+        _record_sync(fork, done, to_fork)
+        return report(done, 0, already=True)
+
+    fork_ch = changelog(fork, base_fork, to_fork).materialize()
     fork_keys = set(fork_ch.unique(key) or []) if fork_ch.count() else set()
-    conflicts: set = set()
-    if fork_keys and on_conflict == "error":
-        src_ch = changelog(src, src_fork_v).materialize()
+    if not fork_keys:
+        return report(src.latest_version(), 0)
+    src_checked = src.latest_version()
+    if on_conflict == "error":
+        src_ch = changelog(src, base_src, src_checked).materialize()
         src_keys = set(src_ch.unique(key) or []) if src_ch.count() else set()
         conflicts = fork_keys & src_keys
         if conflicts:
             raise ForkConflict(conflicts)
 
-    from fupi_ray.ops.changelog import apply_changelog
-
-    version = (
-        apply_changelog(fork, src, base, key=key, job_id=job_id)
-        if fork_keys
-        else src.latest_version()
+    version = apply_changelog(
+        fork,
+        src,
+        base_fork,
+        to_fork,
+        key=key,
+        job_id=job_id,
+        changelog_ds=fork_ch,
+        # pin the apply to the version the conflict check (or, for
+        # on_conflict='fork', the caller's decision point) saw: a
+        # commit interleaving after it fails loudly instead of being
+        # silently overwritten
+        expected_parent=src_checked,
     )
-    if drop:
-        drop_fork(src, fork)
-    return {
-        "version": version,
-        "keys_merged": len(fork_keys),
-        "source": src_dir,
-        "fork_base": base,
-        "dropped": drop,
-    }
+    _record_sync(fork, version, to_fork)
+    return report(version, len(fork_keys))
+
+
+def _last_sync(fork: Table) -> tuple[int, int] | None:
+    """(source version, fork version) of the newest ``fork_sync``
+    commit, or None for a never-merged fork."""
+    for h in fork.history():  # newest-first
+        if h["operation"] == "fork_sync":
+            p = h["properties"]
+            return int(p["sync_src_version"]), int(p["sync_fork_version"])
+    return None
+
+
+def _record_sync(fork: Table, src_version: int, fork_version: int) -> None:
+    """Content-preserving commit marking (src_version, fork_version) as
+    merged — the base for the NEXT merge's diffs. Idempotent: skipped
+    when the newest sync already covers this fork version."""
+    last = _last_sync(fork)
+    if last is not None and last[1] >= fork_version:
+        return
+    fork._commit_rebasing(
+        "fork_sync",
+        lambda parent: fork.manifest(parent).fragments,
+        properties={
+            "sync_src_version": src_version,
+            "sync_fork_version": fork_version,
+        },
+    )

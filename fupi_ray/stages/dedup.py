@@ -29,7 +29,7 @@ import ray
 import ray.data
 
 from fupi_ray.functions import textkernels as tk
-from fupi_ray.functions.hashing import mix64, stable_hash
+from fupi_ray.functions.hashing import band_salts, mix64, stable_hash
 
 
 # ---------------------------------------------------------------------------
@@ -95,8 +95,8 @@ class MinHashStage:
     batch, gram mix-chains over the flat word array with doc-boundary
     masking, then per-doc minima via ``np.minimum.reduceat``
     (functions/textkernels.py). No per-document Python. Emits one row
-    per (doc, band): ``(id, band, band_key)`` — ready for the LSH
-    bucket groupby.
+    per (doc, band): ``(id, band_key)`` with the band index folded
+    into the key — ready for the LSH bucket groupby.
     """
 
     def __init__(
@@ -115,10 +115,7 @@ class MinHashStage:
         self.shingle = shingle_size
         rng = np.random.default_rng(seed)
         self.salts = rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
-        self.band_salt = mix64(
-            np.arange(1, bands + 1, dtype=np.uint64)
-            * np.uint64(0x9E3779B97F4A7C15)
-        )
+        self.band_salt = band_salts(bands)
         self.word_re = re.compile(r"\w+", re.U)
 
     # -- per-doc reference kernels (kept for tests / verify fallback) --
@@ -186,7 +183,7 @@ def minhash_lsh_candidates(
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
-    doc → (band, band_key) rows → groupby band bucket → pairs (a<b),
+    doc → (id, band_key) rows → groupby band bucket → pairs (a<b),
     then distinct pairs. The per-bucket pair fan-out is capped by
     bucket size; huge buckets (degenerate content) emit pairs against
     the bucket minimum only, keeping output linear.

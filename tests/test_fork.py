@@ -177,3 +177,53 @@ def test_merge_fork_nothing_to_merge(src, tmp_path):
     v0 = src.latest_version()
     r = merge_fork(fork)
     assert r["version"] == v0 and r["keys_merged"] == 0
+
+
+def test_merge_fork_sequential_merges(src, tmp_path):
+    """The review repro: merge, keep editing the fork, merge again —
+    the second merge must NOT read the first merge's keys (or its
+    cdc_apply commit on the source) as conflicts, and must replay only
+    the NEW divergence."""
+    from fupi_ray.ops import merge_fork
+
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    update_where(fork, [("n_tok", ">", 900)], {"source": "wave-1"})
+    r1 = merge_fork(fork)
+    assert r1["keys_merged"] > 0
+    # second wave on DISJOINT keys: no conflict, only wave-2 replays
+    update_where(fork, [("n_tok", "<", 100)], {"source": "wave-2"})
+    r2 = merge_fork(fork)
+    assert r2["keys_merged"] > 0
+    got = canon(src)
+    assert (got.loc[got.n_tok > 900, "source"] == "wave-1").all()
+    assert (got.loc[got.n_tok < 100, "source"] == "wave-2").all()
+    # a THIRD merge with nothing new is a no-op at the source's version
+    assert merge_fork(fork)["keys_merged"] == 0
+
+
+def test_merge_fork_refuses_interleaved_source_commit(src, tmp_path, monkeypatch):
+    """A source commit landing between the conflict check and the
+    apply must fail the merge loudly, never be silently overwritten."""
+    import importlib
+
+    # ops/__init__ re-exports a FUNCTION named `changelog`, shadowing
+    # the submodule attribute — resolve the module itself
+    ch_mod = importlib.import_module("fupi_ray.ops.changelog")
+    from fupi_ray.ops import merge_fork
+    from fupi_ray.state.commit import CommitError
+
+    fork = fork_table(src, str(tmp_path / "dev"), name="dev")
+    update_where(fork, [("n_tok", ">", 900)], {"source": "fork-side"})
+
+    real_apply = ch_mod.apply_changelog
+
+    def racing_apply(*a, **k):
+        # interleave a source commit INSIDE the race window
+        update_where(src, [("n_tok", ">", 950)], {"source": "racer"})
+        return real_apply(*a, **k)
+
+    import fupi_ray.ops.fork as fork_mod
+
+    monkeypatch.setattr(ch_mod, "apply_changelog", racing_apply)
+    with pytest.raises(CommitError, match="advanced"):
+        merge_fork(fork)
