@@ -91,7 +91,9 @@ def main(argv=None) -> int:
         "--incremental",
         action="store_true",
         help="dedup-docs: reuse per-fragment signature sidecars (token "
-        "bytes read only for fragments new since the last sweep)",
+        "bytes read only for fragments new since the last sweep); "
+        "cluster: re-sort only fragments not already carrying this "
+        "layout's cluster tag (the appended delta)",
     )
     p.add_argument(
         "--width",
@@ -291,7 +293,9 @@ def main(argv=None) -> int:
         out["version"] = compact(t, job_id=args.job_id)
     elif args.op == "cluster":
         t = Table.open(args.table)
-        out["version"] = cluster(t, curve=args.curve, job_id=args.job_id)
+        out["version"] = cluster(
+            t, curve=args.curve, job_id=args.job_id, incremental=args.incremental
+        )
     elif args.op == "maintain":
         # policy-driven one-call maintenance: compact → recluster on
         # drift (unless bucketed) → bucket-layout repair → growth-gated

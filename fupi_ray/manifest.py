@@ -124,6 +124,17 @@ class FragmentMeta:
     # rollback across a re-bucket, or a crash between the bucket commit
     # and its sidecar write, can never mix incompatible tags silently.
     bucket_sig: str | None = None
+    # clustering identity: "curve@bits" (e.g. "zorder@21") when this
+    # fragment was written by a cluster run under that layout and its
+    # internal order has been preserved since. Incremental reclustering
+    # (ops/cluster.py cluster(incremental=True)) re-sorts ONLY
+    # fragments whose tag doesn't match — at 10^12-sequence scale a
+    # full recluster after every append is a full-table rewrite; the
+    # tag bounds it to the appended delta. Ops that repack or reorder
+    # rows (compaction packs, COW rewrites) drop the tag
+    # conservatively; omitted from the manifest when None so
+    # pre-feature manifests stay byte-identical.
+    cluster_sig: str | None = None
 
     def to_dict(self) -> dict:
         d = asdict(self)
@@ -136,6 +147,8 @@ class FragmentMeta:
             d.pop("bucket")
         if self.bucket_sig is None:
             d.pop("bucket_sig")
+        if self.cluster_sig is None:
+            d.pop("cluster_sig")
         return d
 
     @staticmethod
@@ -154,6 +167,7 @@ class FragmentMeta:
             col_types=d.get("col_types"),
             bucket=d.get("bucket"),
             bucket_sig=d.get("bucket_sig"),
+            cluster_sig=d.get("cluster_sig"),
         )
 
     @property

@@ -90,12 +90,19 @@ class KeyInterleaver:
         return batch.append_column("_ckey", pa.array(key.astype(np.int64)))
 
 
-def _column_stats(table: Table, version: int) -> dict:
+def _column_stats(
+    table: Table, version: int, frags: list | None = None,
+    manifest_ids: dict | None = None,
+) -> dict:
     """One column-pruned pass → source dictionary + n_tok quantiles.
 
     Per-block partial stats (distinct sources + a bounded n_tok
     sample) combine on the driver — the reduced stream is one tiny row
-    per block, never the column itself.
+    per block, never the column itself. ``frags`` restricts the pass to
+    those fragments (incremental reclustering keys only the delta, so
+    its stats read only the delta — encodings need not match earlier
+    runs: per-fragment zone-map pruning depends only on each output
+    fragment's own key hyper-rectangle, never on cross-run key spaces).
     """
     import json
 
@@ -110,9 +117,20 @@ def _column_stats(table: Table, version: int) -> dict:
             }
         )
 
+    if frags is None:
+        ds = table.scan(version, columns=["source", "n_tok"])
+    else:
+        from fupi_ray.ops import dv as _dvmod
+
+        with _READ_LOCK:
+            ds = _dvmod.fragments_dataset(
+                table.table_dir,
+                frags,
+                columns=["source", "n_tok"],
+                manifest_ids=manifest_ids,
+            )
     rows = (
-        table.scan(version, columns=["source", "n_tok"])
-        .map_batches(stats_fn, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(stats_fn, batch_format="pyarrow", zero_copy_batch=True)
         .take_all()
     )
     sources: set[str] = set()
@@ -251,6 +269,7 @@ def cluster(
     version: int | None = None,
     job_id: str | None = None,
     group_bytes: int | str | None = "auto",
+    incremental: bool = False,
 ) -> int:
     """Rewrite the table clustered by the interleaved key; new version.
 
@@ -267,6 +286,18 @@ def cluster(
     global sort. Pass ``group_bytes=None`` (or set the config field to
     None) to force the single global sort — strict total curve order —
     at any size.
+
+    ``incremental=True`` re-sorts ONLY fragments not already carrying
+    this layout's ``cluster_sig`` tag ("curve@bits") — the appended /
+    rewritten delta since the last cluster run. Already-clustered
+    fragments keep their files, zone maps and curve order untouched
+    (pruning quality per fragment depends only on its own key
+    hyper-rectangle, never on cross-fragment order, so sorting the
+    delta independently preserves it). A fully-clustered table is a
+    no-op returning the current version with no commit. This is the
+    scale path for clustered-table upkeep: a full recluster of a
+    10^12-sequence table after every append is a full-table rewrite;
+    the incremental run is O(delta).
     """
     import time
 
@@ -282,7 +313,17 @@ def cluster(
     cfg = table.config
     parent = table.latest_version() if version is None else version
     m = table.manifest(parent)
-    job_id = job_id or f"cluster-{curve}-v{parent}"
+    sig = f"{curve}@{cfg.cluster_bits}"
+    targets = (
+        [f for f in m.fragments if f.cluster_sig != sig]
+        if incremental
+        else list(m.fragments)
+    )
+    if incremental and not targets:
+        return parent  # fully clustered under this layout: no-op
+    job_id = job_id or (
+        f"cluster-inc-{curve}-v{parent}" if incremental else f"cluster-{curve}-v{parent}"
+    )
     phase_t: dict[str, float] = {}
     t_last = time.perf_counter()
 
@@ -292,14 +333,31 @@ def cluster(
         phase_t[phase] = round(now - t_last, 3)
         t_last = now
 
-    enc_ref = ray.put(_column_stats(table, parent))
+    # delta-only stats pass when every target fragment physically
+    # carries both key columns (after renames); pre-evolution stragglers
+    # fall back to the schema-padding full scan
+    stats_frags: list | None = targets if incremental else None
+    if stats_frags is not None:
+        for f in stats_frags:
+            if f.cols is None:
+                continue
+            rmap = f.rename_map(m.column_ids) if m.column_ids else {}
+            inv = {d: p for p, d in rmap.items()}
+            if not {inv.get("source", "source"), inv.get("n_tok", "n_tok")} <= set(
+                f.cols
+            ):
+                stats_frags = None
+                break
+    enc_ref = ray.put(
+        _column_stats(table, parent, frags=stats_frags, manifest_ids=m.column_ids)
+    )
     mark("stats")
 
     if group_bytes == "auto":
         group_bytes = cfg.cluster_group_bytes
     if group_bytes == "auto":
         group_bytes = cfg.cluster_auto_group_bytes
-    groups = _plan_groups(m.fragments, group_bytes)
+    groups = _plan_groups(targets, group_bytes)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -360,19 +418,24 @@ def cluster(
         with ThreadPoolExecutor(max_workers=workers) as pool:
             results = list(pool.map(run_group, range(len(groups)), groups))
     frags = [f for out in results for f in out]
+    for f in frags:
+        f.cluster_sig = sig  # curve-ordered as written: tag for incremental runs
     mark("sort_write")
 
-    old_paths = {f.path for f in m.fragments}
+    old_paths = {f.path for f in targets}
     return table.commit_fragment_swap(
         old_paths,
         frags,
-        operation=f"cluster-{curve}",
+        operation=f"cluster-{curve}" + ("-incremental" if incremental else ""),
         expected_parent=parent,
         properties={
             "curve": curve,
             "bits": cfg.cluster_bits,
             "sources": len(ray.get(enc_ref)["codes"]),
             "groups": len(groups),
+            "incremental": bool(incremental),
+            "fragments_in": len(targets),
+            "fragments_kept": len(m.fragments) - len(targets),
             "phase_seconds": phase_t,
         },
     )

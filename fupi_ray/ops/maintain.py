@@ -95,21 +95,31 @@ def maintain(
                 last_cluster = (v, props["curve"])
                 break
     if last_cluster is not None:
-        v_cl, curve = last_cluster
-        try:
-            clustered_paths = {f.path for f in table.manifest(v_cl).fragments}
-        except FileNotFoundError:
-            clustered_paths = None  # expired mid-call: defer to next run
-    if last_cluster is not None and clustered_paths is not None:
+        # drift = rows in fragments not carrying the layout's cluster
+        # tag (ops/cluster.py cluster_sig): appends, COW rewrites and
+        # compaction repacks drop the tag; DV mutations and untouched
+        # fragments keep it. Measured on the PRE-compact manifest (see
+        # m0 note above). Tables clustered before the tag existed read
+        # as fully drifted and pay one full re-sort, then settle.
+        _, curve = last_cluster
+        sig = f"{curve}@{table.config.cluster_bits}"
         total = sum(f.live_rows for f in m0.fragments) or 1
         drifted = sum(
-            f.live_rows for f in m0.fragments if f.path not in clustered_paths
+            f.live_rows for f in m0.fragments if f.cluster_sig != sig
         )
         if drifted / total > recluster_fraction:
+            # incremental: only the drifted fragments are re-sorted —
+            # the policy cadence then costs O(delta), not O(table)
             actions["recluster"] = {
-                "version": cluster(table, curve=curve, job_id=f"{job_id}-cluster"),
+                "version": cluster(
+                    table,
+                    curve=curve,
+                    job_id=f"{job_id}-cluster",
+                    incremental=True,
+                ),
                 "drift_fraction": round(drifted / total, 3),
                 "curve": curve,
+                "incremental": True,
             }
         else:
             actions["recluster"] = {"skipped": True, "drift_fraction": round(drifted / total, 3)}
