@@ -56,7 +56,7 @@ def main(argv=None) -> int:
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
             "fork", "drop-fork", "merge-fork", "bucket", "constrain", "unconstrain",
-            "inspect", "maintain", "fsck",
+            "inspect", "maintain", "fsck", "analyze",
         ],
     )
     p.add_argument("--table", required=True)
@@ -114,6 +114,13 @@ def main(argv=None) -> int:
         help="maintain: fill in missing needle-index token-bloom "
         "sidecars (rewritten fragments; a never-indexed table pays a "
         "one-time full build)",
+    )
+    p.add_argument(
+        "--analyze-columns",
+        nargs="+",
+        default=None,
+        help="analyze: columns to sketch (default doc_id source); "
+        "maintain: opt into NDV-sidecar upkeep for these columns",
     )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(
@@ -310,9 +317,22 @@ def main(argv=None) -> int:
                 older_than_seconds=args.older_than,
                 dedup_threshold=args.dedup_threshold,
                 token_blooms=args.token_blooms,
+                analyze_columns=args.analyze_columns,
                 job_id=args.job_id,
             )
         )
+    elif args.op == "analyze":
+        # NDV column statistics from per-fragment HLL sidecars: the
+        # ensure pass pays one column-pruned read per NEW fragment,
+        # then the estimate is metadata-only
+        from fupi_ray.ops import column_ndv
+
+        t = Table.open(args.table)
+        cols = tuple(args.analyze_columns or ("doc_id", "source"))
+        stats: dict = {}
+        out["ndv"] = column_ndv(t, columns=cols, stats_out=stats)
+        out.update(stats)
+        out["version"] = t.latest_version()
     elif args.op == "inspect":
         # metadata-table summary: snapshot log + per-fragment stats
         # (Table.files / Table.snapshots) + layout/invariant sidecars
@@ -331,6 +351,19 @@ def main(argv=None) -> int:
         out["constraints"] = read_constraints(t.table_dir)
         out["pins"] = t.pins()
         out["stages"] = [r.get("stage_id") for r in list_stages(t)]
+        # NDV from existing sidecars only (build=False): inspect stays
+        # metadata-cost; un-analyzed fragments are reported, not read
+        from fupi_ray.ops import column_ndv
+
+        ndv_stats: dict = {}
+        out["ndv"] = column_ndv(
+            t,
+            columns=("doc_id", "source"),
+            version=args.version,
+            build=False,
+            stats_out=ndv_stats,
+        )
+        out["ndv_fragments_missing"] = ndv_stats.get("fragments_missing")
         out["files"] = files.to_pylist() if files.num_rows <= 50 else files.slice(0, 50).to_pylist()
     elif args.op in ("constrain", "unconstrain"):
         # commit-time invariants: --where conjuncts become CHECK

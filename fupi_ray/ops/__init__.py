@@ -1,3 +1,4 @@
+from fupi_ray.ops.analyze import column_ndv, ensure_ndv_sketches
 from fupi_ray.ops.bucket import BucketLayoutError, bucket_join, bucket_table, read_layout
 from fupi_ray.ops.constraints import (
     ConstraintViolation,
@@ -38,6 +39,8 @@ from fupi_ray.ops.stage import (
 )
 
 __all__ = [
+    "column_ndv",
+    "ensure_ndv_sketches",
     "BucketLayoutError",
     "bucket_join",
     "bucket_table",

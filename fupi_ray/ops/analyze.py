@@ -1,0 +1,240 @@
+"""ANALYZE: per-fragment NDV (distinct-count) column statistics.
+
+The reference keeps no column statistics at all — LanceDB records only
+fragment row counts, and fupi never asks for more
+(/root/reference/fupi/embedders.py:119-128 just writes and compacts).
+At 100-TB scale per-column distinct counts drive planning decisions —
+broadcast vs shuffle join dispatch, bucket counts, whether a dedup key
+is worth bucketing — and computing them with an exact distinct
+exchange costs more than the decisions they optimize. Iceberg solves
+this by attaching NDV sketches to snapshots (Puffin stat files); this
+op is that shape for our manifests: each fragment gets an HLL register
+sidecar per analyzed column (``<fragment>.parquet.ndv``), and because
+register-max merge is associative and layout-independent, the
+table-level estimate needs only the sidecars (metadata-sized reads),
+never a second data pass — and is IDENTICAL however the same rows are
+partitioned across fragments.
+
+Same sidecar discipline as token blooms / dedup signature caches:
+fragments are immutable and content-addressed, so a sidecar is valid
+forever; ``ensure_ndv_sketches`` is incremental (only fragments
+missing one pay a read, and that read is column-pruned to the analyzed
+columns); a sidecar dies with its fragment (``ops/expire.py`` GC).
+
+Deletion vectors: registers cover PHYSICAL rows; deletes only shrink
+the true distinct set, so the estimate is a sound over-approximation —
+exactly the zone-map / bloom contract. NDV counts non-null values
+(the SQL ``COUNT(DISTINCT col)`` convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from fupi_ray.functions.sketches import hll_estimate, hll_merge, hll_partial
+from fupi_ray.manifest import FragmentMeta
+from fupi_ray.state import fs as _fs
+from fupi_ray.table import Table
+
+NDV_SUFFIX = ".ndv"
+DEFAULT_P = 12  # 4 KiB registers/column/fragment, ~1.6% relative error
+
+
+def ndv_path(parquet_abs_path: str) -> str:
+    return parquet_abs_path + NDV_SUFFIX
+
+
+def _read_valid_sidecar(
+    parquet_abs_path: str, p: int
+) -> dict[str, np.ndarray] | None:
+    """{column: registers} from a sidecar, or None for absent / torn /
+    wrong-precision content — which always means "rebuild me", never an
+    error (same contract as the bloom sidecars)."""
+    path = ndv_path(parquet_abs_path)
+    try:
+        if not _fs.exists(path):
+            return None
+        tbl = _fs.read_parquet_table(path)
+        meta = {
+            k.decode(): v.decode() for k, v in (tbl.schema.metadata or {}).items()
+        }
+        if meta.get("p") != str(p):
+            return None
+        out: dict[str, np.ndarray] = {}
+        for col, blob in zip(tbl["column"].to_pylist(), tbl["regs"].to_pylist()):
+            regs = np.frombuffer(blob, dtype=np.uint8)
+            if len(regs) != 1 << p:
+                return None
+            out[col] = regs
+        return out
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_sidecar(
+    parquet_abs_path: str, regs_by_col: dict[str, np.ndarray], p: int
+) -> None:
+    cols = sorted(regs_by_col)
+    tbl = pa.table(
+        {
+            "column": pa.array(cols),
+            "regs": pa.array([regs_by_col[c].tobytes() for c in cols], pa.binary()),
+        }
+    ).replace_schema_metadata({"p": str(p)})
+    try:
+        _fs.write_parquet(tbl, ndv_path(parquet_abs_path))
+    except OSError:
+        pass  # a failed cache write must never fail the analysis
+
+
+@ray.remote(num_cpus=1)
+def _stat_task(
+    table_dir: str, rel_paths: list[str], columns: list[str], p: int
+) -> list[bool]:
+    """Which fragments already hold a sidecar covering all requested
+    columns at this precision (parallel stats, like the bloom index)."""
+    out = []
+    for rel in rel_paths:
+        have = _read_valid_sidecar(_fs.join(table_dir, rel), p)
+        out.append(have is not None and set(columns) <= set(have))
+    return out
+
+
+@ray.remote(num_cpus=1)
+def _build_task(
+    table_dir: str, rel_path: str, phys_by_col: dict[str, str | None], p: int
+) -> None:
+    """Registers for one fragment's requested columns, column-pruned
+    read; merged into (not replacing) any columns an existing sidecar
+    already covers. A column this fragment physically lacks
+    (pre-evolution file) contributes empty registers — correct, since
+    scans surface it as all-null there."""
+    abs_path = _fs.join(table_dir, rel_path)
+    present = sorted({ph for ph in phys_by_col.values() if ph is not None})
+    tbl = _fs.read_parquet_table(abs_path, columns=present) if present else None
+    regs_by_col = _read_valid_sidecar(abs_path, p) or {}
+    for col, phys in phys_by_col.items():
+        if phys is None:
+            regs_by_col[col] = np.zeros(1 << p, dtype=np.uint8)
+        else:
+            regs_by_col[col] = hll_partial(tbl[phys].drop_null(), p)
+    _write_sidecar(abs_path, regs_by_col, p)
+
+
+@ray.remote(num_cpus=1)
+def _merge_task(
+    table_dir: str, rel_paths: list[str], columns: list[str], p: int
+) -> tuple[dict[str, np.ndarray], int]:
+    """Register-max over one chunk's sidecars; returns the merged
+    registers plus the count of fragments whose sidecar was missing a
+    requested column (their values are absent from the estimate)."""
+    acc = {c: np.zeros(1 << p, dtype=np.uint8) for c in columns}
+    missing = 0
+    for rel in rel_paths:
+        have = _read_valid_sidecar(_fs.join(table_dir, rel), p)
+        if have is None or not set(columns) <= set(have):
+            missing += 1
+            continue
+        for c in columns:
+            acc[c] = hll_merge(acc[c], have[c])
+    return acc, missing
+
+
+def _phys_names(
+    f: FragmentMeta, columns: list[str], manifest_ids: dict | None
+) -> dict[str, str | None]:
+    out: dict[str, str | None] = {}
+    for c in columns:
+        if f.col_ids is not None and manifest_ids:
+            out[c] = f.physical_name(c, manifest_ids)
+        else:
+            out[c] = c if (f.cols is None or c in f.cols) else None
+    return out
+
+
+_CHUNK = 64
+
+
+def ensure_ndv_sketches(
+    table: Table,
+    columns: tuple[str, ...] | list[str] = ("doc_id", "source"),
+    p: int = DEFAULT_P,
+    version: int | None = None,
+) -> dict:
+    """Build missing NDV sidecars for every fragment of ``version``
+    (default latest) covering ``columns``. Incremental: covered
+    fragments cost one stat; a sidecar covering only SOME requested
+    columns is extended in place (existing columns kept). Returns
+    ``{"built", "cached"}``."""
+    columns = list(columns)
+    m = table.manifest(version)
+    for c in columns:
+        if c not in m.schema_names:
+            raise ValueError(f"analyze: unknown column {c!r}")
+        t = m.schema_types[m.schema_names.index(c)]
+        if t.startswith("list") or t.startswith("tensor"):
+            raise ValueError(
+                f"analyze: {c!r} is a nested column; NDV sketches cover "
+                "scalar columns (hash the list to a scalar first)"
+            )
+    frags = [f for f in m.fragments if f.rows]
+    chunks = [frags[i : i + _CHUNK] for i in range(0, len(frags), _CHUNK)]
+    have = ray.get(
+        [
+            _stat_task.remote(table.table_dir, [f.path for f in ch], columns, p)
+            for ch in chunks
+        ]
+    )
+    todo = [f for ch, hs in zip(chunks, have) for f, h in zip(ch, hs) if not h]
+    refs = [
+        _build_task.remote(
+            table.table_dir, f.path, _phys_names(f, columns, m.column_ids), p
+        )
+        for f in todo
+    ]
+    if refs:
+        ray.get(refs)
+    return {"built": len(refs), "cached": len(frags) - len(refs)}
+
+
+def column_ndv(
+    table: Table,
+    columns: tuple[str, ...] | list[str] = ("doc_id", "source"),
+    p: int = DEFAULT_P,
+    version: int | None = None,
+    build: bool = True,
+    stats_out: dict | None = None,
+) -> dict[str, float]:
+    """Approximate distinct count per column, answered from the NDV
+    sidecars alone — no data pass when they exist. ``build=True``
+    (the default) first fills in missing sidecars, paying one
+    column-pruned read per NEW fragment — the steady-state cost after
+    appends. With ``build=False`` a fragment without a sidecar is
+    skipped and counted in ``stats_out["fragments_missing"]``: the
+    estimate is then a lower bound."""
+    columns = list(columns)
+    version = table.latest_version() if version is None else version
+    if build:
+        ensure_ndv_sketches(table, columns, p, version)
+    m = table.manifest(version)
+    frags = [f for f in m.fragments if f.rows]
+    chunks = [frags[i : i + _CHUNK] for i in range(0, len(frags), _CHUNK)]
+    parts = ray.get(
+        [
+            _merge_task.remote(table.table_dir, [f.path for f in ch], columns, p)
+            for ch in chunks
+        ]
+    )
+    acc = {c: np.zeros(1 << p, dtype=np.uint8) for c in columns}
+    missing = 0
+    for regs, miss in parts:
+        missing += miss
+        for c in columns:
+            acc[c] = hll_merge(acc[c], regs[c])
+    if stats_out is not None:
+        stats_out.update(
+            {"fragments_total": len(frags), "fragments_missing": missing, "p": p}
+        )
+    return {c: float(hll_estimate(acc[c])) for c in columns}

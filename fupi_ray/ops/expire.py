@@ -187,6 +187,11 @@ def expire_snapshots(
             # with its fragment, like the doc_id blooms
             if rel[: -len(".tokbloom")] in live_paths:
                 continue
+        elif name.endswith(".ndv"):
+            # NDV-sketch sidecar (ops/analyze.py): same fragment-
+            # liveness rule as blooms
+            if rel[: -len(".ndv")] in live_paths:
+                continue
         elif ".dv-" in name and name.endswith(".bin"):
             # deletion-vector sidecar: referenced-by-manifest liveness
             if rel in live_dvs:

@@ -27,7 +27,11 @@ until an action is chosen):
    (``ops/tokindex.py``): after this cycle's rewrites that means the
    rewritten fragments, but on a table whose index was never built it
    is a FULL one-time build; no-op on an untouched indexed table.
-6. **expire** — drop old snapshots per the retention knobs and GC
+6. **NDV stats** (opt-in via ``analyze_columns``) — same sidecar
+   cadence for the per-fragment distinct-count sketches
+   (``ops/analyze.py``), so table-level NDV stays answerable from
+   metadata across the maintenance lifecycle.
+7. **expire** — drop old snapshots per the retention knobs and GC
    unreferenced files.
 
 Ordering matters: compact before recluster (fewer, bigger inputs for
@@ -50,6 +54,7 @@ def maintain(
     dedup_threshold: float | None = None,
     dedup_fraction: float = 0.2,
     token_blooms: bool = False,
+    analyze_columns: tuple[str, ...] | list[str] | None = None,
     job_id: str | None = None,
 ) -> dict:
     """Run whatever maintenance the manifest says the table needs;
@@ -212,6 +217,16 @@ def maintain(
         from fupi_ray.ops.tokindex import ensure_token_blooms
 
         actions["token_blooms"] = ensure_token_blooms(table)
+
+    # NDV-statistics upkeep (opt-in): same sidecar cadence as the token
+    # blooms — after the rewrites, only fragments now lacking a sketch
+    # pay a column-pruned read; no-op on an untouched analyzed table
+    if analyze_columns:
+        from fupi_ray.ops.analyze import ensure_ndv_sketches
+
+        actions["analyze"] = ensure_ndv_sketches(
+            table, columns=tuple(analyze_columns)
+        )
 
     actions["expire"] = expire_snapshots(
         table, keep_last=keep_last, older_than_seconds=older_than_seconds
