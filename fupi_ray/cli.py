@@ -122,6 +122,20 @@ def main(argv=None) -> int:
         help="analyze: columns to sketch (default doc_id source); "
         "maintain: opt into NDV-sidecar upkeep for these columns",
     )
+    p.add_argument(
+        "--quantile-columns",
+        nargs="+",
+        default=None,
+        help="analyze: numeric columns to quantile-sketch (DDSketch "
+        "sidecars; ~1%% relative error, metadata-only estimates)",
+    )
+    p.add_argument(
+        "--quantiles",
+        nargs="+",
+        type=float,
+        default=[0.5, 0.95, 0.99],
+        help="analyze: quantiles to report for --quantile-columns",
+    )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(
         "--files",
@@ -325,13 +339,22 @@ def main(argv=None) -> int:
         # NDV column statistics from per-fragment HLL sidecars: the
         # ensure pass pays one column-pruned read per NEW fragment,
         # then the estimate is metadata-only
-        from fupi_ray.ops import column_ndv
+        from fupi_ray.ops import column_ndv, column_quantiles
 
         t = Table.open(args.table)
         cols = tuple(args.analyze_columns or ("doc_id", "source"))
         stats: dict = {}
         out["ndv"] = column_ndv(t, columns=cols, stats_out=stats)
         out.update(stats)
+        if args.quantile_columns:
+            qstats: dict = {}
+            out["quantiles"] = column_quantiles(
+                t,
+                columns=tuple(args.quantile_columns),
+                qs=tuple(args.quantiles),
+                stats_out=qstats,
+            )
+            out["quantile_fragments_missing"] = qstats["fragments_missing"]
         out["version"] = t.latest_version()
     elif args.op == "inspect":
         # metadata-table summary: snapshot log + per-fragment stats

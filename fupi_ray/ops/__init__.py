@@ -1,4 +1,9 @@
-from fupi_ray.ops.analyze import column_ndv, ensure_ndv_sketches
+from fupi_ray.ops.analyze import (
+    column_ndv,
+    column_quantiles,
+    ensure_ndv_sketches,
+    ensure_quantile_sketches,
+)
 from fupi_ray.ops.bucket import BucketLayoutError, bucket_join, bucket_table, read_layout
 from fupi_ray.ops.constraints import (
     ConstraintViolation,
@@ -40,7 +45,9 @@ from fupi_ray.ops.stage import (
 
 __all__ = [
     "column_ndv",
+    "column_quantiles",
     "ensure_ndv_sketches",
+    "ensure_quantile_sketches",
     "BucketLayoutError",
     "bucket_join",
     "bucket_table",

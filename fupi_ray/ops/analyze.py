@@ -238,3 +238,250 @@ def column_ndv(
             {"fragments_total": len(frags), "fragments_missing": missing, "p": p}
         )
     return {c: float(hll_estimate(acc[c])) for c in columns}
+
+
+# -- quantile sketches (DDSketch sidecars, same discipline as NDV) ------------
+#
+# Numeric column distributions drive the OTHER half of planning: range
+# predicates (selectivity from quantiles beats min/max alone), skew
+# detection before a sort/bucket, and sequence-length budgeting for
+# packing. Exact distributed quantiles need a (group,value) exchange
+# (queries.q_group_quantiles); the DDSketch sidecar answers table-level
+# quantiles from metadata-sized reads at a guaranteed relative error
+# (~1% at gamma=1.02), layout-independently. Sidecar file:
+# ``<fragment>.parquet.qsk``; one row per analyzed column with the
+# sparse bucket arrays as int64 blobs plus exact count/min/max/sum —
+# so COUNT/MIN/MAX/SUM/AVG over physical rows come for free.
+# Deletion vectors: like NDV, registers cover PHYSICAL rows; estimates
+# on a DV-carrying table describe the pre-delete distribution (the
+# documented zone-map over-approximation contract).
+
+from fupi_ray.functions.sketches import (  # noqa: E402
+    QSK_GAMMA,
+    qsk_empty,
+    qsk_merge,
+    qsk_partial,
+    qsk_quantiles,
+)
+
+QSK_SUFFIX = ".qsk"
+
+
+def qsk_path(parquet_abs_path: str) -> str:
+    return parquet_abs_path + QSK_SUFFIX
+
+
+_QSK_FIELDS = ("zero", "count", "vmin", "vmax", "sum")
+
+
+def _read_valid_qsk(parquet_abs_path: str, gamma: float) -> dict[str, dict] | None:
+    """{column: sketch-state} from a sidecar, or None for absent /
+    torn / wrong-gamma content (always "rebuild me", never an error)."""
+    path = qsk_path(parquet_abs_path)
+    try:
+        if not _fs.exists(path):
+            return None
+        tbl = _fs.read_parquet_table(path)
+        meta = {
+            k.decode(): v.decode() for k, v in (tbl.schema.metadata or {}).items()
+        }
+        if meta.get("gamma") != repr(gamma):
+            return None
+        out: dict[str, dict] = {}
+        for i in range(tbl.num_rows):
+            keys = np.frombuffer(tbl["keys"][i].as_py(), dtype=np.int64)
+            counts = np.frombuffer(tbl["counts"][i].as_py(), dtype=np.int64)
+            if len(keys) != len(counts):
+                return None
+            st = {"keys": keys, "counts": counts}
+            for f in _QSK_FIELDS:
+                st[f] = tbl[f][i].as_py()
+            out[tbl["column"][i].as_py()] = st
+        return out
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_qsk(
+    parquet_abs_path: str, states: dict[str, dict], gamma: float
+) -> None:
+    cols = sorted(states)
+    tbl = pa.table(
+        {
+            "column": pa.array(cols),
+            "keys": pa.array(
+                [states[c]["keys"].astype(np.int64).tobytes() for c in cols],
+                pa.binary(),
+            ),
+            "counts": pa.array(
+                [states[c]["counts"].astype(np.int64).tobytes() for c in cols],
+                pa.binary(),
+            ),
+            "zero": pa.array([int(states[c]["zero"]) for c in cols], pa.int64()),
+            "count": pa.array([int(states[c]["count"]) for c in cols], pa.int64()),
+            "vmin": pa.array([float(states[c]["vmin"]) for c in cols], pa.float64()),
+            "vmax": pa.array([float(states[c]["vmax"]) for c in cols], pa.float64()),
+            "sum": pa.array([float(states[c]["sum"]) for c in cols], pa.float64()),
+        }
+    ).replace_schema_metadata({"gamma": repr(gamma)})
+    try:
+        _fs.write_parquet(tbl, qsk_path(parquet_abs_path))
+    except OSError:
+        pass  # a failed cache write must never fail the analysis
+
+
+@ray.remote(num_cpus=1)
+def _qsk_stat_task(
+    table_dir: str, rel_paths: list[str], columns: list[str], gamma: float
+) -> list[bool]:
+    out = []
+    for rel in rel_paths:
+        have = _read_valid_qsk(_fs.join(table_dir, rel), gamma)
+        out.append(have is not None and set(columns) <= set(have))
+    return out
+
+
+@ray.remote(num_cpus=1)
+def _qsk_build_task(
+    table_dir: str, rel_path: str, phys_by_col: dict[str, str | None], gamma: float
+) -> None:
+    """Sketch one fragment's requested columns (column-pruned read);
+    merged into any columns an existing sidecar already covers. A
+    column this fragment physically lacks (pre-evolution file)
+    contributes an empty sketch — scans surface it as all-null there,
+    and sketches drop nulls."""
+    abs_path = _fs.join(table_dir, rel_path)
+    present = sorted({ph for ph in phys_by_col.values() if ph is not None})
+    tbl = _fs.read_parquet_table(abs_path, columns=present) if present else None
+    states = _read_valid_qsk(abs_path, gamma) or {}
+    for col, phys in phys_by_col.items():
+        if phys is None:
+            states[col] = qsk_empty()
+        else:
+            states[col] = qsk_partial(tbl[phys].drop_null(), gamma)
+    _write_qsk(abs_path, states, gamma)
+
+
+@ray.remote(num_cpus=1)
+def _qsk_merge_task(
+    table_dir: str, rel_paths: list[str], columns: list[str], gamma: float
+) -> tuple[dict[str, dict], int]:
+    acc = {c: qsk_empty() for c in columns}
+    missing = 0
+    for rel in rel_paths:
+        have = _read_valid_qsk(_fs.join(table_dir, rel), gamma)
+        if have is None or not set(columns) <= set(have):
+            missing += 1
+            continue
+        for c in columns:
+            acc[c] = qsk_merge(acc[c], have[c])
+    return acc, missing
+
+
+_NUMERIC_PREFIXES = ("int", "uint", "float", "double", "bool")
+
+
+def _check_numeric(m, columns: list[str]) -> None:
+    for c in columns:
+        if c not in m.schema_names:
+            raise ValueError(f"analyze: unknown column {c!r}")
+        t = m.schema_types[m.schema_names.index(c)]
+        if not t.startswith(_NUMERIC_PREFIXES):
+            raise ValueError(
+                f"analyze: {c!r} has type {t}; quantile sketches cover "
+                "numeric columns"
+            )
+
+
+def ensure_quantile_sketches(
+    table: Table,
+    columns: tuple[str, ...] | list[str] = ("n_tok",),
+    gamma: float = QSK_GAMMA,
+    version: int | None = None,
+) -> dict:
+    """Build missing DDSketch sidecars for every fragment of
+    ``version`` covering ``columns`` (numeric only). Incremental and
+    in-place-extending, exactly like :func:`ensure_ndv_sketches`."""
+    columns = list(columns)
+    m = table.manifest(version)
+    _check_numeric(m, columns)
+    frags = [f for f in m.fragments if f.rows]
+    chunks = [frags[i : i + _CHUNK] for i in range(0, len(frags), _CHUNK)]
+    have = ray.get(
+        [
+            _qsk_stat_task.remote(table.table_dir, [f.path for f in ch], columns, gamma)
+            for ch in chunks
+        ]
+    )
+    todo = [f for ch, hs in zip(chunks, have) for f, h in zip(ch, hs) if not h]
+    refs = [
+        _qsk_build_task.remote(
+            table.table_dir, f.path, _phys_names(f, columns, m.column_ids), gamma
+        )
+        for f in todo
+    ]
+    if refs:
+        ray.get(refs)
+    return {"built": len(refs), "cached": len(frags) - len(refs)}
+
+
+def column_quantiles(
+    table: Table,
+    columns: tuple[str, ...] | list[str] = ("n_tok",),
+    qs: tuple[float, ...] | list[float] = (0.5, 0.95, 0.99),
+    gamma: float = QSK_GAMMA,
+    version: int | None = None,
+    build: bool = True,
+    stats_out: dict | None = None,
+) -> dict[str, dict]:
+    """Per-column quantile estimates (each within (gamma-1)/(gamma+1)
+    relative error, ~1% at the default) plus exact count/min/max/sum/
+    mean — answered from the sidecars alone; one column-pruned read
+    per NEW fragment when ``build=True``, no data pass otherwise.
+    Returns ``{col: {"q0.5": v, ..., "count": n, "min": v, "max": v,
+    "sum": v, "mean": v}}``."""
+    columns = list(columns)
+    version = table.latest_version() if version is None else version
+    if build:
+        ensure_quantile_sketches(table, columns, gamma, version)
+    m = table.manifest(version)
+    frags = [f for f in m.fragments if f.rows]
+    chunks = [frags[i : i + _CHUNK] for i in range(0, len(frags), _CHUNK)]
+    parts = ray.get(
+        [
+            _qsk_merge_task.remote(
+                table.table_dir, [f.path for f in ch], columns, gamma
+            )
+            for ch in chunks
+        ]
+    )
+    acc = {c: qsk_empty() for c in columns}
+    missing = 0
+    for states, miss in parts:
+        missing += miss
+        for c in columns:
+            acc[c] = qsk_merge(acc[c], states[c])
+    if stats_out is not None:
+        stats_out.update(
+            {
+                "fragments_total": len(frags),
+                "fragments_missing": missing,
+                "gamma": gamma,
+            }
+        )
+    out: dict[str, dict] = {}
+    for c in columns:
+        st = acc[c]
+        vals = qsk_quantiles(st, qs, gamma)
+        row = {f"q{q:g}": v for q, v in zip(qs, vals)}
+        row.update(
+            {
+                "count": st["count"],
+                "min": st["vmin"] if st["count"] else float("nan"),
+                "max": st["vmax"] if st["count"] else float("nan"),
+                "sum": st["sum"],
+                "mean": st["sum"] / st["count"] if st["count"] else float("nan"),
+            }
+        )
+        out[c] = row
+    return out

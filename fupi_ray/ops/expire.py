@@ -192,6 +192,10 @@ def expire_snapshots(
             # liveness rule as blooms
             if rel[: -len(".ndv")] in live_paths:
                 continue
+        elif name.endswith(".qsk"):
+            # quantile-sketch sidecar (ops/analyze.py): same rule
+            if rel[: -len(".qsk")] in live_paths:
+                continue
         elif ".dv-" in name and name.endswith(".bin"):
             # deletion-vector sidecar: referenced-by-manifest liveness
             if rel in live_dvs:

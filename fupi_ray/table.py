@@ -670,6 +670,65 @@ class Table:
             ),
         )
 
+    # -- metadata-only aggregates ---------------------------------------------
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Exact logical row count of a snapshot from the manifest
+        alone (physical rows minus deletion-vector rows) — O(metadata),
+        no data file is opened. The reference pays a table scan for
+        this (LanceDB ``count_rows`` walks fragment metadata the same
+        way); at 10^12 rows an exact COUNT(*) must not read data."""
+        return self.manifest(version).total_rows
+
+    def column_range(self, column: str, version: int | None = None) -> dict:
+        """Min/max of ``column`` merged from fragment zone maps —
+        O(metadata). Returns ``{"min", "max", "exact"}``.
+
+        ``exact=True`` only when the bounds are provably attained:
+        every fragment with live rows either carries a zone entry for
+        the column and no deletion vector (a DV may have deleted the
+        extreme rows, leaving the zone map a sound OUTER bound), or
+        physically lacks the column (pre-evolution file: its rows
+        surface the declared default, which is folded in; absent a
+        default they surface null, which MIN/MAX ignore). A fragment
+        whose zone entry was conservatively omitted at write time
+        (all-null / NaN / oversized string) also degrades to
+        ``exact=False`` — the bounds stay sound, just not tight.
+        SQL convention: an all-null or empty table yields min=max=None
+        with ``exact=True``."""
+        m = self.manifest(version)
+        if column not in m.schema_names:
+            raise ValueError(f"column_range: unknown column {column!r}")
+        lo = hi = None
+        exact = True
+
+        def fold(a, b):
+            nonlocal lo, hi
+            lo = a if lo is None or a < lo else lo
+            hi = b if hi is None or b > hi else hi
+
+        for f in m.fragments:
+            if not f.live_rows:
+                continue
+            if f.col_ids is not None and m.column_ids:
+                phys = f.physical_name(column, m.column_ids)
+            else:
+                phys = column if (f.cols is None or column in f.cols) else None
+            if phys is None:
+                d = m.column_defaults.get(column)
+                if d is not None:
+                    fold(d, d)
+                continue  # no default: rows surface null → no extreme
+            z = f.zone_map.get(phys, {})
+            zmin, zmax = z.get("min"), z.get("max")
+            if zmin is None or zmax is None:
+                exact = False  # omitted entry: sound but unknown
+                continue
+            if f.dv_rows:
+                exact = False  # outer bound: the extreme may be deleted
+            fold(zmin, zmax)
+        return {"min": lo, "max": hi, "exact": exact}
+
     # -- ordered scan (zone-map order proof) ---------------------------------
 
     def order_proof(self, by: str, version: int | None = None) -> dict:

@@ -104,8 +104,16 @@ def test_maintain_reclusters_incrementally(tmp_path):
     out = maintain(t, keep_last=10)
     assert out["recluster"]["incremental"] is True
     assert out["recluster"]["version"] is not None
-    # the pre-drift clustered fragments were kept, not rewritten
-    assert clustered <= {f.path for f in t.manifest().fragments}
+    # the bulk of the pre-drift clustered data was kept, not rewritten.
+    # (Not ALL of it: maintain's compact arm may legitimately fold a
+    # small clustered TAIL fragment into a repack with the appended
+    # smalls — which renames it and drops its tag — so the exact
+    # surviving set depends on bin-packing. A full re-sort would keep
+    # ZERO pre-cluster paths; incremental keeps all but at most that
+    # tail, so row-majority is the scheduling-independent invariant.)
+    final = t.manifest()
+    kept_rows = sum(f.live_rows for f in final.fragments if f.path in clustered)
+    assert kept_rows >= 600, f"incremental recluster kept only {kept_rows} rows"
     assert t.scan().count() == 1_600
     # a second cycle sees no drift
     out2 = maintain(t, keep_last=10)

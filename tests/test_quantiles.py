@@ -1,0 +1,132 @@
+"""Quantile column statistics (ops/analyze.py DDSketch sidecars) and
+metadata-only aggregates (Table.count_rows / Table.column_range):
+guaranteed-relative-error estimates, incremental ensure, layout
+invariance, GC with the owning fragment, exactness flags under
+deletion vectors."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fupi_ray.config import EngineConfig
+from fupi_ray.fixtures import sequences_dataset, write_fragmented_table
+from fupi_ray.ops import (
+    column_quantiles,
+    compact,
+    delete_where,
+    ensure_quantile_sketches,
+    expire_snapshots,
+)
+from fupi_ray.ops.analyze import qsk_path
+from fupi_ray.state import fs as _fs
+
+CFG = EngineConfig(target_fragment_bytes=256 * 1024, expire_keep_last=1)
+
+
+def _exact_n_tok(t):
+    return np.array(
+        [r["n_tok"] for r in t.scan(columns=["n_tok"]).take_all()], dtype=np.float64
+    )
+
+
+def test_quantile_estimates_within_relative_error(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 2_000, rows_per_fragment=250, config=CFG)
+    res = ensure_quantile_sketches(t, columns=("n_tok",))
+    nfrags = len(t.manifest().fragments)
+    assert res == {"built": nfrags, "cached": 0}
+    # second ensure: all cached
+    assert ensure_quantile_sketches(t, columns=("n_tok",)) == {
+        "built": 0,
+        "cached": nfrags,
+    }
+    stats: dict = {}
+    out = column_quantiles(
+        t, columns=("n_tok",), qs=(0.0, 0.5, 0.95, 1.0), stats_out=stats
+    )["n_tok"]
+    assert stats["fragments_missing"] == 0
+    x = _exact_n_tok(t)
+    # exact side stats ride along for free
+    assert out["count"] == len(x)
+    assert out["min"] == x.min() and out["max"] == x.max()
+    assert abs(out["sum"] - x.sum()) < 1e-6
+    # q0/q1 are exact (clamped to vmin/vmax); interior quantiles are
+    # within the DDSketch guarantee (gamma-1)/(gamma+1) ≈ 1%
+    assert out["q0"] == x.min() and out["q1"] == x.max()
+    for q in (0.5, 0.95):
+        true = float(np.quantile(x, q))
+        assert abs(out[f"q{q:g}"] - true) / max(abs(true), 1e-12) < 0.011
+
+    # append: only the new fragments pay a build
+    t.commit_append(sequences_dataset(500, start=90_000, rows_per_partition=250))
+    res = ensure_quantile_sketches(t, columns=("n_tok",))
+    assert res["built"] == len(t.manifest().fragments) - nfrags
+
+
+def test_quantiles_are_layout_invariant(tmp_table_dir):
+    """The same rows partitioned differently merge to the IDENTICAL
+    estimate: bucket-count sum is associative and layout-independent."""
+    t = write_fragmented_table(tmp_table_dir, 1_500, rows_per_fragment=150, config=CFG)
+    before = column_quantiles(t, columns=("n_tok",), qs=(0.25, 0.5, 0.9))
+    compact(t)
+    after = column_quantiles(t, columns=("n_tok",), qs=(0.25, 0.5, 0.9))
+    assert before == after
+
+
+def test_non_numeric_refused_and_lower_bound(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 400, rows_per_fragment=200, config=CFG)
+    with pytest.raises(ValueError, match="numeric"):
+        ensure_quantile_sketches(t, columns=("doc_id",))
+    with pytest.raises(ValueError, match="unknown column"):
+        ensure_quantile_sketches(t, columns=("nope",))
+    # build=False with un-sketched fragments: honest missing count
+    ensure_quantile_sketches(t, columns=("n_tok",))
+    t.commit_append(sequences_dataset(200, start=70_000, rows_per_partition=100))
+    stats: dict = {}
+    column_quantiles(t, columns=("n_tok",), build=False, stats_out=stats)
+    assert stats["fragments_missing"] > 0
+
+
+def test_qsk_sidecars_gc_with_their_fragments(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 600, rows_per_fragment=100, config=CFG)
+    ensure_quantile_sketches(t, columns=("n_tok",))
+    old_paths = [f.path for f in t.manifest().fragments]
+    compact(t)
+    res = expire_snapshots(t, keep_last=1, gc_grace_seconds=0.0)
+    assert res["gc_files"] > 0
+    for rel in old_paths:
+        assert not _fs.exists(qsk_path(os.path.join(t.table_dir, rel)))
+    # surviving fragments rebuild fine
+    out = column_quantiles(t, columns=("n_tok",))["n_tok"]
+    assert out["count"] == 600
+
+
+def test_count_rows_and_column_range_metadata_only(tmp_table_dir):
+    t = write_fragmented_table(tmp_table_dir, 1_000, rows_per_fragment=200, config=CFG)
+    x = _exact_n_tok(t)
+    assert t.count_rows() == 1_000
+    r = t.column_range("n_tok")
+    assert r["exact"] is True
+    assert r["min"] == x.min() and r["max"] == x.max()
+    with pytest.raises(ValueError, match="unknown column"):
+        t.column_range("nope")
+
+    # COW delete: rewritten fragments get fresh zone maps → still exact
+    delete_where(t, [("n_tok", "==", int(x.min()))], mode="cow")
+    x2 = _exact_n_tok(t)
+    assert t.count_rows() == len(x2)
+    r2 = t.column_range("n_tok")
+    assert r2["exact"] is True
+    assert r2["min"] == x2.min() and r2["max"] == x2.max()
+
+    # DV delete: count stays exact; the range degrades to a sound
+    # OUTER bound and says so
+    delete_where(t, [("n_tok", "==", int(x2.min()))], mode="dv")
+    x3 = _exact_n_tok(t)
+    assert t.count_rows() == len(x3)
+    r3 = t.column_range("n_tok")
+    assert r3["exact"] is False
+    assert r3["min"] <= x3.min() and r3["max"] >= x3.max()
+
+    # snapshot-pinned: the pre-delete version still answers exactly
+    assert t.count_rows(version=1) == 1_000
