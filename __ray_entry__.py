@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lake_wap": lake.q_lake_wap,
         "lake_timetravel": lake.q_lake_timetravel,
         "lake_window_dedup": lake.q_lake_window_dedup,
+        "lake_stats": lake.q_lake_stats,
         "pack_tokens": lake.q_pack_tokens,
         "export_shards": lake.q_export_shards,
         # training-data ops
@@ -75,7 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q.q_heavy_hitters,
         "mix_token_budget": q.q_mix_token_budget,
         "multimodal": q.q_multimodal,
-        "frame_sample": q.q_frame_sample,
         "topk_cosine": q.q_topk_cosine,
         "maxsim": q.q_maxsim,
         "embedding_neardup": q.q_embedding_neardup,
@@ -99,8 +99,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only by design with no SQL twin to lose (embed_search,
         # minhash, simhash, ivf_topk, rolling_fp) — nothing
         # oracle-checkable and unchecked is displaced. lake_ingest,
-        # lake_keyword_index and lake_fork_merge (new in r4) displaced
-        # the r3-green sample_exact_n, langid and quality.
+        # lake_keyword_index, lake_fork_merge and lake_stats (new in
+        # r4) displaced the r3-green sample_exact_n, langid, quality
+        # and frame_sample (whose stub-kernel twin multimodal stays
+        # in-window).
+        "frame_sample": q.q_frame_sample,
         "sample_exact_n": q.q_sample_exact_n,
         "langid": q.q_langid,
         "quality": q.q_quality,
@@ -218,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "lake_sorted_scan": lake.SQL_LAKE_SORTED_SCAN,
         "lake_delete": lake.SQL_LAKE_DELETE,
         "lake_delete_dv": lake.SQL_LAKE_DELETE_DV,
+        "lake_stats": lake.SQL_LAKE_STATS,
         "lake_update": lake.SQL_LAKE_UPDATE,
         "lake_update_dv": lake.SQL_LAKE_UPDATE_DV,
         "lake_rollback": lake.SQL_LAKE_ROLLBACK,

@@ -451,6 +451,38 @@ def q_lake_delete_dv(sf_dir: str):
 SQL_LAKE_DELETE_DV = SQL_LAKE_DELETE
 
 
+def q_lake_stats(sf_dir: str):
+    """Metadata-only aggregates as a query: after a COW DELETE, exact
+    COUNT(*)/MIN/MAX of the surviving rows come from the manifest
+    alone (``Table.count_rows`` / ``Table.column_range``) — no data
+    file is opened. The query asserts the exactness flag inline: COW
+    rewrites refresh zone maps, so the bounds are attained, not outer.
+    The reference pays a table scan for count_rows (LanceDB walks
+    fragment metadata the same way); at 10^12 rows COUNT(*)/MIN/MAX
+    must be O(metadata)."""
+    import pyarrow as pa
+
+    t = _build(sf_dir, "stats")
+    delete_where(t, [("n_tok", "between", (150, 450))])
+    r = t.column_range("n_tok")
+    assert r["exact"] is True, r  # COW delete keeps zone maps attained
+    return pa.table(
+        {
+            "cnt": pa.array([t.count_rows()], pa.int64()),
+            "n_tok_min": pa.array([r["min"]], pa.int64()),
+            "n_tok_max": pa.array([r["max"]], pa.int64()),
+        }
+    )
+
+
+SQL_LAKE_STATS = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
+    "CAST(MIN(n_chars) AS BIGINT) AS n_tok_min, "
+    "CAST(MAX(n_chars) AS BIGINT) AS n_tok_max "
+    "FROM documents WHERE n_chars < 150 OR n_chars > 450"
+)
+
+
 def q_lake_update_dv(sf_dir: str):
     """Merge-on-read UPDATE as a query: DV-delete the old rows + append
     the assigned rows as a new fragment, one atomic commit. Same SQL
