@@ -332,6 +332,7 @@ def main(argv=None) -> int:
                 dedup_threshold=args.dedup_threshold,
                 token_blooms=args.token_blooms,
                 analyze_columns=args.analyze_columns,
+                quantile_columns=args.quantile_columns,
                 job_id=args.job_id,
             )
         )

@@ -31,7 +31,10 @@ until an action is chosen):
    cadence for the per-fragment distinct-count sketches
    (``ops/analyze.py``), so table-level NDV stays answerable from
    metadata across the maintenance lifecycle.
-7. **expire** — drop old snapshots per the retention knobs and GC
+7. **quantile stats** (opt-in via ``quantile_columns``) — same
+   cadence for the per-fragment DDSketch sidecars, keeping
+   table-level quantiles metadata-only.
+8. **expire** — drop old snapshots per the retention knobs and GC
    unreferenced files.
 
 Ordering matters: compact before recluster (fewer, bigger inputs for
@@ -55,6 +58,7 @@ def maintain(
     dedup_fraction: float = 0.2,
     token_blooms: bool = False,
     analyze_columns: tuple[str, ...] | list[str] | None = None,
+    quantile_columns: tuple[str, ...] | list[str] | None = None,
     job_id: str | None = None,
 ) -> dict:
     """Run whatever maintenance the manifest says the table needs;
@@ -226,6 +230,16 @@ def maintain(
 
         actions["analyze"] = ensure_ndv_sketches(
             table, columns=tuple(analyze_columns)
+        )
+
+    # quantile-sketch upkeep (opt-in): identical cadence — DDSketch
+    # sidecars for numeric columns, rebuilt only where rewrites
+    # invalidated them, so table-level quantiles stay metadata-only
+    if quantile_columns:
+        from fupi_ray.ops.analyze import ensure_quantile_sketches
+
+        actions["quantiles"] = ensure_quantile_sketches(
+            table, columns=tuple(quantile_columns)
         )
 
     actions["expire"] = expire_snapshots(

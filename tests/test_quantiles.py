@@ -130,3 +130,14 @@ def test_count_rows_and_column_range_metadata_only(tmp_table_dir):
 
     # snapshot-pinned: the pre-delete version still answers exactly
     assert t.count_rows(version=1) == 1_000
+
+
+def test_maintain_quantile_arm(tmp_path):
+    from fupi_ray.ops import maintain
+
+    t = write_fragmented_table(str(tmp_path / "t"), 600, rows_per_fragment=150, config=CFG)
+    out = maintain(t, keep_last=10, quantile_columns=("n_tok",))
+    assert out["quantiles"]["built"] > 0
+    # untouched table → all cached
+    out2 = maintain(t, keep_last=10, quantile_columns=("n_tok",))
+    assert out2["quantiles"]["built"] == 0 and out2["quantiles"]["cached"] > 0
