@@ -101,6 +101,15 @@ class EngineConfig:
     # Snapshot expiry: keep at least this many trailing versions.
     expire_keep_last: int = 2
 
+    # DELETE/UPDATE ``mode="auto"`` dispatch: if the metadata-only
+    # match estimate (ops/analyze.py estimate_rows) is at most this
+    # fraction of the table, take the deletion-vector path (write
+    # O(matched rows)); above it, copy-on-write (rewriting beats
+    # accumulating a mask over a large slice of every fragment).
+    # 0.2 ≈ where one full-fragment rewrite costs less than carrying
+    # and later materializing a 20% mask through scans + compaction.
+    mutation_auto_dv_fraction: float = 0.2
+
     # Read path
     scan_columns: tuple[str, ...] = ("doc_id", "tokens", "n_tok", "source")
 

@@ -3,6 +3,7 @@ from fupi_ray.ops.analyze import (
     column_quantiles,
     ensure_ndv_sketches,
     ensure_quantile_sketches,
+    estimate_rows,
 )
 from fupi_ray.ops.bucket import BucketLayoutError, bucket_join, bucket_table, read_layout
 from fupi_ray.ops.constraints import (
@@ -48,6 +49,7 @@ __all__ = [
     "column_quantiles",
     "ensure_ndv_sketches",
     "ensure_quantile_sketches",
+    "estimate_rows",
     "BucketLayoutError",
     "bucket_join",
     "bucket_table",

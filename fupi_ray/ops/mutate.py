@@ -434,13 +434,36 @@ def delete_where(
     deletion-vector sidecar and leaves the Parquet untouched (merge-on
     -read) — O(deleted rows) written instead of O(fragment bytes),
     right for point/GDPR deletes at scale; compaction or clustering
-    later materializes the mask. Either way only fragments whose zone
-    map (and doc_id bloom) can contain a match are touched."""
+    later materializes the mask. ``mode="auto"`` dispatches between
+    them on the metadata-only match estimate (quantile sidecars /
+    zone maps, ops/analyze.py:estimate_rows): at most
+    ``config.mutation_auto_dv_fraction`` of the table → DV, wider →
+    COW — the decision never reads data. Either way only fragments
+    whose zone map (and doc_id bloom) can contain a match are
+    touched."""
+    if mode == "auto":
+        mode = _auto_mutation_mode(table, predicate)
     if mode == "dv":
         return _run_mutation_dv(table, predicate, None, "delete-dv", job_id)
     if mode != "cow":
-        raise ValueError(f"unknown delete mode {mode!r} (cow | dv)")
+        raise ValueError(f"unknown delete mode {mode!r} (cow | dv | auto)")
     return _run_mutation(table, predicate, None, "delete", job_id)
+
+
+def _auto_mutation_mode(table: Table, predicate: list[tuple]) -> str:
+    """DV for narrow mutations, COW for wide ones, decided from
+    metadata alone. Estimates lean HIGH on sketch-less or DV-carrying
+    tables (zone-map upper bounds, physical-row sketches), which
+    biases toward COW — the safe side: a needlessly-COW'd narrow
+    delete costs one rewrite; a needlessly-DV'd wide delete taxes
+    every scan until the next compaction."""
+    from fupi_ray.ops.analyze import estimate_rows
+
+    est = estimate_rows(table, predicate)
+    if est["total"] == 0:
+        return "dv"  # nothing can match; either path is a no-op
+    frac = est["estimated"] / est["total"]
+    return "dv" if frac <= table.config.mutation_auto_dv_fraction else "cow"
 
 
 def update_where(
@@ -485,6 +508,10 @@ def update_where(
                 {col: pa.array([specs[col][1]], type=mf.type_from_str(declared[col]))}
             )
             _con.check_batch(probe, [con])
+    if mode == "auto":
+        # same metadata-only dispatch as delete_where: narrow → DV
+        # (delete-old + insert-new), wide → COW rewrite
+        mode = _auto_mutation_mode(table, predicate)
     if mode == "dv":
         # merge-on-read UPDATE = DV-delete the old rows + append the
         # assigned rows as a new fragment; the callable sees only the
@@ -492,7 +519,7 @@ def update_where(
         # row), unlike COW mode where it sees every row of a fragment
         return _run_mutation_dv(table, predicate, specs, "update-dv", job_id)
     if mode != "cow":
-        raise ValueError(f"unknown update mode {mode!r} (cow | dv)")
+        raise ValueError(f"unknown update mode {mode!r} (cow | dv | auto)")
     return _run_mutation(table, predicate, specs, "update", job_id)
 
 

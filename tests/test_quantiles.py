@@ -141,3 +141,56 @@ def test_maintain_quantile_arm(tmp_path):
     # untouched table → all cached
     out2 = maintain(t, keep_last=10, quantile_columns=("n_tok",))
     assert out2["quantiles"]["built"] == 0 and out2["quantiles"]["cached"] > 0
+
+
+def test_estimate_rows_from_sketches_and_zonemaps(tmp_table_dir):
+    from fupi_ray.ops import estimate_rows
+
+    t = write_fragmented_table(tmp_table_dir, 2_000, rows_per_fragment=250, config=CFG)
+    x = _exact_n_tok(t)
+    true = int(((x >= 50) & (x <= 200)).sum())
+
+    # un-analyzed table: zone-map tier — sound upper bound, says so
+    e0 = estimate_rows(t, [("n_tok", "between", (50, 200))])
+    assert e0["method"] == "zonemap"
+    assert e0["estimated"] >= 0 and e0["upper_bound"] >= true
+
+    # sketched table: ddsketch tier — within a few % of the truth
+    ensure_quantile_sketches(t, columns=("n_tok",))
+    e1 = estimate_rows(t, [("n_tok", "between", (50, 200))])
+    assert e1["method"] == "ddsketch"
+    assert abs(e1["estimated"] - true) / true < 0.05, (e1, true)
+    assert e1["upper_bound"] >= true
+    # empty predicate: everything
+    assert estimate_rows(t, [])["estimated"] == 2_000
+
+
+def test_auto_mutation_mode_dispatch(tmp_table_dir):
+    from fupi_ray.ops import update_where
+
+    t = write_fragmented_table(tmp_table_dir, 2_000, rows_per_fragment=250, config=CFG)
+    ensure_quantile_sketches(t, columns=("n_tok",))
+    x = _exact_n_tok(t)
+    hi = int(np.quantile(x, 0.99))
+    lo = int(np.quantile(x, 0.40))
+    paths0 = {f.path for f in t.manifest().fragments}
+
+    # narrow delete (~1% of rows): auto takes the DV path — no parquet
+    # rewritten, the mask carries the delete
+    delete_where(t, [("n_tok", ">", hi)], mode="auto")
+    m1 = t.manifest()
+    assert {f.path for f in m1.fragments} == paths0
+    assert sum(f.dv_rows for f in m1.fragments) > 0
+    assert t.count_rows() == int((x <= hi).sum())
+
+    # wide update (~60% of rows): auto takes the COW path — fragments
+    # rewritten, no NEW deletion-vector debt accumulates
+    dv_before = sum(f.dv_rows for f in m1.fragments)
+    update_where(t, [("n_tok", ">", lo)], {"source": "trimmed"}, mode="auto")
+    m2 = t.manifest()
+    assert {f.path for f in m2.fragments} != paths0
+    assert sum(f.dv_rows for f in m2.fragments) <= dv_before
+    n_trimmed = sum(
+        1 for r in t.scan(columns=["source"]).take_all() if r["source"] == "trimmed"
+    )
+    assert n_trimmed == int(((x > lo) & (x <= hi)).sum())
