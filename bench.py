@@ -430,6 +430,52 @@ def run_bench() -> dict:
 
     timed("ingest_files", do_ingest_files)
     timed("ingest_files_reoffer", do_ingest_files_reoffer)
+
+    # ---- ANALYZE + metadata-only answers -----------------------------------
+    # One incremental sketch pass over the table (NDV HLL + DDSketch
+    # quantile sidecars), then the questions a planner asks — distinct
+    # counts, quantiles, COUNT(*)/MIN/MAX, predicate cardinality —
+    # answered WITHOUT opening a data file; the estimate stage asserts
+    # that its answer agrees with the already-measured pruned scan.
+    analyze_stats: dict = {}
+
+    def do_analyze():
+        from fupi_ray.ops import (
+            column_ndv,
+            column_quantiles,
+            ensure_ndv_sketches,
+            ensure_quantile_sketches,
+        )
+
+        a = ensure_ndv_sketches(table, columns=("doc_id", "source"))
+        b = ensure_quantile_sketches(table, columns=("n_tok",))
+        ndv = column_ndv(table, columns=("doc_id",), build=False)
+        qn = column_quantiles(table, columns=("n_tok",), build=False)["n_tok"]
+        analyze_stats.update(
+            {
+                "sidecars_built": a["built"] + b["built"],
+                "ndv_doc_id": round(ndv["doc_id"]),
+                "n_tok_p50": round(qn["q0.5"], 1),
+                "n_tok_p99": round(qn["q0.99"], 1),
+            }
+        )
+
+    def do_estimate():
+        from fupi_ray.ops import estimate_rows
+
+        e = estimate_rows(table, [("n_tok", "between", (150, 300))])
+        true = table.scan(
+            columns=["n_tok"], predicate=[("n_tok", "between", (150, 300))]
+        ).count()
+        err = abs(e["estimated"] - true) / max(true, 1)
+        assert e["method"] == "ddsketch" and err < 0.05, (e, true)
+        analyze_stats.update(
+            {"estimate_rows": e["estimated"], "estimate_true": true,
+             "estimate_rel_err": round(err, 4)}
+        )
+
+    timed("analyze", do_analyze)
+    timed("estimate_rows", do_estimate)
     phase_detail = {
         "cluster_phases": None,
         "merge_phases": None,
@@ -498,6 +544,7 @@ def run_bench() -> dict:
         "insert_missing": im_stats,
         "ingest_files": ing_stats,
         "tokindex": tokindex_stats,
+        "analyze": analyze_stats,
         "copy_cap": {"measured": probe_cap, "probe_seconds": probe_seconds},
     }
     ray.shutdown()
