@@ -388,6 +388,22 @@ def main(argv=None) -> int:
             stats_out=ndv_stats,
         )
         out["ndv_fragments_missing"] = ndv_stats.get("fragments_missing")
+        # quantile summary from existing sidecars only — same
+        # metadata-cost contract as the NDV line
+        from fupi_ray.ops import column_quantiles
+
+        qsk_stats: dict = {}
+        try:
+            out["n_tok_quantiles"] = column_quantiles(
+                t,
+                columns=("n_tok",),
+                version=args.version,
+                build=False,
+                stats_out=qsk_stats,
+            )["n_tok"]
+            out["quantile_fragments_missing"] = qsk_stats.get("fragments_missing")
+        except ValueError:
+            pass  # table without an n_tok column: nothing to report
         out["files"] = files.to_pylist() if files.num_rows <= 50 else files.slice(0, 50).to_pylist()
     elif args.op in ("constrain", "unconstrain"):
         # commit-time invariants: --where conjuncts become CHECK

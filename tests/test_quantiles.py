@@ -194,3 +194,58 @@ def test_auto_mutation_mode_dispatch(tmp_table_dir):
         1 for r in t.scan(columns=["source"]).take_all() if r["source"] == "trimmed"
     )
     assert n_trimmed == int(((x > lo) & (x <= hi)).sum())
+
+
+# -- property tests for the sketch kernels (pure numpy, no Ray) -----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra import numpy as hnp
+
+from fupi_ray.functions.sketches import (
+    QSK_GAMMA,
+    qsk_merge,
+    qsk_partial,
+    qsk_quantiles,
+)
+
+_vals = hnp.arrays(
+    np.float64,
+    st.integers(1, 400),
+    elements=st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_vals, st.integers(1, 7))
+def test_qsk_property_error_bound_and_merge_invariance(x, nsplit):
+    """For ANY finite values (negatives, zeros, denormal-ish tails):
+    (1) splitting the input into blocks and merging gives the same
+    state as one pass; (2) every quantile is within the DDSketch
+    relative-error guarantee of the true order statistic."""
+    one = qsk_partial(x)
+    parts = [qsk_partial(c) for c in np.array_split(x, nsplit)]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = qsk_merge(acc, p)
+    assert np.array_equal(acc["keys"], one["keys"])
+    assert np.array_equal(acc["counts"], one["counts"])
+    assert acc["zero"] == one["zero"] and acc["count"] == one["count"]
+    assert acc["vmin"] == one["vmin"] and acc["vmax"] == one["vmax"]
+
+    qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    est = qsk_quantiles(acc, qs)
+    alpha = (QSK_GAMMA - 1) / (QSK_GAMMA + 1)
+    for q, e in zip(qs, est):
+        # the sketch answers an ORDER STATISTIC (np.quantile's default
+        # linearly interpolates BETWEEN order stats — a different,
+        # weaker-at-small-n convention), so the guarantee is: within
+        # relative error of one of the two bracketing order statistics
+        lo = float(np.quantile(x, q, method="lower"))
+        hi = float(np.quantile(x, q, method="higher"))
+        ok = any(
+            abs(e - true) <= alpha * abs(true) + 1e-9 for true in (lo, hi)
+        )
+        assert ok, (q, e, lo, hi)
