@@ -56,7 +56,8 @@ def main(argv=None) -> int:
             "stage", "publish", "abort-stage", "stages",
             "export", "pack", "matview", "refresh-view",
             "fork", "drop-fork", "merge-fork", "bucket", "constrain", "unconstrain",
-            "inspect", "maintain", "fsck", "analyze",
+            "inspect", "maintain", "fsck", "analyze", "explain",
+            "pin", "unpin",
         ],
     )
     p.add_argument("--table", required=True)
@@ -196,7 +197,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--mode",
         default=None,
-        choices=["cow", "dv"],
+        choices=["cow", "dv", "auto"],
         help="delete/update/merge/dedup-docs/decontaminate: cow rewrites "
         "hit fragments; dv records a deletion-vector sidecar "
         "(merge-on-read, O(changed rows) write). Defaults match the "
@@ -214,7 +215,10 @@ def main(argv=None) -> int:
         "--drop", action="store_true",
         help="merge-fork: release the fork's pin on success",
     )
-    p.add_argument("--name", help="fork: ref name (default: fork dir basename)")
+    p.add_argument(
+        "--name",
+        help="fork: ref name (default: fork dir basename); pin/unpin: tag name",
+    )
     p.add_argument("--group-col", help="matview: GROUP BY column")
     p.add_argument(
         "--agg",
@@ -336,6 +340,25 @@ def main(argv=None) -> int:
                 job_id=args.job_id,
             )
         )
+    elif args.op in ("pin", "unpin"):
+        # named snapshot refs (Iceberg-style tags): a pinned version is
+        # exempt from expiry, so releases/audits keep a stable view
+        if not args.name:
+            raise SystemExit(f"{args.op} requires --name")
+        t = Table.open(args.table)
+        if args.op == "pin":
+            out["version"] = t.pin(args.name, args.version)
+        else:
+            t.unpin(args.name)
+        out["pins"] = t.pins()
+    elif args.op == "explain":
+        # metadata-only plan report for a predicate: what zone maps,
+        # bucket tags, bloom sidecars and the cardinality estimate say
+        # before any data read, plus the mode="auto" mutation dispatch
+        from fupi_ray.ops.analyze import explain_predicate
+
+        t = Table.open(args.table)
+        out.update(explain_predicate(t, parse_where(args.where), version=args.version))
     elif args.op == "analyze":
         # NDV column statistics from per-fragment HLL sidecars: the
         # ensure pass pays one column-pruned read per NEW fragment,

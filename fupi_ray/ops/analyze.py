@@ -634,3 +634,78 @@ def estimate_rows(
         "method": "ddsketch" if used_sketch else "zonemap",
         "fragments_may_match": len(may),
     }
+
+
+def explain_predicate(
+    table: Table,
+    predicate: list[tuple],
+    version: int | None = None,
+    probe_blooms: bool = True,
+) -> dict:
+    """EXPLAIN for a predicate, from metadata + sidecars only: how much
+    of the table each pruning tier eliminates before any data read,
+    what the cardinality estimate says, and which mutation mode
+    ``mode="auto"`` would pick. Tiers, in the order a scan/mutation
+    applies them:
+
+    1. zone maps + bucket tags — fragments the min/max ranges (and the
+       hash-bucket tag, for ``==``/``in`` on the layout key) rule out;
+    2. doc_id bloom sidecars — point conjuncts proven absent per
+       fragment (one sidecar read each, no Parquet opened); skipped
+       unless ``probe_blooms`` and a doc_id ==/in conjunct exists;
+    3. DDSketch/zone cardinality estimate (:func:`estimate_rows`).
+
+    Row-group pruning INSIDE surviving fragments happens at scan time
+    via Parquet footer stats (``Table.row_group_prune_stats`` audits
+    it) and is not measured here — this call stays metadata-cost."""
+    from fupi_ray import manifest as _mf
+
+    m = table.manifest(version)
+    live = [f for f in m.fragments if f.live_rows]
+    survivors = []
+    for f in live:
+        alive = [p for p in predicate if f.has_column(p[0], m.column_ids)]
+        if mf_fragment_may_match(f, alive) and _mf.fragment_bucket_may_match(
+            f, alive
+        ):
+            survivors.append(f)
+    out = {
+        "total_rows": sum(f.live_rows for f in live),
+        "total_fragments": len(live),
+        "zonemap_fragments": len(survivors),
+        "zonemap_rows_upper": sum(f.live_rows for f in survivors),
+    }
+
+    has_point = any(
+        col == "doc_id" and op in ("=", "==", "in") for col, op, _ in predicate
+    )
+    if probe_blooms and has_point and survivors:
+        from fupi_ray.ops.mutate import _bloom_proves_no_match
+
+        doc_t = dict(zip(m.schema_names, m.schema_types)).get("doc_id", "")
+        kind = (
+            "int"
+            if doc_t.startswith(("int", "uint"))
+            else ("string" if "string" in doc_t else None)
+        )
+        after = [
+            f
+            for f in survivors
+            if not _bloom_proves_no_match(
+                _fs.join(table.table_dir, f.path), predicate, kind
+            )
+        ]
+        out["bloom_fragments"] = len(after)
+        out["bloom_rows_upper"] = sum(f.live_rows for f in after)
+
+    est = estimate_rows(table, predicate, version=version)
+    out["estimated_rows"] = est["estimated"]
+    out["estimate_method"] = est["method"]
+    if est["total"]:
+        frac = est["estimated"] / est["total"]
+        out["auto_mutation_mode"] = (
+            "dv" if frac <= table.config.mutation_auto_dv_fraction else "cow"
+        )
+    else:
+        out["auto_mutation_mode"] = "dv"
+    return out

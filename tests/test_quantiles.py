@@ -249,3 +249,37 @@ def test_qsk_property_error_bound_and_merge_invariance(x, nsplit):
             abs(e - true) <= alpha * abs(true) + 1e-9 for true in (lo, hi)
         )
         assert ok, (q, e, lo, hi)
+
+
+def test_explain_predicate_tiers(tmp_table_dir):
+    from fupi_ray.ops.analyze import explain_predicate
+
+    t = write_fragmented_table(tmp_table_dir, 2_000, rows_per_fragment=250, config=CFG)
+    ensure_quantile_sketches(t, columns=("n_tok",))
+    x = _exact_n_tok(t)
+    hi = int(np.quantile(x, 0.97))
+
+    # zone tier: the fixture writes doc-id-ranged fragments, so a
+    # doc_id range predicate prunes deterministically
+    ez = explain_predicate(
+        t, [("doc_id", "between", ("doc-000000000000", "doc-000000000099"))]
+    )
+    assert ez["zonemap_fragments"] < ez["total_fragments"]
+    assert ez["zonemap_rows_upper"] < ez["total_rows"]
+
+    # estimate tier + auto dispatch: narrow → DV, wide → COW
+    e = explain_predicate(t, [("n_tok", ">", hi)])
+    assert e["estimate_method"] == "ddsketch"
+    true = int((x > hi).sum())
+    assert abs(e["estimated_rows"] - true) <= max(5, 0.05 * true)
+    assert e["auto_mutation_mode"] == "dv"  # ~3% of rows
+    lo = int(np.quantile(x, 0.3))
+    assert explain_predicate(t, [("n_tok", ">", lo)])["auto_mutation_mode"] == "cow"
+
+    # bloom tier: a doc_id point miss that sorts INSIDE one fragment's
+    # zone range (so zone maps alone cannot prune it) is killed by the
+    # bloom sidecar probe
+    e2 = explain_predicate(t, [("doc_id", "==", "doc-0000000005zz")])
+    assert e2["zonemap_fragments"] >= 1
+    assert e2.get("bloom_fragments") == 0
+    assert e2.get("bloom_rows_upper") == 0
