@@ -137,6 +137,13 @@ def main(argv=None) -> int:
         default=[0.5, 0.95, 0.99],
         help="analyze: quantiles to report for --quantile-columns",
     )
+    p.add_argument(
+        "--heavy-hitter-columns",
+        nargs="+",
+        default=None,
+        help="analyze: columns to skew-sketch (Misra-Gries sidecars; "
+        "frequent values with guaranteed count bounds, metadata-only)",
+    )
     p.add_argument("--rows", type=int, default=100_000, help="ingest: synthetic row count")
     p.add_argument(
         "--files",
@@ -379,6 +386,12 @@ def main(argv=None) -> int:
                 stats_out=qstats,
             )
             out["quantile_fragments_missing"] = qstats["fragments_missing"]
+        if args.heavy_hitter_columns:
+            from fupi_ray.ops import column_heavy_hitters
+
+            out["heavy_hitters"] = column_heavy_hitters(
+                t, columns=tuple(args.heavy_hitter_columns)
+            )
         out["version"] = t.latest_version()
     elif args.op == "inspect":
         # metadata-table summary: snapshot log + per-fragment stats

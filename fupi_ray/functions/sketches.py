@@ -193,3 +193,84 @@ def qsk_quantiles(
         v = float(vals[min(i, len(vals) - 1)])
         out.append(min(max(v, state["vmin"]), state["vmax"]))
     return out
+
+
+# -- Misra-Gries heavy hitters (mergeable summaries, Agarwal et al. 2012) ----
+#
+# Bounded-state frequent-items sketch: keep at most k counters; when a
+# block has more distinct values, subtract the (k+1)-th largest count
+# from every counter and drop the non-positives, accumulating the
+# subtracted mass as ``residual``. Counters are then LOWER bounds on
+# true frequencies and counter+residual is an UPPER bound; any value
+# with true count > residual is guaranteed to survive. Merge = sum
+# counters by key, re-compress, add residuals — associative up to the
+# error bound, which the state carries explicitly, so the caller never
+# has to trust an unstated epsilon. The scale story is the usual one:
+# exact top-k over 10^12 rows is a distinct-key exchange; this is a
+# fixed-k array per fragment.
+
+def mg_partial(values, k: int = 256) -> dict:
+    """One block's summary: exact value counts compressed to ≤k
+    counters. ``values``: pyarrow/numpy array of strings or ints."""
+    arr = np.asarray(values)
+    n = int(len(arr))
+    if n == 0:
+        return {"keys": [], "counts": np.empty(0, np.int64), "residual": 0, "n": 0}
+    uk, uc = np.unique(arr, return_counts=True)
+    return _mg_compress(uk, uc.astype(np.int64), 0, n, k)
+
+
+def _mg_compress(keys, counts: np.ndarray, residual: int, n: int, k: int) -> dict:
+    if len(keys) > k:
+        # subtract the (k+1)-th largest count from all counters (the
+        # classic Misra-Gries decrement, batched): at most k survive.
+        # Each surviving counter loses exactly kth and each dropped key
+        # had count <= kth, so ONE compression underestimates any true
+        # count by at most kth — residual accumulates Σ kth across
+        # compressions, the standard mergeable-summary error bound
+        kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+        keep = counts > kth
+        residual += int(kth)
+        keys, counts = keys[keep], counts[keep] - kth
+    return {
+        "keys": list(map(str, keys)) if len(keys) and not isinstance(keys[0], str) else list(keys),
+        "counts": counts,
+        "residual": int(residual),
+        "n": int(n),
+    }
+
+
+def mg_merge(a: dict, b: dict, k: int = 256) -> dict:
+    keys = np.array(list(a["keys"]) + list(b["keys"]), dtype=object)
+    counts = np.concatenate(
+        [np.asarray(a["counts"], np.int64), np.asarray(b["counts"], np.int64)]
+    )
+    if len(keys):
+        uk, inv = np.unique(keys.astype(str), return_inverse=True)
+        uc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(uc, inv, counts)
+    else:
+        uk, uc = np.array([], dtype=object), np.empty(0, np.int64)
+    return _mg_compress(
+        uk, uc, a["residual"] + b["residual"], a["n"] + b["n"], k
+    )
+
+
+def mg_heavy_hitters(state: dict, min_fraction: float = 0.01) -> list[dict]:
+    """Values whose frequency COULD exceed ``min_fraction`` of rows,
+    with their count bounds: ``lower`` (guaranteed) and ``upper``
+    (lower + residual). Sorted by lower bound, descending. Complete:
+    any value with true count > residual is present."""
+    n = max(state["n"], 1)
+    thr = min_fraction * n
+    out = [
+        {
+            "value": key,
+            "lower": int(c),
+            "upper": int(c) + state["residual"],
+            "fraction_lower": round(int(c) / n, 6),
+        }
+        for key, c in zip(state["keys"], np.asarray(state["counts"]))
+        if int(c) + state["residual"] >= thr
+    ]
+    return sorted(out, key=lambda d: -d["lower"])

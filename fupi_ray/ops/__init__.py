@@ -1,6 +1,8 @@
 from fupi_ray.ops.analyze import (
+    column_heavy_hitters,
     column_ndv,
     column_quantiles,
+    ensure_hh_sketches,
     ensure_ndv_sketches,
     ensure_quantile_sketches,
     estimate_rows,
@@ -45,8 +47,10 @@ from fupi_ray.ops.stage import (
 )
 
 __all__ = [
+    "column_heavy_hitters",
     "column_ndv",
     "column_quantiles",
+    "ensure_hh_sketches",
     "ensure_ndv_sketches",
     "ensure_quantile_sketches",
     "estimate_rows",

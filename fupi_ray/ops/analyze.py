@@ -709,3 +709,207 @@ def explain_predicate(
     else:
         out["auto_mutation_mode"] = "dv"
     return out
+
+
+# -- heavy-hitter sketches (Misra-Gries sidecars) ------------------------------
+#
+# The third planning statistic: key SKEW. NDV says how many distinct
+# values a join/bucket key has; quantiles describe numeric spread;
+# neither sees the one value that is 30% of the table — the thing that
+# actually sinks a shuffle (one reducer gets 30% of 100 TB). A
+# Misra-Gries summary per fragment (``<fragment>.parquet.hh``) keeps
+# ≤k counters with an explicit error bound carried in the state, so a
+# table-level "is this key skewed, and by how much" is a sidecar read:
+# the operator checks it before choosing a bucket count or deciding to
+# salt, never by scanning the data.
+
+from fupi_ray.functions.sketches import (  # noqa: E402
+    mg_heavy_hitters,
+    mg_merge,
+    mg_partial,
+)
+
+HH_SUFFIX = ".hh"
+DEFAULT_MG_K = 256
+
+
+def hh_path(parquet_abs_path: str) -> str:
+    return parquet_abs_path + HH_SUFFIX
+
+
+def _read_valid_hh(parquet_abs_path: str, k: int) -> dict[str, dict] | None:
+    path = hh_path(parquet_abs_path)
+    try:
+        if not _fs.exists(path):
+            return None
+        tbl = _fs.read_parquet_table(path)
+        meta = {
+            kk.decode(): v.decode() for kk, v in (tbl.schema.metadata or {}).items()
+        }
+        if meta.get("k") != str(k):
+            return None
+        out: dict[str, dict] = {}
+        for i in range(tbl.num_rows):
+            keys = tbl["keys"][i].as_py()
+            counts = np.frombuffer(tbl["counts"][i].as_py(), dtype=np.int64)
+            if len(keys) != len(counts):
+                return None
+            out[tbl["column"][i].as_py()] = {
+                "keys": keys,
+                "counts": counts,
+                "residual": tbl["residual"][i].as_py(),
+                "n": tbl["n"][i].as_py(),
+            }
+        return out
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _write_hh(parquet_abs_path: str, states: dict[str, dict], k: int) -> None:
+    cols = sorted(states)
+    tbl = pa.table(
+        {
+            "column": pa.array(cols),
+            "keys": pa.array(
+                [list(states[c]["keys"]) for c in cols], pa.list_(pa.string())
+            ),
+            "counts": pa.array(
+                [np.asarray(states[c]["counts"], np.int64).tobytes() for c in cols],
+                pa.binary(),
+            ),
+            "residual": pa.array([int(states[c]["residual"]) for c in cols], pa.int64()),
+            "n": pa.array([int(states[c]["n"]) for c in cols], pa.int64()),
+        }
+    ).replace_schema_metadata({"k": str(k)})
+    try:
+        _fs.write_parquet(tbl, hh_path(parquet_abs_path))
+    except OSError:
+        pass  # a failed cache write must never fail the analysis
+
+
+@ray.remote(num_cpus=1)
+def _hh_stat_task(
+    table_dir: str, rel_paths: list[str], columns: list[str], k: int
+) -> list[bool]:
+    out = []
+    for rel in rel_paths:
+        have = _read_valid_hh(_fs.join(table_dir, rel), k)
+        out.append(have is not None and set(columns) <= set(have))
+    return out
+
+
+@ray.remote(num_cpus=1)
+def _hh_build_task(
+    table_dir: str, rel_path: str, phys_by_col: dict[str, str | None], k: int
+) -> None:
+    abs_path = _fs.join(table_dir, rel_path)
+    present = sorted({ph for ph in phys_by_col.values() if ph is not None})
+    tbl = _fs.read_parquet_table(abs_path, columns=present) if present else None
+    states = _read_valid_hh(abs_path, k) or {}
+    for col, phys in phys_by_col.items():
+        if phys is None:
+            states[col] = mg_partial(np.array([], dtype=object), k)
+        else:
+            states[col] = mg_partial(tbl[phys].drop_null(), k)
+    _write_hh(abs_path, states, k)
+
+
+@ray.remote(num_cpus=1)
+def _hh_merge_task(
+    table_dir: str, rel_paths: list[str], columns: list[str], k: int
+) -> tuple[dict[str, dict], int]:
+    acc = {c: mg_partial(np.array([], dtype=object), k) for c in columns}
+    missing = 0
+    for rel in rel_paths:
+        have = _read_valid_hh(_fs.join(table_dir, rel), k)
+        if have is None or not set(columns) <= set(have):
+            missing += 1
+            continue
+        for c in columns:
+            acc[c] = mg_merge(acc[c], have[c], k)
+    return acc, missing
+
+
+def ensure_hh_sketches(
+    table: Table,
+    columns: tuple[str, ...] | list[str] = ("source",),
+    k: int = DEFAULT_MG_K,
+    version: int | None = None,
+) -> dict:
+    """Build missing Misra-Gries sidecars (scalar columns; same
+    incremental/extension contract as the NDV and quantile passes)."""
+    columns = list(columns)
+    m = table.manifest(version)
+    for c in columns:
+        if c not in m.schema_names:
+            raise ValueError(f"analyze: unknown column {c!r}")
+        t = m.schema_types[m.schema_names.index(c)]
+        if t.startswith("list") or t.startswith("tensor"):
+            raise ValueError(
+                f"analyze: {c!r} is a nested column; heavy-hitter "
+                "sketches cover scalar columns"
+            )
+    frags = [f for f in m.fragments if f.rows]
+    chunks = [frags[i : i + _CHUNK] for i in range(0, len(frags), _CHUNK)]
+    have = ray.get(
+        [
+            _hh_stat_task.remote(table.table_dir, [f.path for f in ch], columns, k)
+            for ch in chunks
+        ]
+    )
+    todo = [f for ch, hs in zip(chunks, have) for f, h in zip(ch, hs) if not h]
+    refs = [
+        _hh_build_task.remote(
+            table.table_dir, f.path, _phys_names(f, columns, m.column_ids), k
+        )
+        for f in todo
+    ]
+    if refs:
+        ray.get(refs)
+    return {"built": len(refs), "cached": len(frags) - len(refs)}
+
+
+def column_heavy_hitters(
+    table: Table,
+    columns: tuple[str, ...] | list[str] = ("source",),
+    min_fraction: float = 0.01,
+    k: int = DEFAULT_MG_K,
+    version: int | None = None,
+    build: bool = True,
+    stats_out: dict | None = None,
+) -> dict[str, list[dict]]:
+    """Per-column frequent values with guaranteed count bounds,
+    answered from the sidecars alone: each entry carries ``lower``
+    (true count is at least this) and ``upper`` (at most this), and
+    any value whose true count exceeds the carried residual is
+    guaranteed present — the mergeable-summary contract, so the skew
+    verdict is layout-independent and never requires a data pass."""
+    columns = list(columns)
+    version = table.latest_version() if version is None else version
+    if build:
+        ensure_hh_sketches(table, columns, k, version)
+    m = table.manifest(version)
+    frags = [f for f in m.fragments if f.rows]
+    chunks = [frags[i : i + _CHUNK] for i in range(0, len(frags), _CHUNK)]
+    parts = ray.get(
+        [
+            _hh_merge_task.remote(table.table_dir, [f.path for f in ch], columns, k)
+            for ch in chunks
+        ]
+    )
+    acc = {c: mg_partial(np.array([], dtype=object), k) for c in columns}
+    missing = 0
+    for states, miss in parts:
+        missing += miss
+        for c in columns:
+            acc[c] = mg_merge(acc[c], states[c], k)
+    if stats_out is not None:
+        stats_out.update(
+            {
+                "fragments_total": len(frags),
+                "fragments_missing": missing,
+                "k": k,
+                "residual": {c: acc[c]["residual"] for c in columns},
+            }
+        )
+    return {c: mg_heavy_hitters(acc[c], min_fraction) for c in columns}

@@ -196,6 +196,10 @@ def expire_snapshots(
             # quantile-sketch sidecar (ops/analyze.py): same rule
             if rel[: -len(".qsk")] in live_paths:
                 continue
+        elif name.endswith(".hh"):
+            # heavy-hitter-sketch sidecar (ops/analyze.py): same rule
+            if rel[: -len(".hh")] in live_paths:
+                continue
         elif ".dv-" in name and name.endswith(".bin"):
             # deletion-vector sidecar: referenced-by-manifest liveness
             if rel in live_dvs:

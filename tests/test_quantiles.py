@@ -283,3 +283,53 @@ def test_explain_predicate_tiers(tmp_table_dir):
     assert e2["zonemap_fragments"] >= 1
     assert e2.get("bloom_fragments") == 0
     assert e2.get("bloom_rows_upper") == 0
+
+
+def test_heavy_hitter_sidecars(tmp_table_dir):
+    import collections
+
+    from fupi_ray.ops import column_heavy_hitters, ensure_hh_sketches
+    from fupi_ray.ops.analyze import hh_path
+
+    t = write_fragmented_table(tmp_table_dir, 2_000, rows_per_fragment=250, config=CFG)
+    res = ensure_hh_sketches(t, columns=("source",))
+    nfrags = len(t.manifest().fragments)
+    assert res == {"built": nfrags, "cached": 0}
+    assert ensure_hh_sketches(t, columns=("source",)) == {
+        "built": 0,
+        "cached": nfrags,
+    }
+    exact = collections.Counter(
+        r["source"] for r in t.scan(columns=["source"]).take_all()
+    )
+    stats: dict = {}
+    hh = column_heavy_hitters(
+        t, columns=("source",), min_fraction=0.01, stats_out=stats
+    )["source"]
+    assert stats["fragments_missing"] == 0
+    # the fixture has a handful of sources, all far above the residual:
+    # every one is present with sound bounds, ranked by lower bound
+    assert {h["value"] for h in hh} == set(exact)
+    for h in hh:
+        assert h["lower"] <= exact[h["value"]] <= h["upper"], (h, exact[h["value"]])
+    assert hh[0]["lower"] == max(h["lower"] for h in hh)
+
+    # bounds stay sound across a repack (layout independence of the
+    # CONTRACT — the state itself may differ)
+    compact(t)
+    hh2 = column_heavy_hitters(t, columns=("source",), min_fraction=0.01)["source"]
+    for h in hh2:
+        assert h["lower"] <= exact[h["value"]] <= h["upper"]
+
+    # GC with the owning fragment (fragments compaction left in place
+    # stay live and keep their sidecars — check only the dead ones)
+    old = {f.path for f in t.manifest(1).fragments}
+    expire_snapshots(t, keep_last=1, gc_grace_seconds=0.0)
+    live = {f.path for f in t.manifest().fragments}
+    dead = old - live
+    assert dead
+    for rel in dead:
+        assert not _fs.exists(hh_path(os.path.join(t.table_dir, rel)))
+
+    with pytest.raises(ValueError, match="nested"):
+        ensure_hh_sketches(t, columns=("tokens",))
