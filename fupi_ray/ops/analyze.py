@@ -598,8 +598,14 @@ def estimate_rows(
         if st is not None and st["count"] > 0 and op in _SKETCHABLE_OPS:
             n = st["count"]
             if op in ("=", "=="):
-                hit = _qsk_count_le(st, val, gamma) - _qsk_count_le(
-                    st, val, gamma, strict=True
+                # mass of the bucket(s) containing val: probe the
+                # [val/gamma, val*gamma] window, since the stored
+                # representative differs from val by up to the bucket
+                # width (an exact-rep probe would count zero for any
+                # value that isn't itself a representative)
+                lo_v, hi_v = sorted((val * gamma, val / gamma))
+                hit = _qsk_count_le(st, hi_v, gamma) - _qsk_count_le(
+                    st, lo_v, gamma, strict=True
                 )
             elif op == "<":
                 hit = _qsk_count_le(st, val, gamma, strict=True)
