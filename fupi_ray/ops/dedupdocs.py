@@ -68,6 +68,8 @@ from fupi_ray.schema import _unwrap_tensor
 from fupi_ray.stages.dedup import (
     _grouped_pairs,
     dedup_pairs,
+    filter_hot_keys,
+    hot_band_keys,
     resolve_duplicate_families,
 )
 from fupi_ray.state import fs as _fs
@@ -433,9 +435,25 @@ def dedup_documents(
             num_perm=num_perm,
             gram=gram,
         ).materialize()  # P*8 bytes/doc — the working set from here on
+    # two-phase exchange (stages/dedup.hot_band_keys): band_rows is a
+    # cheap pure function of the materialized signature table, so the
+    # keys-only count pass and the filtered pair pass each re-derive it
+    # rather than materializing 'bands' rows/doc. Only hot-key rows
+    # (the only ones that can pair) ship ids through the exchange.
+    hot = hot_band_keys(
+        band_rows(sigs, num_perm, bands), num_buckets=min(num_buckets, 256)
+    )
+    if hot is not None and len(hot) == 0:
+        # no band key repeats anywhere: a clean corpus answers from the
+        # keys-only pass alone, skipping both pair exchanges
+        _record_check(table, parent, n_rows, threshold)
+        return empty
+    banded = band_rows(sigs, num_perm, bands)
+    if hot is not None:
+        banded = filter_hot_keys(banded, hot)
     cand = dedup_pairs(
         _grouped_pairs(
-            band_rows(sigs, num_perm, bands),
+            banded,
             ["band_key"],
             max_group=max_group,
             num_buckets=num_buckets,
