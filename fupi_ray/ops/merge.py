@@ -142,6 +142,95 @@ def _dedup_source(source: ray.data.Dataset, num_buckets: int) -> ray.data.Datase
     )
 
 
+def _collect_broadcast_keys(
+    deduped: ray.data.Dataset,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Driver-side collect of the deduped source's ``doc_id`` column →
+    ``(kb_lex, key_hashes_sorted, key_bytes_hash_order)``.
+
+    Arrow-native fast path: the variable-length string column becomes
+    ONE fixed-width uint8 matrix via an offsets scatter, viewed as a
+    numpy ``S``-dtype array — no object-dtype lexicographic sort and no
+    per-element ``np.char.encode`` (both driver-bound: the old path
+    cost a flat ~3.5 s for ~1M keys at EVERY cpu count). numpy ``S``
+    comparisons treat trailing NULs as padding, which matches
+    variable-length UTF-8 byte order (== code-point order) for
+    NUL-free strings; embedded NULs, nulls, and non-string key types
+    fall back to the object path. ``kb_lex`` is memcmp-sorted for
+    zone-map pruning (see ``_zone_overlaps_keys``); the other two are
+    the broadcast probe arrays in hash order, bit-identical to the old
+    path's (hash ties carry equal hash values, so the probe's
+    full-run byte confirmation is order-insensitive)."""
+    bt = list(
+        deduped.select_columns(["doc_id"]).iter_batches(batch_format="pyarrow")
+    )
+    arr = (
+        pa.concat_tables(bt).column("doc_id").combine_chunks()
+        if bt
+        else pa.array([], pa.string())
+    )
+    n = len(arr)
+    if n == 0:
+        e = np.array([], dtype="S1")
+        return e, np.array([], dtype=np.uint64), e
+    if pa.types.is_large_string(arr.type):
+        # int32 offsets suffice: the broadcast key budget is far below
+        # 2 GiB of id bytes
+        arr = arr.cast(pa.string())
+    if pa.types.is_string(arr.type) and arr.null_count == 0:
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0] : off[-1]]
+        off = off - off[0]
+        if not (data == 0).any():
+            lens = np.diff(off)
+            w = max(int(lens.max()) if n else 1, 1)
+            mat = np.zeros((n, w), dtype=np.uint8)
+            row = np.repeat(np.arange(n, dtype=np.int64), lens)
+            col = np.arange(len(data), dtype=np.int64) - np.repeat(off[:-1], lens)
+            mat[row, col] = data
+            kb = mat.view(f"S{w}").ravel()
+            h = stable_hash(arr)
+            order = np.argsort(h, kind="stable")
+            return np.sort(kb), h[order], kb[order]
+    keys = np.sort(arr.to_numpy(zero_copy_only=False).astype(object))
+    h = stable_hash(keys)
+    order = np.argsort(h, kind="stable")
+    return keys, h[order], np.char.encode(keys[order].astype(str), "utf-8")
+
+
+def _zone_overlaps_keys(kb_lex: np.ndarray, zmin, zmax) -> bool:
+    """Does any broadcast key fall inside the fragment zone-map range
+    ``[zmin, zmax]``? ``kb_lex`` is the lex-sorted output of
+    ``_collect_broadcast_keys`` — fixed-width bytes on the fast path
+    (bounds longer than the width compare by prefix: a key equal to
+    the truncated prefix is strictly below the longer bound, so both
+    bound probes use the ``right`` side of the prefix), objects on the
+    fallback."""
+    if len(kb_lex) == 0:
+        return False
+    if kb_lex.dtype.kind == "S":
+        w = kb_lex.dtype.itemsize
+        bmin = str(zmin).encode("utf-8")
+        bmax = str(zmax).encode("utf-8")
+        if len(bmin) <= w:
+            lo = np.searchsorted(kb_lex, np.array(bmin, dtype=f"S{w}"), side="left")
+        else:
+            lo = np.searchsorted(
+                kb_lex, np.array(bmin[:w], dtype=f"S{w}"), side="right"
+            )
+        if len(bmax) <= w:
+            hi = np.searchsorted(kb_lex, np.array(bmax, dtype=f"S{w}"), side="right")
+        else:
+            hi = np.searchsorted(
+                kb_lex, np.array(bmax[:w], dtype=f"S{w}"), side="right"
+            )
+        return bool(lo < hi)
+    lo_i = int(np.searchsorted(kb_lex, zmin, side="left"))
+    return lo_i < len(kb_lex) and kb_lex[lo_i] <= zmax
+
+
 def _probe_key_run_positions(
     ids: np.ndarray, key_hashes: np.ndarray, key_bytes: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -840,23 +929,19 @@ def merge_into(
         raise ValueError(f"unknown merge mode {mode!r} (cow | dv)")
 
     if strategy == "broadcast":
-        key_df = deduped.select_columns(["doc_id"]).to_pandas()
-        keys = np.sort(key_df["doc_id"].to_numpy(dtype=object))
-        if len(keys) == 0:
-            return parent
         # broadcast as (sorted uint64 hashes, fixed-width utf-8 bytes
         # aligned): single-buffer arrays, compact on the wire and free
         # of per-element objects to deserialize (see
-        # _rewrite_fragment_task); the string-sorted array stays on
+        # _rewrite_fragment_task); the lex-sorted byte array stays on
         # the driver for zone-map pruning
-        h = stable_hash(keys)
-        order = np.argsort(h, kind="stable")
-        key_bytes = np.char.encode(keys[order].astype(str), "utf-8")
-        keys_ref = ray.put((h[order], key_bytes))
+        kb_lex, h_sorted, key_bytes = _collect_broadcast_keys(deduped)
+        if len(h_sorted) == 0:
+            return parent
+        keys_ref = ray.put((h_sorted, key_bytes))
         # key-set identity for lineage reuse (sorted hashes → stable)
         import hashlib as _hl
 
-        keys_digest = _hl.md5(h[order].tobytes()).hexdigest()[:16]
+        keys_digest = _hl.md5(h_sorted.tobytes()).hexdigest()[:16]
         mark("collect_keys")
 
         # zone-map prune: fragment is "hit" iff some key falls in its range
@@ -865,9 +950,7 @@ def merge_into(
             zm = f.zone_map.get("doc_id")
             if zm is None or f.rows == 0:
                 hit.append(f)
-                continue
-            lo_i = np.searchsorted(keys, zm["min"], side="left")
-            if lo_i < len(keys) and keys[lo_i] <= zm["max"]:
+            elif _zone_overlaps_keys(kb_lex, zm["min"], zm["max"]):
                 hit.append(f)
             else:
                 kept.append(f)
@@ -940,7 +1023,7 @@ def merge_into(
             "strategy": "broadcast",
             "when_matched": when_matched,
             "phase_seconds": phase_t,
-            "source_keys": int(len(keys)),
+            "source_keys": int(len(h_sorted)),
             "fragments_hit": len(hit),
             "fragments_bloom_skipped": len(bloom_skipped),
             "fragments_untouched": len(kept),
@@ -1024,27 +1107,19 @@ def _merge_into_dv(
     candidates = [f for f in m.fragments if probeable(f)]
 
     if strategy == "broadcast":
-        key_df = deduped.select_columns(["doc_id"]).to_pandas()
-        keys = np.sort(key_df["doc_id"].to_numpy(dtype=object))
-        if len(keys) == 0:
+        kb_lex, h_sorted, key_bytes = _collect_broadcast_keys(deduped)
+        if len(h_sorted) == 0:
             return parent
-        h = stable_hash(keys)
-        order = np.argsort(h, kind="stable")
-        key_bytes = np.char.encode(keys[order].astype(str), "utf-8")
-        keys_ref = ray.put((h[order], key_bytes))
+        keys_ref = ray.put((h_sorted, key_bytes))
         import hashlib as _hl
 
-        keys_digest = _hl.md5(h[order].tobytes()).hexdigest()[:16]
+        keys_digest = _hl.md5(h_sorted.tobytes()).hexdigest()[:16]
         mark("collect_keys")
 
         hit = []
         for f in candidates:
             zm = f.zone_map.get("doc_id")
-            if zm is None:
-                hit.append(f)
-                continue
-            lo_i = np.searchsorted(keys, zm["min"], side="left")
-            if lo_i < len(keys) and keys[lo_i] <= zm["max"]:
+            if zm is None or _zone_overlaps_keys(kb_lex, zm["min"], zm["max"]):
                 hit.append(f)
         # key-column reads + tiny sidecar writes: not memory-bus-bound
         # copies, no fan-out cap needed (same shape as the DV DELETE)
@@ -1073,7 +1148,7 @@ def _merge_into_dv(
         }
         extra = {
             "strategy": "broadcast",
-            "source_keys": int(len(keys)),
+            "source_keys": int(len(h_sorted)),
             "fragments_hit": len(hit),
             "fragments_bloom_skipped": sum(
                 1 for r in records if r["metrics"].get("bloom_skip")
@@ -1234,12 +1309,8 @@ def insert_missing(
     m = table.manifest(parent)
 
     if n_src <= cfg.merge_broadcast_max_keys:
-        key_df = deduped.select_columns(["doc_id"]).to_pandas()
-        keys = np.sort(key_df["doc_id"].to_numpy(dtype=object))
-        h = stable_hash(keys)
-        order = np.argsort(h, kind="stable")
-        key_bytes = np.char.encode(keys[order].astype(str), "utf-8")
-        keys_ref = ray.put((h[order], key_bytes))
+        kb_lex, h_sorted, key_bytes = _collect_broadcast_keys(deduped)
+        keys_ref = ray.put((h_sorted, key_bytes))
         # zone-map prune exactly like the broadcast merge: a fragment
         # whose [min,max] range contains no key cannot hold a match
         hit = []
@@ -1249,8 +1320,7 @@ def insert_missing(
                 if f.rows:
                     hit.append(f)
                 continue
-            lo_i = np.searchsorted(keys, zm["min"], side="left")
-            if lo_i < len(keys) and keys[lo_i] <= zm["max"]:
+            if _zone_overlaps_keys(kb_lex, zm["min"], zm["max"]):
                 hit.append(f)
         results = _fanout.run_capped(
             _probe_fragment_task,
@@ -1260,7 +1330,7 @@ def insert_missing(
             ],
             _fanout.copy_concurrency_cap(cfg.memcpy_max_concurrency),
         )
-        matched = np.zeros(len(keys), dtype=bool)
+        matched = np.zeros(len(h_sorted), dtype=bool)
         for pos in results:
             if len(pos):
                 matched[pos] = True
