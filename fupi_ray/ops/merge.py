@@ -109,11 +109,27 @@ def _ensure_src_order(batch: pa.Table) -> pa.Table:
     return batch.append_column("_src_order", pa.array(_content_order(batch)))
 
 
+# hashes-only duplicate pre-count budget: 32M rows = 256 MiB of uint64
+# on the driver. Above it the payload exchange runs unconditionally
+# (the shuffle-strategy regime, where it is needed anyway).
+_DUP_COUNT_ROWS_CAP = 32_000_000
+
+
 def _dedup_source(source: ray.data.Dataset, num_buckets: int) -> ray.data.Dataset:
     """Keep-first dedup of the source by doc_id (min ``_src_order``).
 
-    One hash-shuffle of the (small-side) source only: bucket by
-    ``stable_hash(doc_id) % B`` → vectorized per-bucket drop_duplicates.
+    Two-phase: a hashes-only pre-count (8B/row to the driver, capped at
+    ``_DUP_COUNT_ROWS_CAP`` rows) finds doc_id hashes occurring on >= 2
+    rows. A well-formed feed has none and skips the payload exchange
+    entirely; otherwise only hash-repeating rows (a superset of the
+    duplicates — hash collisions are conservative) enter the bucket
+    shuffle, and unique rows pass through untouched. The exchange
+    itself is one hash-shuffle bucketed by ``stable_hash(doc_id) % B``
+    with vectorized per-bucket drop_duplicates; result SET is identical
+    to dedup-everything (duplicate groups always land hot).
+
+    ``source`` must be materialized (both callers hold it in the
+    object store already): the pre-count is a second pass over it.
     """
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -134,12 +150,70 @@ def _dedup_source(source: ray.data.Dataset, num_buckets: int) -> ray.data.Datase
             keep[1:] = ids[1:] != ids[:-1]
         return g.filter(pa.array(keep))
 
-    return (
-        source.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(dedup_bucket, batch_format="pyarrow")
-        .drop_columns(["_bucket", "_src_order"])
+    def full_exchange(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return (
+            ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_bucket")
+            .map_groups(dedup_bucket, batch_format="pyarrow")
+            .drop_columns(["_bucket", "_src_order"])
+        )
+
+    def drop_order(batch: pa.Table) -> pa.Table:
+        if "_src_order" in batch.column_names:
+            return batch.drop_columns(["_src_order"])
+        return batch
+
+    try:
+        n_rows = source.count()
+    except Exception:
+        n_rows = None
+    if n_rows is None or n_rows > _DUP_COUNT_ROWS_CAP or n_rows == 0:
+        return full_exchange(source)
+
+    def id_hashes(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        return pa.table({"h": pa.array(stable_hash(batch["doc_id"]))})
+
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False)
+        for b in source.map_batches(
+            id_hashes, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    hs = np.sort(np.concatenate(parts)) if parts else np.array([], np.uint64)
+    dup = np.unique(hs[:-1][hs[1:] == hs[:-1]]) if len(hs) > 1 else hs[:0]
+    if len(dup) == 0:
+        try:
+            has_order = "_src_order" in (source.schema().names or [])
+        except Exception:
+            has_order = True
+        if not has_order:
+            return source  # already key-unique: reuse the materialized blocks
+        return source.map_batches(
+            drop_order, batch_format="pyarrow", zero_copy_batch=True
+        )
+    dup_ref = ray.put(dup)
+
+    def split(batch: pa.Table, want_hot: bool) -> pa.Table:
+        if batch.num_rows == 0:
+            return drop_order(batch) if not want_hot else batch
+        d = ray.get(dup_ref)
+        hb = stable_hash(batch["doc_id"])
+        pos = np.searchsorted(d, hb)
+        pos[pos == len(d)] = 0
+        hot = d[pos] == hb
+        if want_hot:
+            return batch.filter(pa.array(hot))
+        return drop_order(batch.filter(pa.array(~hot)))
+
+    hot_ds = source.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow", zero_copy_batch=True
     )
+    cold_ds = source.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return full_exchange(hot_ds).union(cold_ds)
 
 
 def _collect_broadcast_keys(
