@@ -372,6 +372,57 @@ def minhash_signatures(
     return out
 
 
+_OPH_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_OPH_C = np.uint64(0x9E3779B97F4A7C15)  # densification tie-break stride
+
+
+def minhash_signatures_oph(
+    grams: np.ndarray, gram_starts: np.ndarray, salts: np.ndarray
+) -> np.ndarray:
+    """(num_perm, n) one-permutation MinHash with rotation
+    densification — same contract as ``minhash_signatures`` (P(lane
+    equality) ≈ Jaccard; identical gram sets ⇒ identical signatures)
+    at ~1/P the compute.
+
+    Classic MinHash mixes every gram once PER permutation (P bandwidth
+    passes over the gram array — the kernel is memory-bound). One-
+    permutation hashing (Li, Owen & Zhang, NIPS 2012) mixes each gram
+    ONCE, partitions the hash space into P buckets (``h % P``) and
+    takes the per-doc minimum per bucket; empty buckets borrow the
+    value of the nearest filled bucket to the right (circular) plus
+    ``distance * C`` (rotation densification, Shrivastava & Li, ICML
+    2014), so sparse docs still compare lane-by-lane. ``salts[0]``
+    seeds the single permutation; the remaining salts are unused but
+    keep the call signature interchangeable."""
+    P = len(salts)
+    n = len(gram_starts) - 1
+    if n == 0:
+        return np.empty((P, n), dtype=np.uint64)
+    g = mix64(grams ^ salts[0])
+    b = (g % np.uint64(P)).astype(np.int64)
+    lengths = np.diff(gram_starts)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    out = np.full(n * P, _OPH_EMPTY, dtype=np.uint64)
+    np.minimum.at(out, doc_of * P + b, g)
+    out = out.reshape(n, P)
+    filled = out != _OPH_EMPTY
+    if not filled.all():
+        need = ~filled
+        vals = out
+        out = out.copy()
+        with np.errstate(over="ignore"):
+            for t in range(1, P):
+                rows = need.any(axis=1)
+                if not rows.any():
+                    break
+                src = np.roll(vals, -t, axis=1)
+                srcf = np.roll(filled, -t, axis=1)
+                take = need & srcf
+                out[take] = src[take] + _OPH_C * np.uint64(t)
+                need &= ~take
+    return out.T
+
+
 def simhash_values(W: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """64-bit SimHash per doc, batched: one (L, 64) bit matrix +
     ``np.add.reduceat`` over doc segments. Empty docs hash to 0."""

@@ -152,6 +152,7 @@ def _fragment_sig_task(
     gram: int,
     seed: int,
     id_type_str: str = "string",
+    scheme: str = "oph",
 ) -> pa.Table:
     """(id, sig) rows for one fragment, DV-masked. Reuses the
     fragment's signature SIDECAR (``<fragment>.parquet.sigs``) when its
@@ -165,7 +166,15 @@ def _fragment_sig_task(
 
     abs_path = _fs.join(table_dir, rel_path)
     side = sig_sidecar_path(abs_path)
-    want = {"num_perm": str(num_perm), "gram": str(gram), "seed": str(seed)}
+    # scheme participates in the cache identity: an OPH sidecar must
+    # never satisfy a classic request (or vice versa) — and pre-scheme
+    # sidecars (no key) recompute once, then carry the key
+    want = {
+        "num_perm": str(num_perm),
+        "gram": str(gram),
+        "seed": str(seed),
+        "scheme": scheme,
+    }
     tbl = None
     try:
         if _fs.exists(side):
@@ -186,7 +195,9 @@ def _fragment_sig_task(
         phys = masked_fragment_table(
             table_dir, rel_path, None, columns=[phys_id, phys_tok]
         )
-        sigs = token_signatures(phys[phys_tok], _salts(num_perm, seed), gram)
+        sigs = token_signatures(
+            phys[phys_tok], _salts(num_perm, seed), gram, scheme=scheme
+        )
         tbl = pa.table({"id": phys[phys_id], "sig": _sig_binary(sigs)})
         try:
             _fs.write_parquet(tbl.replace_schema_metadata(want), side)
@@ -213,17 +224,25 @@ def _salts(num_perm: int, seed: int) -> np.ndarray:
     return rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
 
 
-def token_signatures(tokens_col, salts: np.ndarray, gram: int) -> np.ndarray:
+def token_signatures(
+    tokens_col, salts: np.ndarray, gram: int, scheme: str = "oph"
+) -> np.ndarray:
     """(n, P) uint64 MinHash matrix for a token list column: flat
     value mix → per-doc k-gram chain hashes → per-perm minima. All
-    reduceat/broadcast kernels, no per-doc Python."""
+    reduceat/broadcast kernels, no per-doc Python.
+
+    ``scheme="oph"`` (default) uses one-permutation hashing with
+    rotation densification (``textkernels.minhash_signatures_oph``) —
+    ~P× less compute on the dominant signature pass with the same lane
+    contract; ``"classic"`` keeps P independent permutations."""
     lst = _unwrap_tensor(tokens_col)
     offsets = np.asarray(lst.offsets, dtype=np.int64)
     vals = lst.values.to_numpy(zero_copy_only=False)
     lengths = np.diff(offsets)
     W = mix64(vals.astype(np.uint64, copy=False) + _GOLDEN)
     grams, gstarts = tk.doc_shingle_hashes(W, lengths, gram)
-    return tk.minhash_signatures(grams, gstarts, salts).T
+    fn = tk.minhash_signatures_oph if scheme == "oph" else tk.minhash_signatures
+    return fn(grams, gstarts, salts).T
 
 
 def _sig_binary(sigs: np.ndarray) -> pa.Array:
@@ -250,6 +269,7 @@ def signature_dataset(
     num_perm: int = 64,
     gram: int = 8,
     seed: int = 42,
+    scheme: str = "oph",
 ) -> ray.data.Dataset:
     """One ``(id, sig fixed_size_binary(P*8))`` row per document — the
     only stage that reads token bytes."""
@@ -263,7 +283,7 @@ def signature_dataset(
                     "sig": pa.array([], pa.binary(num_perm * 8)),
                 }
             )
-        sigs = token_signatures(batch[tokens_col], salts, gram)
+        sigs = token_signatures(batch[tokens_col], salts, gram, scheme=scheme)
         return pa.table({"id": batch[id_col], "sig": _sig_binary(sigs)})
 
     return corpus.map_batches(to_sigs, batch_format="pyarrow")
@@ -367,6 +387,7 @@ def dedup_documents(
     mode: str = "dv",
     incremental: bool = False,
     job_id: str | None = None,
+    scheme: str = "oph",
 ) -> dict:
     """Remove near-duplicate documents from ``table`` (keep the min
     ``doc_id`` of every duplicate family); returns metrics
@@ -424,6 +445,7 @@ def dedup_documents(
                 gram,
                 42,
                 id_type_str,
+                scheme,
             )
             for f in m.fragments
             if f.rows
@@ -434,6 +456,7 @@ def dedup_documents(
             table.scan(parent, columns=["doc_id", "tokens"]),
             num_perm=num_perm,
             gram=gram,
+            scheme=scheme,
         ).materialize()  # P*8 bytes/doc — the working set from here on
     # two-phase exchange (stages/dedup.hot_band_keys): band_rows is a
     # cheap pure function of the materialized signature table, so the

@@ -107,8 +107,10 @@ class MinHashStage:
         bands: int = 16,
         shingle_size: int = 3,
         seed: int = 42,
+        scheme: str = "oph",
     ):
         assert num_perm % bands == 0
+        self.scheme = scheme
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands = num_perm, bands
         self.rows_per_band = num_perm // bands
@@ -150,7 +152,12 @@ class MinHashStage:
             )
         W, _, lengths = tk.flat_word_hashes(batch[self.text_col])
         grams, gstarts = tk.doc_shingle_hashes(W, lengths, self.shingle)
-        sigs = tk.minhash_signatures(grams, gstarts, self.salts).T  # (n, P)
+        sig_fn = (
+            tk.minhash_signatures_oph
+            if self.scheme == "oph"
+            else tk.minhash_signatures
+        )
+        sigs = sig_fn(grams, gstarts, self.salts).T  # (n, P)
         chunks = sigs.reshape(n, self.bands, self.rows_per_band)
         key = chunks[:, :, 0]
         for r in range(1, self.rows_per_band):
@@ -181,6 +188,7 @@ def minhash_lsh_candidates(
     concurrency: int | tuple = (1, 8),
     dedup: bool = True,
     prefilter: bool = True,
+    scheme: str = "oph",
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
@@ -215,6 +223,7 @@ def minhash_lsh_candidates(
             num_perm=num_perm,
             bands=bands,
             shingle_size=shingle_size,
+            scheme=scheme,
         ),
         batch_format="pyarrow",
         concurrency=concurrency,
