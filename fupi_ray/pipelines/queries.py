@@ -1282,15 +1282,23 @@ with np.errstate(over="ignore"):
 _SUBSTR_BUCKETS = 64
 
 
-def _window_bucket_hash(uwins: np.ndarray, wb: int) -> np.ndarray:
-    """(bucket int64, full-hash) of each window-byte row."""
+def _window_hashes(uwins: np.ndarray, wb: int) -> tuple[np.ndarray, np.ndarray]:
+    """(full 64-bit hash int64, bucket int64) of each window-byte row.
+    The full hash feeds the hot-window prefilter (a byte-equal pair is
+    always hash-equal, so filtering to repeated hashes is a
+    conservative superset); the bucket keys the exchange."""
     from fupi_ray.functions.hashing import mix64
 
     with np.errstate(over="ignore"):
         h = (uwins.astype(np.uint64) * _SUBSTR_POWS[:wb][None, :]).sum(
             axis=1, dtype=np.uint64
         )
-    return (mix64(h) % np.uint64(_SUBSTR_BUCKETS)).astype(np.int64)
+    h = mix64(h)
+    return h.view(np.int64), (h % np.uint64(_SUBSTR_BUCKETS)).astype(np.int64)
+
+
+def _window_bucket_hash(uwins: np.ndarray, wb: int) -> np.ndarray:
+    return _window_hashes(uwins, wb)[1]
 
 
 def q_dedup_substring(sf_dir: str):
@@ -1321,6 +1329,7 @@ def q_dedup_substring(sf_dir: str):
         wb = W * cw
         empty = pa.table(
             {
+                "win_h": pa.array([], pa.int64()),
                 "bkt": pa.array([], pa.int64()),
                 "win": pa.array([], pa.large_binary()),
                 "doc_id": pa.array([], pa.int64()),
@@ -1349,12 +1358,43 @@ def q_dedup_substring(sf_dir: str):
             len(u),
             [None, pa.py_buffer(offs), pa.py_buffer(uwins)],
         )
+        wh, bkt = _window_hashes(uwins, wb)
         return pa.table(
             {
-                "bkt": pa.array(_window_bucket_hash(uwins, wb)),
+                "win_h": pa.array(wh),
+                "bkt": pa.array(bkt),
                 "win": win_arr,
                 "doc_id": pa.array(udoc),
                 "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        # per-doc window totals are BLOCK-LOCAL (each doc's rows come
+        # from exactly one extract batch) — no exchange needed
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "cnt_dup": pa.array([], pa.int64()),
+                    "dbkt": pa.array([], pa.int64()),
+                }
+            )
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        ud, inv = np.unique(d, return_inverse=True)
+        sums = np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ud),
+                "cnt": pa.array(sums),
+                "cnt_dup": pa.array(np.zeros(len(ud), np.int64)),
+                "dbkt": pa.array(
+                    (ud.view(np.uint64) % np.uint64(_SUBSTR_BUCKETS)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
@@ -1369,15 +1409,27 @@ def q_dedup_substring(sf_dir: str):
         part = pd.DataFrame(
             {
                 "doc_id": g["doc_id"].to_numpy(),
-                "cnt": g["cnt"].to_numpy(),
-                "cnt_dup": g["cnt"].to_numpy() * dup,
+                "cnt": np.zeros(len(g), np.int64),  # totals ride the
+                "cnt_dup": g["cnt"].to_numpy() * dup,  # block-local pass
             }
         )
         a = part.groupby("doc_id", sort=False, as_index=False)[["cnt", "cnt_dup"]].sum()
-        a["dbkt"] = (
-            a["doc_id"].to_numpy().view(np.uint64) % np.uint64(_SUBSTR_BUCKETS)
-        ).astype(np.int64)
-        return a
+        a = a[a["cnt_dup"] > 0]  # totals travel the block-local pass
+        ids = a["doc_id"].to_numpy()
+        # Arrow output: this stream UNIONs with the (arrow-block)
+        # totals pass, and Ray refuses mixed pandas/arrow block unions
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cnt": pa.array(a["cnt"].to_numpy(), pa.int64()),
+                "cnt_dup": pa.array(a["cnt_dup"].to_numpy(), pa.int64()),
+                "dbkt": pa.array(
+                    (ids.view(np.uint64) % np.uint64(_SUBSTR_BUCKETS)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
 
     def rollup(g: pd.DataFrame) -> pd.DataFrame:
         # one doc-bucket per group: vectorized per-doc sums (Ray's
@@ -1393,9 +1445,21 @@ def q_dedup_substring(sf_dir: str):
             }
         )
 
-    s1 = docs.map_batches(extract, batch_format="pyarrow")
-    s2 = s1.groupby("bkt").map_groups(mark, batch_format="pandas")
-    agg = s2.groupby("dbkt").map_groups(rollup, batch_format="pandas")
+    # hot-window prefilter (same two-phase shape as the LSH band
+    # exchange): count 64-bit window hashes keys-only first; only
+    # windows whose hash repeats can be duplicated, so the heavy
+    # window-BYTES exchange ships the hot subset only. Totals never
+    # enter an exchange at all (block-local rollup).
+    from fupi_ray.stages.dedup import filter_hot_keys, hot_band_keys
+
+    s1 = docs.map_batches(extract, batch_format="pyarrow").materialize()
+    tot = s1.map_batches(totals, batch_format="pyarrow")
+    hot = hot_band_keys(s1, key_col="win_h")
+    flt = s1 if hot is None else filter_hot_keys(s1, hot, key_col="win_h")
+    s2 = flt.drop_columns(["win_h"]).groupby("bkt").map_groups(
+        mark, batch_format="pandas"
+    )
+    agg = tot.union(s2).groupby("dbkt").map_groups(rollup, batch_format="pandas")
     return agg.sort("doc_id")
 
 
@@ -1445,6 +1509,7 @@ def q_dedup_substring_rm(sf_dir: str):
                     "win": pa.array([], pa.large_binary()),
                     "doc_id": pa.array([], pa.int64()),
                     "pos": pa.array([], pa.int64()),
+                    "win_h": pa.array([], pa.int64()),
                 }
             )
         wb = W * cw
@@ -1463,12 +1528,14 @@ def q_dedup_substring_rm(sf_dir: str):
             m,
             [None, pa.py_buffer(offs), pa.py_buffer(wins)],
         )
+        wh, bkt = _window_hashes(wins, wb)
         return pa.table(
             {
-                "bkt": pa.array(_window_bucket_hash(wins, wb)),
+                "bkt": pa.array(bkt),
                 "win": win_arr,
                 "doc_id": pa.array(d),
                 "pos": pa.array(k * S),
+                "win_h": pa.array(wh),
             }
         )
 
@@ -1549,8 +1616,19 @@ def q_dedup_substring_rm(sf_dir: str):
             }
         )
 
-    inst = docs.map_batches(extract_pos, batch_format="pyarrow")
-    removals = inst.groupby("bkt").map_groups(choose_removals, batch_format="pandas")
+    # hot-window prefilter: a window whose 64-bit hash occurs once can
+    # never be a removal (removals need >= 2 DISTINCT docs on equal
+    # bytes; byte-equal => hash-equal) — the instance exchange ships
+    # only the hot subset. Falls back above the hot-key cap.
+    from fupi_ray.stages.dedup import filter_hot_keys, hot_band_keys
+
+    inst = docs.map_batches(extract_pos, batch_format="pyarrow").materialize()
+    hot = hot_band_keys(inst, key_col="win_h")
+    if hot is not None:
+        inst = filter_hot_keys(inst, hot, key_col="win_h")
+    removals = inst.drop_columns(["win_h"]).groupby("bkt").map_groups(
+        choose_removals, batch_format="pandas"
+    )
     spans = removals.groupby("dbkt").map_groups(spans_per_bucket, batch_format="pandas")
     spans_schema = pa.schema([("doc_id", pa.int64()), ("starts", pa.binary())])
     joined = hash_join(

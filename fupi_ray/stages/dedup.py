@@ -107,8 +107,17 @@ class MinHashStage:
         bands: int = 16,
         shingle_size: int = 3,
         seed: int = 42,
-        scheme: str = "oph",
+        scheme: str = "classic",
     ):
+        # classic by default on the TEXT path: OPH's densified lanes
+        # are correlated, which inflates band collisions between
+        # mid-similarity docs (measured 3x the candidates on the sf0.1
+        # documents corpus) — and text verification (true Jaccard over
+        # the text bytes) is the expensive stage, so extra candidates
+        # cost more than the signature pass saves. The TOKEN path
+        # (ops/dedupdocs.py) defaults to OPH: its verify is a cheap
+        # signature compare, so the ~P-fold signature-pass win
+        # dominates (measured 5.9s -> 3.6s on the 2M-doc bench).
         assert num_perm % bands == 0
         self.scheme = scheme
         self.text_col, self.id_col = text_col, id_col
@@ -188,7 +197,7 @@ def minhash_lsh_candidates(
     concurrency: int | tuple = (1, 8),
     dedup: bool = True,
     prefilter: bool = True,
-    scheme: str = "oph",
+    scheme: str = "classic",
 ) -> ray.data.Dataset:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
