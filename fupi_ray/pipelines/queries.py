@@ -1301,6 +1301,24 @@ def _window_bucket_hash(uwins: np.ndarray, wb: int) -> np.ndarray:
     return _window_hashes(uwins, wb)[1]
 
 
+# below this corpus size the hot-window prefilter's extra barrier
+# (materialize + keys-only exchange) costs more than the window-bytes
+# exchange it elides — measured +2s on the 0.6MB sf0.1 documents
+# table, where every exchange is scheduling-bound. File size is a
+# cheap stand-in for window volume (windows ~ 2x text bytes).
+_SUBSTR_PREFILTER_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _substr_prefilter(sf_dir: str) -> bool:
+    try:
+        return (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            > _SUBSTR_PREFILTER_MIN_BYTES
+        )
+    except OSError:
+        return True  # unknown source: assume big (the scale path)
+
+
 def q_dedup_substring(sf_dir: str):
     """Cross-document duplicated-substring detection (Lee et al. 2022,
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -1452,11 +1470,18 @@ def q_dedup_substring(sf_dir: str):
     # enter an exchange at all (block-local rollup).
     from fupi_ray.stages.dedup import filter_hot_keys, hot_band_keys
 
-    s1 = docs.map_batches(extract, batch_format="pyarrow").materialize()
-    tot = s1.map_batches(totals, batch_format="pyarrow")
-    hot = hot_band_keys(s1, key_col="win_h")
-    flt = s1 if hot is None else filter_hot_keys(s1, hot, key_col="win_h")
-    s2 = flt.drop_columns(["win_h"]).groupby("bkt").map_groups(
+    s1 = docs.map_batches(extract, batch_format="pyarrow")
+    if _substr_prefilter(sf_dir):
+        s1 = s1.materialize()
+        # totals read the UNFILTERED windows (every doc's full count);
+        # only the byte-carrying mark exchange gets the hot subset
+        tot = s1.map_batches(totals, batch_format="pyarrow")
+        hot = hot_band_keys(s1, key_col="win_h")
+        if hot is not None:
+            s1 = filter_hot_keys(s1, hot, key_col="win_h")
+    else:
+        tot = s1.map_batches(totals, batch_format="pyarrow")
+    s2 = s1.drop_columns(["win_h"]).groupby("bkt").map_groups(
         mark, batch_format="pandas"
     )
     agg = tot.union(s2).groupby("dbkt").map_groups(rollup, batch_format="pandas")
@@ -1622,10 +1647,12 @@ def q_dedup_substring_rm(sf_dir: str):
     # only the hot subset. Falls back above the hot-key cap.
     from fupi_ray.stages.dedup import filter_hot_keys, hot_band_keys
 
-    inst = docs.map_batches(extract_pos, batch_format="pyarrow").materialize()
-    hot = hot_band_keys(inst, key_col="win_h")
-    if hot is not None:
-        inst = filter_hot_keys(inst, hot, key_col="win_h")
+    inst = docs.map_batches(extract_pos, batch_format="pyarrow")
+    if _substr_prefilter(sf_dir):
+        inst = inst.materialize()
+        hot = hot_band_keys(inst, key_col="win_h")
+        if hot is not None:
+            inst = filter_hot_keys(inst, hot, key_col="win_h")
     removals = inst.drop_columns(["win_h"]).groupby("bkt").map_groups(
         choose_removals, batch_format="pandas"
     )
