@@ -307,12 +307,18 @@ def doc_shingle_hashes(
     parts_docs: list[np.ndarray] = []
     parts_vals: list[np.ndarray] = []
 
-    # full windows: positions whose k-window stays inside one doc
+    # full windows: positions whose k-window stays inside one doc.
+    # Chain with caller-free scratch (mix64_into): the naive
+    # ``g = mix64(g ^ W[...])`` allocates ~5 full-length temporaries
+    # per chain step — k-1 steps over the whole flat array made this
+    # the dominant memory traffic of the signature pass.
     if L >= k:
         m = L - k + 1
         g = W[:m].copy()
+        tmp = np.empty(m, dtype=np.uint64)
         for off in range(1, k):
-            g = mix64(g ^ W[off : off + m])
+            np.bitwise_xor(g, W[off : off + m], out=g)
+            mix64_into(g, tmp, g)
         valid = doc_of[:m] == doc_of[k - 1 : k - 1 + m]
         parts_docs.append(doc_of[:m][valid])
         parts_vals.append(g[valid])
