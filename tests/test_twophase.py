@@ -139,6 +139,27 @@ class TestCollectBroadcastKeys:
         assert np.array_equal(kb_old, kb_new)
 
 
+class TestSubstrPrefilterScalePath:
+    def test_forced_prefilter_matches_small_path(self, monkeypatch):
+        # the sf fixtures sit below the 64 MiB gate, so CI would never
+        # exercise the hot-window prefilter without forcing it
+        from fupi_ray.pipelines import queries as q
+
+        sf = "/root/testdata/sf0.001"
+        small_det = q.q_dedup_substring(sf).to_pandas()
+        small_rm = q.q_dedup_substring_rm(sf).to_pandas()
+        monkeypatch.setattr(q, "_SUBSTR_PREFILTER_MIN_BYTES", 0)
+        big_det = q.q_dedup_substring(sf).to_pandas()
+        big_rm = q.q_dedup_substring_rm(sf).to_pandas()
+
+        def norm(df):
+            df = df[sorted(df.columns)]
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        assert norm(small_det).equals(norm(big_det))
+        assert norm(small_rm).equals(norm(big_rm))
+
+
 class TestTwoPhaseSourceDedup:
     def _src(self, ids, toks):
         return rd.from_arrow(
