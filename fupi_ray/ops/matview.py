@@ -89,13 +89,17 @@ def _work_aggs(aggs: dict) -> dict[str, tuple[str, str]]:
     return work
 
 
-def _aggregate(ds: ray.data.Dataset, group_col: str, aggs: dict) -> pa.Table:
-    """Distributed grouped aggregation → one small Arrow table with the
-    view's output column names (affected-group-bounded, driver-safe).
-    Aggregate specs are deduplicated by (fn, col): two outputs backed
-    by the same physical aggregate (e.g. any count + the hidden _rows
-    count) share one computed column — Ray would otherwise suffix the
-    duplicate's result name (count()_2) out from under the lookup."""
+def _aggregate_dataset(
+    ds: ray.data.Dataset, group_col: str, aggs: dict
+) -> ray.data.Dataset:
+    """Distributed grouped aggregation as a DATASET carrying the view's
+    output column names — the result never lands on the driver here;
+    callers either write it out distributed (create) or pull a
+    group-bounded slice (refresh rescan). Aggregate specs are
+    deduplicated by (fn, col): two outputs backed by the same physical
+    aggregate (e.g. any count + the hidden _rows count) share one
+    computed column — Ray would otherwise suffix the duplicate's
+    result name (count()_2) out from under the lookup."""
     from ray.data.aggregate import Count, Max, Min, Sum
 
     mapping = {"count": Count, "sum": Sum, "min": Min, "max": Max}
@@ -104,17 +108,32 @@ def _aggregate(ds: ray.data.Dataset, group_col: str, aggs: dict) -> pa.Table:
     for _, (fn, col) in work.items():
         if (fn, col) not in uniq:
             uniq[(fn, col)] = mapping[fn]() if fn == "count" else mapping[fn](col)
-    res = ds.groupby(group_col).aggregate(*uniq.values()).take_all()
-    cols: dict[str, list] = {group_col: []}
-    for name in work:
-        cols[name] = []
-    for row in res:
-        cols[group_col].append(row[group_col])
+    agg = ds.groupby(group_col).aggregate(*uniq.values())
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cols = {group_col: batch[group_col]}
         for name, (fn, col) in work.items():
             key = "count()" if fn == "count" else f"{fn}({col})"
-            cols[name].append(row[key])
-    tbl = pa.table(cols)
-    return _finish_means(tbl, aggs)
+            cols[name] = batch[key]
+        return _finish_means(pa.table(cols), aggs)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _aggregate(ds: ray.data.Dataset, group_col: str, aggs: dict) -> pa.Table:
+    """Driver-side grouped aggregate — ONLY for group-bounded inputs
+    (the refresh rescan path, where the scan is already pruned to the
+    affected groups). ``create_matview`` must not route through this."""
+    out = _aggregate_dataset(ds, group_col, aggs)
+    refs = out.to_arrow_refs()
+    tbls = [t for t in ray.get(refs) if t.num_rows] if refs else []
+    if not tbls:
+        work = _work_aggs(aggs)
+        cols: dict[str, list] = {group_col: []}
+        for name in work:
+            cols[name] = []
+        return _finish_means(pa.table(cols), aggs)
+    return pa.concat_tables(tbls)
 
 
 def _finish_means(tbl: pa.Table, aggs: dict) -> pa.Table:
@@ -141,13 +160,29 @@ def create_matview(
     """Materialize ``SELECT group_col, aggs... GROUP BY group_col`` as
     a new table and record the source watermark. ``aggs`` maps output
     column name → ``(fn, src_col)`` with fn ∈ {count, sum, mean, min,
-    max} (count ignores src_col)."""
+    max} (count ignores src_col).
+
+    The initial materialization is fully distributed: the grouped
+    aggregate stays a Dataset end-to-end and lands via
+    ``commit_append`` (fragments written inside ``map_batches``). The
+    only driver-side step is reading the SCHEMA off the materialized
+    result — the group rows themselves never cross the driver, so a
+    high-cardinality group column (billions of groups at 10^12 rows)
+    materializes into object-store blocks that spill, not driver heap.
+    """
     _validate(aggs)
-    full = _aggregate(src.scan(), group_col, aggs)
-    schema = pa.schema(
-        [(group_col, full.schema.field(group_col).type)]
-        + [(n, full.schema.field(n).type) for n in full.column_names if n != group_col]
-    )
+    watermark = src.latest_version()
+    # materialize() pins the aggregate's output blocks (groups-sized,
+    # spillable) so the schema probe and the fragment write below share
+    # one execution of the groupby shuffle
+    mat = _aggregate_dataset(src.scan(), group_col, aggs).materialize()
+    if mat.count():
+        aschema = mat.schema().base_schema
+    else:
+        # empty source: legacy empty-table shape (null-typed columns)
+        aschema = _aggregate(src.scan(), group_col, aggs).schema
+    names = [group_col] + [n for n in aschema.names if n != group_col]
+    schema = pa.schema([(n, aschema.field(n).type) for n in names])
     view = Table.create(view_dir, schema=schema, config=config or src.config)
     _fs.write_text(
         _spec_path(view_dir),
@@ -159,10 +194,13 @@ def create_matview(
             }
         ),
     )
-    view.commit_append(
-        ray.data.from_arrow(full.select(schema.names)),
-        properties={"matview_watermark": src.latest_version()},
-    )
+    if mat.count():
+        body = mat if list(aschema.names) == names else mat.select_columns(names)
+    else:
+        body = ray.data.from_arrow(
+            pa.table({n: pa.array([], schema.field(n).type) for n in names})
+        )
+    view.commit_append(body, properties={"matview_watermark": watermark})
     return view
 
 

@@ -150,3 +150,44 @@ def test_mean_stays_exact_through_delta_refresh(base, tmp_path):
         .sort_index()
     )
     pd.testing.assert_series_equal(got, want, check_names=False, rtol=1e-12)
+
+
+def test_create_streams_high_cardinality_groups(tmp_path, monkeypatch):
+    """Create path must never land the grouped view on the driver via
+    take_all (VERDICT r4 #1): build a view whose group column is the
+    unique doc_id — 12,000 groups, >=10x any driver-safe take_all —
+    and record every take_all during create. The only take_all calls
+    allowed are fragment-metadata streams (1 row per fragment)."""
+    import ray.data as rd
+
+    base = write_fragmented_table(
+        str(tmp_path / "hc"), 12_000, rows_per_fragment=1_500, config=CFG
+    )
+    sizes: list[int] = []
+    real_take_all = rd.Dataset.take_all
+
+    def recording_take_all(self, *a, **kw):
+        rows = real_take_all(self, *a, **kw)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(rd.Dataset, "take_all", recording_take_all)
+    view = create_matview(
+        base, str(tmp_path / "vhc"), "doc_id", {"tok_sum": ("sum", "n_tok")}
+    )
+    monkeypatch.undo()
+    assert sizes, "fragment-metadata take_all expected"
+    assert max(sizes) <= 1_200, f"driver-sized take_all on create path: {sizes}"
+    got = view.scan(columns=["doc_id", "tok_sum"]).to_pandas()
+    assert len(got) == 12_000
+    truth_df = (
+        base.scan()
+        .to_pandas()
+        .groupby("doc_id")["n_tok"]
+        .sum()
+        .reset_index(name="tok_sum")
+    )
+    merged = got.sort_values("doc_id").reset_index(drop=True)
+    truth_df = truth_df.sort_values("doc_id").reset_index(drop=True)
+    assert (merged["doc_id"] == truth_df["doc_id"]).all()
+    assert (merged["tok_sum"].astype("int64") == truth_df["tok_sum"].astype("int64")).all()
