@@ -198,3 +198,36 @@ def test_cli_insert_missing_and_dedup_docs(tmp_path):
     assert r["rows_deleted"] == 50 and r["families"] == 50
     r = run_cli("scan", "--table", table)
     assert r["rows"] == 2100
+
+
+def test_cli_pack_rerun_refused(tmp_path):
+    """`pack` into a used --output must refuse (a rerun would mix
+    stale parts in and inflate packed_rows) and the reported count
+    must come from THIS run's files only (VERDICT r4 #3)."""
+    table = str(tmp_path / "tbl")
+    out_dir = str(tmp_path / "packed")
+    run_cli("ingest", "--table", table, "--rows", "2000", "--rows-per-fragment", "500")
+    r = run_cli("pack", "--table", table, "--output", out_dir, "--context-len", "256")
+    assert r["packed_rows"] > 0
+    n_files = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+    assert n_files > 0
+    # the reported count equals the rows in this run's parquet footers
+    total = sum(
+        pq.ParquetFile(os.path.join(out_dir, f)).metadata.num_rows
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    assert r["packed_rows"] == total
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    rerun = subprocess.run(
+        [sys.executable, "-m", "fupi_ray.cli", "pack", "--table", table,
+         "--output", out_dir, "--context-len", "256", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert rerun.returncode != 0
+    assert "not empty" in rerun.stderr
+    # the refused rerun must not have touched the first run's output
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".parquet")]) == n_files

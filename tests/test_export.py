@@ -114,3 +114,63 @@ def test_export_rejects_bad_shard_count(tmp_path):
     t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
     with pytest.raises(ValueError):
         export_training_shards(t, str(tmp_path / "x"), 0)
+
+
+def test_concurrent_exports_one_winner(tmp_path):
+    """Two exports racing into ONE directory (VERDICT r4 #3): exactly
+    one run wins; the loser fails on the exclusive _EXPORT_LOCK (or on
+    the non-empty check if the winner already finished) instead of
+    interleaving part files, and the surviving directory is a complete
+    single-run export."""
+    import threading
+
+    t = write_fragmented_table(str(tmp_path / "t"), 600, rows_per_fragment=100, config=CFG)
+    out = str(tmp_path / "shards")
+    results: dict[int, object] = {}
+    barrier = threading.Barrier(2)
+
+    def run(i: int):
+        barrier.wait()
+        try:
+            results[i] = export_training_shards(t, out, N)
+        except ValueError as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    oks = [r for r in results.values() if isinstance(r, dict)]
+    errs = [r for r in results.values() if isinstance(r, ValueError)]
+    assert len(oks) == 1 and len(errs) == 1, results
+    man = read_export_manifest(out)
+    assert man["total_rows"] == 600
+    # the surviving parts are exactly the winner's manifest files
+    on_disk = {
+        os.path.join(d, f)
+        for d in os.listdir(out)
+        if d.startswith("shard=")
+        for f in os.listdir(os.path.join(out, d))
+        if f.endswith(".parquet")
+    }
+    in_manifest = {rel for s in man["shards"] for rel in s["files"]}
+    assert on_disk == in_manifest
+    assert ray.data.read_parquet(out).count() == 600
+
+
+def test_crashed_export_lock_requires_overwrite(tmp_path):
+    """A crashed export leaves the lock + partial parts; the next run
+    must refuse without overwrite=True and succeed with it."""
+    from fupi_ray.ops.export import _LOCK_NAME
+
+    t = write_fragmented_table(str(tmp_path / "t"), 200, rows_per_fragment=100, config=CFG)
+    out = str(tmp_path / "shards")
+    os.makedirs(out)
+    with open(os.path.join(out, _LOCK_NAME), "w") as fh:
+        fh.write("crashed-run-token")
+    with pytest.raises(ValueError, match="overwrite=True"):
+        export_training_shards(t, out, N)
+    man = export_training_shards(t, out, N, overwrite=True)
+    assert man["total_rows"] == 200
+    assert not os.path.exists(os.path.join(out, _LOCK_NAME))

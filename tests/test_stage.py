@@ -160,6 +160,13 @@ def test_staged_scan_pads_schema_evolution(tmp_path):
     t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
     sid = stage_append(t, ray.data.from_arrow(generate_rows(100, 20)))
     add_column(t, "lang", "string", default="en")
+    # the record carries the STAGING-TIME schema (what the writer saw),
+    # so a WAP audit can diagnose evolution that happened under the
+    # unpublished stage — the live manifest already has the new column
+    rec = read_stage(t, sid)
+    assert "lang" not in rec["schema_names"]
+    assert "lang" in t.manifest().schema_names
+    assert len(rec["schema_names"]) == len(rec["schema_types"])
     ds = staged_scan(t, sid, columns=["doc_id", "lang"])
     df = ds.to_pandas()
     assert len(df) == 120
@@ -175,3 +182,40 @@ def test_stage_duplicate_id_refused(tmp_path):
     stage_append(t, ray.data.from_arrow(generate_rows(100, 10)), stage_id="s1")
     with pytest.raises(ValueError):
         stage_append(t, ray.data.from_arrow(generate_rows(110, 10)), stage_id="s1")
+
+
+def test_concurrent_publish_commits_exactly_once(tmp_path):
+    """Two live publishers of the SAME stage id racing through the
+    commit actor (VERDICT r4 #2): the staged fragments must land in
+    the manifest exactly once, and both publishers must return the
+    version that actually published."""
+    import threading
+
+    t = write_fragmented_table(str(tmp_path / "t"), 100, rows_per_fragment=100, config=CFG)
+    sid = stage_append(t, ray.data.from_arrow(generate_rows(100, 40)))
+    staged_rel = {d["path"] for d in read_stage(t, sid)["fragments"]}
+    assert staged_rel
+
+    results: dict[int, int | Exception] = {}
+    barrier = threading.Barrier(2)
+
+    def run(i: int):
+        barrier.wait()
+        try:
+            results[i] = publish_stage(t, sid)
+        except Exception as e:  # a loser must NOT error out
+            results[i] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    vs = list(results.values())
+    assert all(isinstance(v, int) for v in vs), vs
+    assert vs[0] == vs[1], f"publishers disagree on published version: {vs}"
+    frag_paths = [f.path for f in t.manifest().fragments]
+    for rel in staged_rel:
+        assert frag_paths.count(rel) == 1, f"{rel} appended {frag_paths.count(rel)}x"
+    assert t.scan().count() == 140
+    assert list_stages(t) == []
