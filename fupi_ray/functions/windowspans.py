@@ -10,7 +10,12 @@ doc-hash bucket. One implementation, parameterized by the id type and
 the duplication threshold, so fixes (survivor ordering, the
 typed-empty-block workaround below) land once.
 
-Outputs are TYPED Arrow tables: a 0-row object-dtype pandas frame
+Group functions take Arrow tables (``map_groups(...,
+batch_format="pyarrow")``): the sort is Arrow's C++ multi-column
+``sort_by`` (binary window bytes included) and the group math is
+boundary flags from C-level adjacent ``not_equal`` — no per-group
+pandas conversion or object-dtype comparisons anywhere on the hot
+exchange. Outputs are TYPED Arrow tables: a 0-row object-dtype block
 (most buckets, when duplication is sparse) trips Ray's block-size
 estimator into per-block error logs.
 """
@@ -18,8 +23,8 @@ estimator into per-block error logs.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from fupi_ray.functions.hashing import mix64, stable_hash
 
@@ -44,6 +49,18 @@ def row_hash64(wins: np.ndarray) -> np.ndarray:
     return h
 
 
+def _adjacent_change(arr: pa.Array, n: int) -> np.ndarray:
+    """Boolean row-change flags on a sorted column: flag[0] is True,
+    flag[i] = arr[i] != arr[i-1] (Arrow C++ kernel, works for binary,
+    string and integer columns alike)."""
+    flags = np.ones(n, dtype=bool)
+    if n > 1:
+        flags[1:] = pc.not_equal(arr.slice(1), arr.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+    return flags
+
+
 def choose_removals_fn(min_dups: int, num_buckets: int, id_type: pa.DataType):
     """Per window-hash bucket: sub-group on the exact window bytes
     (a hash collision only CO-LOCATES two windows, never merges them);
@@ -51,20 +68,42 @@ def choose_removals_fn(min_dups: int, num_buckets: int, id_type: pa.DataType):
     instance but the ``(doc_id, pos)`` minimum. Emits the removals
     re-keyed by ``stable_hash(doc_id) % num_buckets``."""
 
-    def choose_removals(g: pd.DataFrame) -> pa.Table:
-        gg = g.sort_values(["win", "doc_id", "pos"], kind="stable")
-        ndocs = gg.groupby("win", sort=False)["doc_id"].transform("nunique")
-        first = ~gg.duplicated("win")
-        rm = gg[(ndocs >= min_dups).to_numpy() & ~first.to_numpy()]
-        ids = rm["doc_id"].to_numpy()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], id_type),
+            "pos": pa.array([], pa.int64()),
+            "dbkt": pa.array([], pa.int64()),
+        }
+    )
+
+    def choose_removals(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return empty
+        gg = g.sort_by(
+            [("win", "ascending"), ("doc_id", "ascending"), ("pos", "ascending")]
+        )
+        win = gg["win"].combine_chunks()
+        doc = gg["doc_id"].combine_chunks()
+        first = _adjacent_change(win, n)
+        # distinct docs per window: count rows where either the window
+        # or (within a window run) the doc changes, bucketed by window
+        new_doc = first | _adjacent_change(doc, n)
+        grp = np.cumsum(first) - 1
+        ndocs = np.bincount(grp[new_doc])[grp]
+        rm = (ndocs >= min_dups) & ~first
+        if not rm.any():
+            return empty
+        sel = pa.array(rm)
+        ids = doc.filter(sel)
+        if ids.type != id_type:
+            ids = ids.cast(id_type)
         return pa.table(
             {
-                "doc_id": pa.array(ids, id_type),
-                "pos": pa.array(rm["pos"].to_numpy(), pa.int64()),
+                "doc_id": ids,
+                "pos": gg["pos"].combine_chunks().filter(sel),
                 "dbkt": pa.array(
                     (stable_hash(ids) % np.uint64(num_buckets)).astype(np.int64)
-                    if len(ids)
-                    else np.empty(0, np.int64)
                 ),
             }
         )
@@ -79,18 +118,24 @@ def spans_per_bucket_fn(id_type: pa.DataType):
     one flat numpy view per block). Boundary scan + one C-level
     ``tobytes`` per AFFECTED doc, not per span."""
 
-    def spans_per_bucket(g: pd.DataFrame) -> pa.Table:
-        gg = g.sort_values(["doc_id", "pos"], kind="stable")
-        pos = gg["pos"].to_numpy().astype("<i8")
-        ids = gg["doc_id"].to_numpy()
-        first = np.ones(len(ids), dtype=bool)
-        if len(ids) > 1:
-            first[1:] = ids[1:] != ids[:-1]
+    def spans_per_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], id_type), "starts": pa.array([], pa.binary())}
+            )
+        gg = g.sort_by([("doc_id", "ascending"), ("pos", "ascending")])
+        pos = gg["pos"].to_numpy(zero_copy_only=False).astype("<i8")
+        doc = gg["doc_id"].combine_chunks()
+        first = _adjacent_change(doc, n)
         bounds = np.flatnonzero(first)
-        ends = np.r_[bounds[1:], len(ids)]
+        ends = np.r_[bounds[1:], n]
+        ids = doc.take(pa.array(bounds))
+        if ids.type != id_type:
+            ids = ids.cast(id_type)
         return pa.table(
             {
-                "doc_id": pa.array(ids[bounds], id_type),
+                "doc_id": ids,
                 "starts": pa.array(
                     [pos[s:e].tobytes() for s, e in zip(bounds, ends)],
                     pa.binary(),

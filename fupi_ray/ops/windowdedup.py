@@ -249,10 +249,10 @@ def _detect_spans(
     inst = scan().map_batches(extract, batch_format="pyarrow")
     removals = inst.groupby("bkt").map_groups(
         ws.choose_removals_fn(min_dups, num_buckets, pa.string()),
-        batch_format="pandas",
+        batch_format="pyarrow",
     )
     return removals.groupby("dbkt").map_groups(
-        ws.spans_per_bucket_fn(pa.string()), batch_format="pandas"
+        ws.spans_per_bucket_fn(pa.string()), batch_format="pyarrow"
     )
 
 

@@ -1654,9 +1654,9 @@ def q_dedup_substring_rm(sf_dir: str):
         if hot is not None:
             inst = filter_hot_keys(inst, hot, key_col="win_h")
     removals = inst.drop_columns(["win_h"]).groupby("bkt").map_groups(
-        choose_removals, batch_format="pandas"
+        choose_removals, batch_format="pyarrow"
     )
-    spans = removals.groupby("dbkt").map_groups(spans_per_bucket, batch_format="pandas")
+    spans = removals.groupby("dbkt").map_groups(spans_per_bucket, batch_format="pyarrow")
     spans_schema = pa.schema([("doc_id", pa.int64()), ("starts", pa.binary())])
     joined = hash_join(
         spans,

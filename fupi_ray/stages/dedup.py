@@ -307,31 +307,32 @@ def hot_band_keys(
             }
         )
 
-    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        k = g["k"].to_numpy()
-        c = g["c"].to_numpy()
+    def hot_in_bucket(g: pa.Table) -> pa.Table:
+        k = g["k"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
         order = np.argsort(k, kind="mergesort")
         k, c = k[order], c[order]
         first = np.ones(len(k), dtype=bool)
         first[1:] = k[1:] != k[:-1]
         idx = np.nonzero(first)[0]
         if len(idx) == 0:
-            return pd.DataFrame({"k": np.array([], dtype=np.int64)})
+            return pa.table({"k": pa.array([], pa.int64())})
         sizes = np.diff(np.append(idx, len(k)))
         maxc = np.maximum.reduceat(c, idx)
-        return pd.DataFrame({"k": k[idx][(sizes >= 2) | (maxc >= 2)]})
+        return pa.table({"k": pa.array(k[idx][(sizes >= 2) | (maxc >= 2)])})
 
     hot_ds = (
         banded.select_columns([key_col])
         .map_batches(key_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
-        .map_groups(hot_in_bucket, batch_format="pandas")
+        .map_groups(hot_in_bucket, batch_format="pyarrow")
         .materialize()
     )
     if hot_ds.count() > cap:
         return None
     parts = [
-        b["k"].to_numpy() for b in hot_ds.iter_batches(batch_format="pandas")
+        b["k"].to_numpy(zero_copy_only=False)
+        for b in hot_ds.iter_batches(batch_format="pyarrow")
     ]
     return np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
 
@@ -383,17 +384,22 @@ def _grouped_pairs(
             "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        dtype = g["id"].dtype
-        g = g.sort_values([*key_cols, "id"], kind="mergesort")
-        ids = g["id"].to_numpy()
-        change = np.ones(len(g), dtype=bool)
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field("id").type
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+            )
+        g = g.sort_by([(c, "ascending") for c in key_cols] + [("id", "ascending")])
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        change = np.ones(n, dtype=bool)
         change[1:] = False
         for c in key_cols:
-            k = g[c].to_numpy()
+            k = g[c].to_numpy(zero_copy_only=False)
             change[1:] |= k[1:] != k[:-1]
         starts = np.nonzero(change)[0]
-        sizes = np.diff(np.append(starts, len(g)))
+        sizes = np.diff(np.append(starts, n))
         ra: list = []
         rb: list = []
         for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
@@ -407,14 +413,14 @@ def _grouped_pairs(
                 iu = np.triu_indices(len(grp), k=1)
                 ra.extend(grp[iu[0]])
                 rb.extend(grp[iu[1]])
-        return pd.DataFrame(
-            {"id_a": pd.Series(ra, dtype=dtype), "id_b": pd.Series(rb, dtype=dtype)}
+        return pa.table(
+            {"id_a": pa.array(ra, id_type), "id_b": pa.array(rb, id_type)}
         )
 
     return (
         sig.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
 
@@ -425,11 +431,23 @@ def dedup_pairs(pairs: ray.data.Dataset, num_buckets: int = 32) -> ray.data.Data
         h = stable_hash(batch["id_a"]) ^ stable_hash(batch["id_b"])
         return batch.append_column("_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
 
-    def uniq(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["_bucket"])
+    def uniq(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_bucket"])
+        n = g.num_rows
+        if n < 2:
+            return g
+        s = g.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+        keep = np.ones(n, dtype=bool)
+        a = s["id_a"].combine_chunks()
+        b = s["id_b"].combine_chunks()
+        keep[1:] = pc.or_(
+            pc.not_equal(a.slice(1), a.slice(0, n - 1)),
+            pc.not_equal(b.slice(1), b.slice(0, n - 1)),
+        ).to_numpy(zero_copy_only=False)
+        return s.filter(pa.array(keep))
 
     return pairs.map_batches(add_b, batch_format="pyarrow").groupby("_bucket").map_groups(
-        uniq, batch_format="pandas"
+        uniq, batch_format="pyarrow"
     )
 
 
