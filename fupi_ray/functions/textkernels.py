@@ -413,19 +413,22 @@ def minhash_signatures_oph(
     out = out.reshape(n, P)
     filled = out != _OPH_EMPTY
     if not filled.all():
-        need = ~filled
-        vals = out
-        out = out.copy()
+        # densify only the docs that have empty lanes: nearest filled
+        # lane to the right (circular) found in ONE suffix-min scan
+        # over a doubled lane axis — bit-identical to the rotation
+        # loop (value of that lane + distance * C) at O(1) passes
+        # instead of O(P) full-matrix rolls
+        rows = np.flatnonzero(~filled.all(axis=1))
+        f = filled[rows]
+        v = out[rows]
+        pos = np.arange(2 * P, dtype=np.int64)
+        ff = np.concatenate([f, f], axis=1)
+        cand = np.where(ff, pos[None, :], np.int64(3 * P))
+        near = np.minimum.accumulate(cand[:, ::-1], axis=1)[:, ::-1][:, :P]
+        dist = (near - pos[None, :P]).astype(np.uint64)
+        src = np.take_along_axis(v, (near % P).astype(np.int64), axis=1)
         with np.errstate(over="ignore"):
-            for t in range(1, P):
-                rows = need.any(axis=1)
-                if not rows.any():
-                    break
-                src = np.roll(vals, -t, axis=1)
-                srcf = np.roll(filled, -t, axis=1)
-                take = need & srcf
-                out[take] = src[take] + _OPH_C * np.uint64(t)
-                need &= ~take
+            out[rows] = np.where(f, v, src + _OPH_C * dist)
     return out.T
 
 
