@@ -356,6 +356,83 @@ def band_rows(
     return sigs.map_batches(to_bands, batch_format="pyarrow")
 
 
+def _band_keys_matrix(sig_tbl: pa.Table, num_perm: int, bands: int) -> np.ndarray:
+    """Flat uint64 band-key array (n*bands) for one signature block —
+    the same fold as :func:`band_rows` without materializing id
+    repeats (the hot-key count needs only the keys)."""
+    n = sig_tbl.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    rpb = num_perm // bands
+    S = _sig_matrix(sig_tbl["sig"], num_perm).reshape(n, bands, rpb)
+    key = S[:, :, 0]
+    for r in range(1, rpb):
+        key = mix64(key ^ S[:, :, r])
+    key = mix64(key ^ band_salts(bands)[None, :])
+    return key.reshape(-1)
+
+
+@ray.remote
+def _split_sig_hot_keys(
+    sig_tbl: pa.Table, num_perm: int, bands: int, num_buckets: int
+):
+    """Map side of the detect hot-key push shuffle, fused over a
+    SIGNATURE block: derive band keys in-task (no intermediate banded
+    dataset, no id columns), np.unique, radix-partition into
+    ``num_buckets`` per-bucket ``(sorted_keys, within_hot)`` objects.
+    Must stay key-identical to ``band_rows`` + the generic
+    ``stages.dedup._split_hot_keys`` path."""
+    keys = _band_keys_matrix(sig_tbl, num_perm, bands).view(np.int64)
+    empty = np.empty(0, dtype=np.int64)
+    if len(keys) == 0:
+        return (
+            tuple((empty, empty) for _ in range(num_buckets))
+            if num_buckets > 1
+            else (empty, empty)
+        )
+    u, c = np.unique(keys, return_counts=True)
+    b = (mix64(u.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    ub, cb, bb = u[order], c[order], b[order]
+    bounds = np.searchsorted(bb, np.arange(num_buckets + 1, dtype=np.int64))
+    out = []
+    for i in range(num_buckets):
+        s, e = bounds[i], bounds[i + 1]
+        seg = ub[s:e]
+        out.append((seg, seg[cb[s:e] >= 2]))
+    return tuple(out) if num_buckets > 1 else out[0]
+
+
+def _hot_keys_fused(
+    sigs: ray.data.Dataset,
+    num_perm: int,
+    bands: int,
+    num_buckets: int,
+    cap: int,
+) -> np.ndarray | None:
+    """Hot band keys straight off the materialized signature blocks —
+    the fused twin of ``hot_band_keys(band_rows(sigs, ...))`` (same
+    result set; one fewer full dataset pass)."""
+    from fupi_ray.stages.dedup import _reduce_hot_bucket
+
+    refs = sigs.to_arrow_refs()
+    if not refs:
+        return np.array([], dtype=np.int64)
+    split = _split_sig_hot_keys.options(num_returns=num_buckets)
+    maps = [split.remote(r, num_perm, bands, num_buckets) for r in refs]
+    if num_buckets == 1:
+        maps = [[m] for m in maps]
+    reduces = [
+        _reduce_hot_bucket.remote(*(maps[t][b] for t in range(len(maps))))
+        for b in range(num_buckets)
+    ]
+    parts = ray.get(reduces)
+    if sum(len(p) for p in parts) > cap:
+        return None
+    parts = [p for p in parts if len(p)]
+    return np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+
+
 def _verify_pairs(
     pairs: ray.data.Dataset,
     sigs: ray.data.Dataset,
@@ -488,8 +565,10 @@ def dedup_documents(
     # keys-only count pass and the filtered pair pass each re-derive it
     # rather than materializing 'bands' rows/doc. Only hot-key rows
     # (the only ones that can pair) ship ids through the exchange.
-    hot = hot_band_keys(
-        band_rows(sigs, num_perm, bands), num_buckets=min(num_buckets, 256)
+    from fupi_ray.stages.dedup import _HOT_KEY_CAP
+
+    hot = _hot_keys_fused(
+        sigs, num_perm, bands, num_buckets=min(num_buckets, 256), cap=_HOT_KEY_CAP
     )
     if hot is not None and len(hot) == 0:
         # no band key repeats anywhere: a clean corpus answers from the

@@ -281,60 +281,87 @@ def hot_band_keys(
     This is the LSH twin of ``ops/windowdedup``'s two-phase detect: a
     band key that appears once can never produce a candidate pair, and
     in a low-duplication corpus that is almost every key. Counting
-    keys FIRST through a keys-only exchange (8B+flag per row, local
-    np.unique pre-reduction, no ids) and then shipping only hot-key
-    rows into the pair exchange replaces the dominant all-band shuffle
-    with one ~5x lighter int64 shuffle plus a near-empty second one.
-    Output is bit-identical: singleton keys contribute no pairs."""
+    keys FIRST through a keys-only exchange and then shipping only
+    hot-key rows into the pair exchange replaces the dominant all-band
+    shuffle with one radically lighter exchange plus a near-empty
+    second one. Output is bit-identical: singleton keys contribute no
+    pairs.
 
-    def key_counts(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "k": pa.array([], pa.int64()),
-                    "c": pa.array([], pa.int8()),
-                    "_bucket": pa.array([], pa.int32()),
-                }
-            )
-        k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        u, c = np.unique(k, return_counts=True)
-        b = (mix64(u.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int32)
-        return pa.table(
-            {
-                "k": pa.array(u),
-                "c": pa.array(np.minimum(c, 2).astype(np.int8)),
-                "_bucket": pa.array(b),
-            }
-        )
+    The keys-only exchange is RADIX-BLOBBED: each map task np.uniques
+    its keys, radix-partitions them by ``mix64(key) % num_buckets``
+    and emits ONE row per bucket carrying the bucket's sorted keys as
+    a dense binary blob (plus a second blob of keys already duplicated
+    within the task). The groupby then scatters ``tasks × buckets``
+    blob rows instead of one row per distinct key — the same 8 B/key
+    payload with no per-row exchange overhead and a near-free shuffle
+    sort — and each reduce merges its blobs with one linear
+    concatenate + sort. A key on >=2 rows either repeats within one
+    task (hot blob) or lands in >=2 task blobs (adjacent after the
+    merge sort), exactly the old per-row (count>=2 | seen-twice)
+    rule."""
 
-    def hot_in_bucket(g: pa.Table) -> pa.Table:
-        k = g["k"].to_numpy(zero_copy_only=False)
-        c = g["c"].to_numpy(zero_copy_only=False)
-        order = np.argsort(k, kind="mergesort")
-        k, c = k[order], c[order]
+    refs = banded.select_columns([key_col]).to_arrow_refs()
+    if not refs:
+        return np.array([], dtype=np.int64)
+    split = _split_hot_keys.options(num_returns=num_buckets)
+    maps = [split.remote(r, key_col, num_buckets) for r in refs]
+    if num_buckets == 1:
+        maps = [[m] for m in maps]
+    reduces = [
+        _reduce_hot_bucket.remote(*(maps[t][b] for t in range(len(maps))))
+        for b in range(num_buckets)
+    ]
+    parts = ray.get(reduces)
+    if sum(len(p) for p in parts) > cap:
+        return None
+    parts = [p for p in parts if len(p)]
+    return np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+
+
+@ray.remote
+def _split_hot_keys(tbl: pa.Table, key_col: str, num_buckets: int):
+    """Map side of the hot-key push shuffle: np.unique the block's
+    keys, radix-partition by ``mix64(key) % num_buckets`` and return
+    ``num_buckets`` SEPARATE objects, each ``(sorted_keys,
+    within_block_hot_keys)``. Per-bucket objects mean a reducer pulls
+    exactly its shard's bytes — on a multi-node cluster the exchange
+    is B point-to-point streams, never whole-block broadcasts."""
+    empty = np.empty(0, dtype=np.int64)
+    if tbl.num_rows == 0:
+        return tuple((empty, empty) for _ in range(num_buckets)) if num_buckets > 1 else (empty, empty)
+    k = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    u, c = np.unique(k, return_counts=True)
+    b = (mix64(u.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
+    order = np.argsort(b, kind="stable")  # within-bucket keys stay sorted
+    ub, cb, bb = u[order], c[order], b[order]
+    bounds = np.searchsorted(bb, np.arange(num_buckets + 1, dtype=np.int64))
+    out = []
+    for i in range(num_buckets):
+        s, e = bounds[i], bounds[i + 1]
+        seg = ub[s:e]
+        out.append((seg, seg[cb[s:e] >= 2]))
+    return tuple(out) if num_buckets > 1 else out[0]
+
+
+@ray.remote
+def _reduce_hot_bucket(*parts) -> np.ndarray:
+    """Reduce side: a key is hot when it repeats within one block
+    (the within-hot array) or lands in >= 2 block shards (adjacent
+    after the merge sort of per-block distinct keys) — exactly the
+    per-row (count>=2 | seen-twice) rule of a full groupby."""
+    keys = [p[0] for p in parts if len(p[0])]
+    k = np.sort(np.concatenate(keys)) if keys else np.empty(0, np.int64)
+    cross = np.empty(0, np.int64)
+    if len(k):
         first = np.ones(len(k), dtype=bool)
         first[1:] = k[1:] != k[:-1]
-        idx = np.nonzero(first)[0]
-        if len(idx) == 0:
-            return pa.table({"k": pa.array([], pa.int64())})
+        idx = np.flatnonzero(first)
         sizes = np.diff(np.append(idx, len(k)))
-        maxc = np.maximum.reduceat(c, idx)
-        return pa.table({"k": pa.array(k[idx][(sizes >= 2) | (maxc >= 2)])})
-
-    hot_ds = (
-        banded.select_columns([key_col])
-        .map_batches(key_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_bucket")
-        .map_groups(hot_in_bucket, batch_format="pyarrow")
-        .materialize()
-    )
-    if hot_ds.count() > cap:
-        return None
-    parts = [
-        b["k"].to_numpy(zero_copy_only=False)
-        for b in hot_ds.iter_batches(batch_format="pyarrow")
-    ]
-    return np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
+        cross = k[idx[sizes >= 2]]
+    hots = [p[1] for p in parts if len(p[1])]
+    if hots:
+        return np.unique(np.concatenate([cross, *hots]))
+    return cross
 
 
 def filter_hot_keys(

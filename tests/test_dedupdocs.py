@@ -219,3 +219,27 @@ def test_sig_sidecars_follow_fragment_gc(tmp_table_dir):
     }
     assert after == live, (after, live)
     assert not (before & after)  # every pre-compaction sidecar is gone
+
+
+def test_fused_hot_keys_match_generic_path(tmp_table_dir):
+    """The fused sig-block hot-key shuffle (_hot_keys_fused) must
+    return exactly the keys the generic band_rows + hot_band_keys
+    path returns — on a corpus WITH duplicate families (non-empty
+    hot set) spread across fragments."""
+    from fupi_ray.ops.dedupdocs import _hot_keys_fused, band_rows, signature_dataset
+    from fupi_ray.stages.dedup import hot_band_keys
+
+    base = _rng_tokens(7, 400)
+    rows = [(f"d-{i:03d}", base) for i in range(5)]
+    base2 = _rng_tokens(8, 350)
+    rows += [(f"e-{i:03d}", base2) for i in range(3)]
+    rows += [(f"u-{i:03d}", _rng_tokens(300 + i, 300)) for i in range(20)]
+    t = _build(tmp_table_dir, rows, frag_rows=4)
+    sigs = signature_dataset(
+        t.scan(columns=["doc_id", "tokens"]), num_perm=32, gram=8
+    ).materialize()
+    fused = _hot_keys_fused(sigs, 32, 8, num_buckets=16, cap=16_000_000)
+    generic = hot_band_keys(band_rows(sigs, 32, 8), num_buckets=16)
+    assert fused is not None and generic is not None
+    assert len(fused) > 0, "duplicate families must produce hot keys"
+    assert np.array_equal(fused, generic)
