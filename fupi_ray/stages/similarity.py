@@ -175,8 +175,12 @@ class FeatureHashEmbedder:
         """``model_path``: probe for onnxruntime ONCE per actor and
         build an ``InferenceSession`` when both the package and the
         model file are present (the reference's load-once contract,
-        fupi/embedders.py:35-63 / fupi/utils.py:83-105); without them
-        the deterministic feature-hashing kernel runs instead."""
+        fupi/embedders.py:35-63 / fupi/utils.py:83-105). Without the
+        runtime, single-MatMul models run through the pure-numpy
+        executor (``stages/onnx_mini.py`` — same session API, known
+        output) so the real code path still executes; anything the
+        mini executor can't represent falls back to the deterministic
+        feature-hashing kernel."""
         self.text_col, self.dim, self.k = text_col, dim, k
         self.session = None
         if model_path is not None:
@@ -185,7 +189,12 @@ class FeatureHashEmbedder:
 
                 self.session = onnxruntime.InferenceSession(model_path)
             except ImportError:
-                pass
+                from fupi_ray.stages.onnx_mini import MiniSession, UnsupportedOnnx
+
+                try:
+                    self.session = MiniSession(model_path)
+                except (UnsupportedOnnx, OSError):
+                    pass
         self.pows = np.array(
             [pow(base, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
         )

@@ -210,7 +210,9 @@ class TestOnnxRealPath:
         assert [f for f, _ in gen._walk(blob)] == [1, 2, 7, 8]
 
     def test_session_path_matches_reversed_stub(self):
-        pytest.importorskip("onnxruntime")
+        # runs on EVERY host: onnxruntime when importable, else the
+        # pure-numpy single-MatMul executor (stages/onnx_mini.py) —
+        # either way the real session->run->attach path executes
         from fupi_ray.stages.similarity import FeatureHashEmbedder
 
         b = _doc_batch(["hello world", "the quick brown fox", "а това е текст"])
@@ -220,6 +222,14 @@ class TestOnnxRealPath:
         v_stub = np.asarray(stub(b)["vec"].to_pylist(), dtype=np.float64)
         v_real = np.asarray(real(b)["vec"].to_pylist(), dtype=np.float64)
         assert np.allclose(v_real, v_stub[:, ::-1], atol=1e-6)
+
+    def test_mini_executor_rejects_unsupported_graphs(self, tmp_path):
+        from fupi_ray.stages.onnx_mini import MiniSession, UnsupportedOnnx
+
+        bad = tmp_path / "bad.onnx"
+        bad.write_bytes(b"")  # no graph at all
+        with pytest.raises(UnsupportedOnnx):
+            MiniSession(str(bad))
 
 
 class TestWapExpiryRace:
