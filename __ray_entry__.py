@@ -26,83 +26,18 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordered most-informative-first: the driver's correctness recorder
-    # caps at 50 entries, so the lakehouse north-star ops (merge / WAP /
-    # time travel / mutations / pack / export) lead, followed by the
-    # training-data ops; the plain relational conformance variants (all
-    # driver-green in rounds 1-3) sit past the cap.
+    # ROUND-5 WINDOW ROTATION (VERDICT r4 item 4): the driver records
+    # only the first 50 entries, so this round leads with (a) the 41
+    # queries whose newest driver rows were r3-era (the whole r4
+    # past-cap tail) and (b) the 9 queries whose kernels changed in r5
+    # (streamed matview create; L2-sliced signatures + fused hot-key
+    # push shuffle feeding dedup_docs / window-span removers; Arrow-
+    # native pair/window map_groups feeding the dedup family). Every
+    # other query keeps its r4 driver-green row (≤1 round old) and
+    # sits past the cap, still covered by pytest + the local oracle
+    # runner (tools/check_oracles.py, recorded in BASELINE.md).
     return {
-        # lakehouse maintenance ops (north star)
-        "lake_compact": lake.q_lake_compact,
-        "lake_cluster": lake.q_lake_cluster,
-        "lake_merge": lake.q_lake_merge,
-        "lake_merge_dv": lake.q_lake_merge_dv,
-        "lake_merge_delete": lake.q_lake_merge_delete,
-        "lake_insert_missing": lake.q_lake_insert_missing,
-        "lake_ingest": lake.q_lake_ingest,
-        "lake_keyword_index": lake.q_lake_keyword_index,
-        "lake_dedup_docs": lake.q_lake_dedup_docs,
-        "lake_decontaminate": lake.q_lake_decontaminate,
-        "lake_evolve": lake.q_lake_evolve,
-        "lake_rename": lake.q_lake_rename,
-        "lake_expire": lake.q_lake_expire,
-        "lake_delete": lake.q_lake_delete,
-        "lake_delete_dv": lake.q_lake_delete_dv,
-        "lake_update": lake.q_lake_update,
-        "lake_update_dv": lake.q_lake_update_dv,
-        "lake_rollback": lake.q_lake_rollback,
-        "lake_matview": lake.q_lake_matview,
-        "lake_fork": lake.q_lake_fork,
-        "lake_fork_merge": lake.q_lake_fork_merge,
-        "lake_changelog": lake.q_lake_changelog,
-        "lake_cdc_apply": lake.q_lake_cdc_apply,
-        "lake_bucket_join": lake.q_lake_bucket_join,
-        "lake_sorted_scan": lake.q_lake_sorted_scan,
-        "lake_wap": lake.q_lake_wap,
-        "lake_timetravel": lake.q_lake_timetravel,
-        "lake_window_dedup": lake.q_lake_window_dedup,
-        "lake_stats": lake.q_lake_stats,
-        "pack_tokens": lake.q_pack_tokens,
-        "export_shards": lake.q_export_shards,
-        # training-data ops
-        "dedup_exact": q.q_dedup_exact,
-        "json_extract": q.q_json_extract,
-        "bpe_tokens": q.q_bpe_tokens,
-        "redact": q.q_redact,
-        "fingerprint_fast": q.q_fingerprint_fast,
-        # heavy_hitters / mix_token_budget sit inside the driver's
-        # 50-query window; translate (driver-green r3, stub kernel)
-        # and rolling_fp (rows-only by design) are demoted past it.
-        "heavy_hitters": q.q_heavy_hitters,
-        "mix_token_budget": q.q_mix_token_budget,
-        "multimodal": q.q_multimodal,
-        "topk_cosine": q.q_topk_cosine,
-        "maxsim": q.q_maxsim,
-        "embedding_neardup": q.q_embedding_neardup,
-        "char_jaccard": q.q_char_jaccard,
-        "dedup_families": q.q_dedup_families,
-        "keyword_search": q.q_keyword_search,
-        "distinct_count": q.q_distinct_count,
-        "approx_distinct": q.q_approx_distinct,
-        # new this round: Gopher repetition signals + Lee-et-al
-        # duplicated-substring detection (both oracle-checked)
-        "gopher_repetition": q.q_gopher_repetition,
-        "dedup_substring": q.q_dedup_substring,
-        "dedup_substring_rm": q.q_dedup_substring_rm,
-        # every never-driver-checked query sits ABOVE this line, inside
-        # the driver's 50-entry window (verified against the r1-r3
-        # correctness keys). The ops below spill past the cap: all are
-        # either driver-green in an earlier round (token_stats,
-        # group_quantiles, decontaminate, gopher_quality, fingerprint,
-        # sample_stratified, sample_exact_n — all hash-green in
-        # CORRECTNESS_r03 — and every relational query at the tail) or
-        # rows-only by design with no SQL twin to lose (embed_search,
-        # minhash, simhash, ivf_topk, rolling_fp) — nothing
-        # oracle-checkable and unchecked is displaced. lake_ingest,
-        # lake_keyword_index, lake_fork_merge and lake_stats (new in
-        # r4) displaced the r3-green sample_exact_n, langid, quality
-        # and frame_sample (whose stub-kernel twin multimodal stays
-        # in-window).
+        # (a) queries whose last driver row predates round 4
         "frame_sample": q.q_frame_sample,
         "sample_exact_n": q.q_sample_exact_n,
         "langid": q.q_langid,
@@ -121,8 +56,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_topk": q.q_group_topk,
         "translate": q.q_translate,
         "rolling_fp": q.q_rolling_fp,
-        # relational / reference-conformance operators (SURVEY.md §2) —
-        # all driver-green since round 1; least informative, so last.
         "explode_sentences": q.q_explode_sentences,
         "segment_sentences": q.q_segment_sentences,
         "centroid_label": q.q_centroid_label,
@@ -146,6 +79,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": q.q_window_events,
         "session_events": q.q_session_events,
         "rolling_window": q.q_rolling_window,
+        # (b) kernels changed in round 5 — need fresh driver rows
+        "lake_matview": lake.q_lake_matview,
+        "lake_dedup_docs": lake.q_lake_dedup_docs,
+        "lake_window_dedup": lake.q_lake_window_dedup,
+        "dedup_substring": q.q_dedup_substring,
+        "dedup_substring_rm": q.q_dedup_substring_rm,
+        "dedup_families": q.q_dedup_families,
+        "char_jaccard": q.q_char_jaccard,
+        "lake_merge": lake.q_lake_merge,
+        "lake_wap": lake.q_lake_wap,
+        # ---- driver cap (50) — everything below keeps its r4-green
+        # driver row and is re-verified locally this round ----
+        "lake_compact": lake.q_lake_compact,
+        "lake_cluster": lake.q_lake_cluster,
+        "lake_merge_dv": lake.q_lake_merge_dv,
+        "lake_merge_delete": lake.q_lake_merge_delete,
+        "lake_insert_missing": lake.q_lake_insert_missing,
+        "lake_ingest": lake.q_lake_ingest,
+        "lake_keyword_index": lake.q_lake_keyword_index,
+        "lake_decontaminate": lake.q_lake_decontaminate,
+        "lake_evolve": lake.q_lake_evolve,
+        "lake_rename": lake.q_lake_rename,
+        "lake_expire": lake.q_lake_expire,
+        "lake_delete": lake.q_lake_delete,
+        "lake_delete_dv": lake.q_lake_delete_dv,
+        "lake_update": lake.q_lake_update,
+        "lake_update_dv": lake.q_lake_update_dv,
+        "lake_rollback": lake.q_lake_rollback,
+        "lake_fork": lake.q_lake_fork,
+        "lake_fork_merge": lake.q_lake_fork_merge,
+        "lake_changelog": lake.q_lake_changelog,
+        "lake_cdc_apply": lake.q_lake_cdc_apply,
+        "lake_bucket_join": lake.q_lake_bucket_join,
+        "lake_sorted_scan": lake.q_lake_sorted_scan,
+        "lake_timetravel": lake.q_lake_timetravel,
+        "lake_stats": lake.q_lake_stats,
+        "pack_tokens": lake.q_pack_tokens,
+        "export_shards": lake.q_export_shards,
+        "dedup_exact": q.q_dedup_exact,
+        "json_extract": q.q_json_extract,
+        "bpe_tokens": q.q_bpe_tokens,
+        "redact": q.q_redact,
+        "fingerprint_fast": q.q_fingerprint_fast,
+        "heavy_hitters": q.q_heavy_hitters,
+        "mix_token_budget": q.q_mix_token_budget,
+        "multimodal": q.q_multimodal,
+        "topk_cosine": q.q_topk_cosine,
+        "maxsim": q.q_maxsim,
+        "embedding_neardup": q.q_embedding_neardup,
+        "keyword_search": q.q_keyword_search,
+        "distinct_count": q.q_distinct_count,
+        "approx_distinct": q.q_approx_distinct,
+        "gopher_repetition": q.q_gopher_repetition,
     }
 
 

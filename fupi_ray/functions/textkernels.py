@@ -352,6 +352,45 @@ def doc_shingle_hashes(
     return grams, gram_starts
 
 
+_SIG_CHUNK_VALUES = 40_000  # ~320 KB of uint64 word hashes per slice:
+# the signature kernels are stacks of full-array numpy passes (gram
+# chain, per-perm mixes, scatter-min), so each slice must stay
+# PRIVATE-L2-resident — with a full box of workers sharing one L3,
+# anything bigger streams DRAM on every pass (measured ~2x on the
+# 32-cpu signature stage). Every kernel stage is per-doc, so slicing
+# is bit-identical.
+
+
+def chunked_signatures(
+    W: np.ndarray,
+    lengths: np.ndarray,
+    salts: np.ndarray,
+    k: int,
+    sig_fn,
+    chunk_values: int = _SIG_CHUNK_VALUES,
+) -> np.ndarray:
+    """(n, P) signature matrix = ``sig_fn(doc_shingle_hashes(...))``
+    computed in cache-sized doc slices. ``W`` is the flat word-hash
+    array for the whole batch; output is bit-identical to one
+    monolithic call."""
+    n = len(lengths)
+    if n == 0:
+        return np.empty((0, len(salts)), dtype=np.uint64)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=starts[1:])
+    outs: list[np.ndarray] = []
+    s = 0
+    while s < n:
+        e = int(np.searchsorted(starts, starts[s] + chunk_values, side="left"))
+        e = max(min(e, n), s + 1)
+        grams, gstarts = doc_shingle_hashes(
+            W[starts[s] : starts[e]], lengths[s:e], k
+        )
+        outs.append(sig_fn(grams, gstarts, salts).T)
+        s = e
+    return outs[0] if len(outs) == 1 else np.vstack(outs)
+
+
 def minhash_signatures(
     grams: np.ndarray, gram_starts: np.ndarray, salts: np.ndarray
 ) -> np.ndarray:

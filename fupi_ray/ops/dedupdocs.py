@@ -224,23 +224,15 @@ def _salts(num_perm: int, seed: int) -> np.ndarray:
     return rng.integers(0, 2**63, size=num_perm, dtype=np.int64).astype(np.uint64)
 
 
-_SIG_CHUNK_VALUES = 40_000  # ~320 KB of uint64 word hashes: the
-# kernel is a stack of full-array numpy passes (gram chain, lane mix,
-# scatter-min), so each slice must stay PRIVATE-L2-resident — with 32
-# workers sharing one L3, anything bigger streams DRAM on every pass.
-# Measured on the 4.8M-doc signature stage: 3.9s → 1.85s at 32 CPUs,
-# 6.5s → 3.9s at 8 CPUs. Output is bit-identical (every kernel stage
-# is per-doc).
-
-
 def token_signatures(
     tokens_col, salts: np.ndarray, gram: int, scheme: str = "oph"
 ) -> np.ndarray:
     """(n, P) uint64 MinHash matrix for a token list column: flat
     value mix → per-doc k-gram chain hashes → per-perm minima. All
     reduceat/broadcast kernels, no per-doc Python; computed in
-    cache-sized doc slices (``_SIG_CHUNK_VALUES``) so the multi-pass
-    kernels stay memory-resident under full-box concurrency.
+    cache-sized doc slices (``textkernels.chunked_signatures``) so the
+    multi-pass kernels stay memory-resident under full-box concurrency
+    (measured 3.9s → 1.85s at 32 CPUs on the 4.8M-doc stage).
 
     ``scheme="oph"`` (default) uses one-permutation hashing with
     rotation densification (``textkernels.minhash_signatures_oph``) —
@@ -250,24 +242,11 @@ def token_signatures(
     offsets = np.asarray(lst.offsets, dtype=np.int64)
     vals = lst.values.to_numpy(zero_copy_only=False)
     lengths = np.diff(offsets)
+    # offsets are absolute into the (unsliced) child values buffer
+    flat = vals[offsets[0] : offsets[-1]] if len(lengths) else vals[:0]
+    W = mix64(flat.astype(np.uint64, copy=False) + _GOLDEN)
     fn = tk.minhash_signatures_oph if scheme == "oph" else tk.minhash_signatures
-    n = len(lengths)
-    outs: list[np.ndarray] = []
-    s = 0
-    while s < n:
-        e = int(
-            np.searchsorted(offsets, offsets[s] + _SIG_CHUNK_VALUES, side="left")
-        )
-        e = max(min(e, n), s + 1)
-        # offsets are absolute into the (unsliced) child values buffer
-        v = vals[offsets[s] : offsets[e]]
-        W = mix64(v.astype(np.uint64, copy=False) + _GOLDEN)
-        grams, gstarts = tk.doc_shingle_hashes(W, lengths[s:e], gram)
-        outs.append(fn(grams, gstarts, salts).T)
-        s = e
-    if not outs:
-        return np.empty((0, len(salts)), dtype=np.uint64)
-    return outs[0] if len(outs) == 1 else np.vstack(outs)
+    return tk.chunked_signatures(W, lengths, salts, gram, fn)
 
 
 def _sig_binary(sigs: np.ndarray) -> pa.Array:

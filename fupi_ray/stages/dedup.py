@@ -160,13 +160,14 @@ class MinHashStage:
                 }
             )
         W, _, lengths = tk.flat_word_hashes(batch[self.text_col])
-        grams, gstarts = tk.doc_shingle_hashes(W, lengths, self.shingle)
         sig_fn = (
             tk.minhash_signatures_oph
             if self.scheme == "oph"
             else tk.minhash_signatures
         )
-        sigs = sig_fn(grams, gstarts, self.salts).T  # (n, P)
+        # cache-sized doc slices: classic runs P full-array passes, so
+        # L2 residency matters even more than on the token path
+        sigs = tk.chunked_signatures(W, lengths, self.salts, self.shingle, sig_fn)
         chunks = sigs.reshape(n, self.bands, self.rows_per_band)
         key = chunks[:, :, 0]
         for r in range(1, self.rows_per_band):
