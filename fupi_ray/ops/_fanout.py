@@ -30,7 +30,7 @@ _MEASURED_CAP: int | None = None
 _PROBE_FLOOR = 8
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=1, scheduling_strategy="SPREAD")
 def _copy_probe_task(mb: int, loops: int) -> float:
     import time
 
@@ -59,9 +59,17 @@ def measured_copy_cap(floor: int = _PROBE_FLOOR, probe_mb: int = 16) -> int:
     throughput is computed from per-task inner copy times. Buffers are
     small (2×16 MB per worker) but the fleet's combined working set
     (~1 GB at 32 workers) far exceeds L3 — the waves hit DRAM. Cached
-    per driver process. On multi-node clusters the probe tasks spread
-    across nodes, so the measured value already sums per-node buses —
-    it is used as the CLUSTER-wide cap directly."""
+    per driver process.
+
+    Multi-node placement (round-5 review): the probe task is declared
+    ``scheduling_strategy="SPREAD"``. Ray's DEFAULT strategy packs
+    tasks onto as few nodes as possible, so a low-concurrency wave
+    would land entirely on one node, saturate that one bus, and the
+    ≥5%-gain early stop would freeze the cap at a single node's
+    capacity for the whole cluster. With SPREAD every wave engages
+    every node's bus proportionally, so the ramp keeps paying as long
+    as the CLUSTER has headroom and the measured value genuinely sums
+    per-node buses — it is used as the cluster-wide cap directly."""
     global _MEASURED_CAP
     if _MEASURED_CAP is not None:
         return _MEASURED_CAP
@@ -115,10 +123,19 @@ def run_capped(remote_fn, args_list: list[tuple], cap: int) -> list:
     """``ray.get`` over ``remote_fn.remote(*args)`` for every args
     tuple, with at most ``cap`` tasks in flight. Results come back in
     input order. Equivalent to the uncapped comprehension when
-    ``cap >= len(args_list)``, minus the bus contention when not."""
+    ``cap >= len(args_list)``, minus the bus contention when not.
+
+    Copy tasks are forced ``SPREAD``: their inputs are fragment PATHS
+    on shared storage (no object locality to exploit), so Ray's
+    default node-packing would stack a capped fleet onto few nodes —
+    the exact single-bus saturation the cap exists to avoid — while
+    the other nodes' buses idle. SPREAD makes ``cap`` copiers use
+    ~cap/N buses per node, which is the model ``copy_concurrency_cap``
+    assumes when it scales the cap by alive-node count."""
     results: list = [None] * len(args_list)
     if not args_list:
         return results
+    remote_fn = remote_fn.options(scheduling_strategy="SPREAD")
     cap = max(1, int(cap))
     pending: dict = {}
     for i, args in enumerate(args_list):
