@@ -757,16 +757,21 @@ def simhash_candidates(
             "_bucket", pa.array((h % np.uint64(64)).astype(np.int32))
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        dtype = g["id"].dtype
-        g = g.sort_values(["band_key", "id"], kind="mergesort")
-        kk = g["band_key"].to_numpy()
-        ids = g["id"].to_numpy()
-        sims = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        change = np.ones(len(g), dtype=bool)
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        id_type = g.schema.field("id").type
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)}
+            )
+        g = g.sort_by([("band_key", "ascending"), ("id", "ascending")])
+        kk = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        sims = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        change = np.ones(n, dtype=bool)
         change[1:] = kk[1:] != kk[:-1]
         starts = np.nonzero(change)[0]
-        sizes = np.diff(np.append(starts, len(g)))
+        sizes = np.diff(np.append(starts, n))
         rows_a, rows_b = [], []
         for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             gi, gs = ids[s : s + sz], sims[s : s + sz]
@@ -779,14 +784,14 @@ def simhash_candidates(
                 for j in np.nonzero(ham <= max_hamming)[0]:
                     rows_a.append(gi[i])
                     rows_b.append(gi[i + 1 + j])
-        return pd.DataFrame(
-            {"id_a": pd.Series(rows_a, dtype=dtype), "id_b": pd.Series(rows_b, dtype=dtype)}
+        return pa.table(
+            {"id_a": pa.array(rows_a, id_type), "id_b": pa.array(rows_b, id_type)}
         )
 
     pairs = (
         sig.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
     return dedup_pairs(pairs)
 
@@ -942,24 +947,28 @@ def char_jaccard_pairs(
             .map_groups(bucket_reps, batch_format="pyarrow")
         )
 
-        def rep_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        def rep_pairs(g: pa.Table) -> pa.Table:
             M = np.stack(
-                [g[f"m{j}"].to_numpy().view(np.uint64) for j in range(4)], axis=1
+                [
+                    g[f"m{j}"].to_numpy(zero_copy_only=False).view(np.uint64)
+                    for j in range(4)
+                ],
+                axis=1,
             )
-            sigs = g["sig"].to_numpy()
-            keys = g["_k"].to_numpy().view(np.uint64)
+            sigs = g["sig"].to_numpy(zero_copy_only=False)
+            keys = g["_k"].to_numpy(zero_copy_only=False).view(np.uint64)
             ia, ib, jc = _pairs_from_reps(M, sigs)
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "ka": keys[ia].view(np.int64),
-                    "kb": keys[ib].view(np.int64),
-                    "jacc": jc,
-                    "diag": ia == ib,
+                    "ka": pa.array(keys[ia].view(np.int64), pa.int64()),
+                    "kb": pa.array(keys[ib].view(np.int64), pa.int64()),
+                    "jacc": pa.array(jc, pa.float64()),
+                    "diag": pa.array(ia == ib, pa.bool_()),
                 }
             )
 
         pair_plan = (
-            reps.groupby(bc).map_groups(rep_pairs, batch_format="pandas").materialize()
+            reps.groupby(bc).map_groups(rep_pairs, batch_format="pyarrow").materialize()
         )
 
     # --- join expansion (pair plan keyed by composite (block,sig)) -------
@@ -1064,12 +1073,15 @@ def _expand_pairs_broadcast(
                  % np.uint64(num_buckets)).astype(np.int32)
             return out.append_column("_bucket", pa.array(b))
 
-    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+    def assemble(g: pa.Table) -> pa.Table:
         jc, dg = ray.get(plan_ref)[4], ray.get(plan_ref)[5]
-        g = g.sort_values(["pid", "role", "id"], kind="mergesort")
-        pids = g["pid"].to_numpy()
-        roles = g["role"].to_numpy()
-        ids = g["id"].to_numpy()
+        id_type = g.schema.field("id").type
+        g = g.sort_by(
+            [("pid", "ascending"), ("role", "ascending"), ("id", "ascending")]
+        )
+        pids = g["pid"].to_numpy(zero_copy_only=False)
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
         change = np.ones(len(g), dtype=bool)
         change[1:] = pids[1:] != pids[:-1]
         starts = np.nonzero(change)[0]
@@ -1102,21 +1114,25 @@ def _expand_pairs_broadcast(
                 ra.append(lo[m]); rb.append(hi[m])
                 rj.append(np.full(int(m.sum()), jc[pid]))
         if not ra:
-            return pd.DataFrame({"id_a": pd.Series([], dtype=g["id"].dtype),
-                                 "id_b": pd.Series([], dtype=g["id"].dtype),
-                                 "jacc": pd.Series([], dtype=np.float64)})
-        return pd.DataFrame(
+            return pa.table(
+                {
+                    "id_a": pa.array([], id_type),
+                    "id_b": pa.array([], id_type),
+                    "jacc": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
             {
-                "id_a": np.concatenate(ra),
-                "id_b": np.concatenate(rb),
-                "jacc": np.concatenate(rj),
+                "id_a": pa.array(np.concatenate(ra), id_type),
+                "id_b": pa.array(np.concatenate(rb), id_type),
+                "jacc": pa.array(np.concatenate(rj), pa.float64()),
             }
         )
 
     return (
         mem.map_batches(Expand, batch_format="pyarrow", concurrency=(1, 8))
         .groupby("_bucket")
-        .map_groups(assemble, batch_format="pandas")
+        .map_groups(assemble, batch_format="pyarrow")
     )
 
 
@@ -1401,15 +1417,26 @@ def _cap_members(
             "_bucket", pa.array((key % np.uint64(num_buckets)).astype(np.int32))
         )
 
-    def cap_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([*bc, "sig", "id"], kind="mergesort")
-        ranked = g.groupby([*bc, "sig"], sort=False).cumcount()
-        return g[ranked < cap].drop(columns=["_bucket"])
+    def cap_group(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return g.drop_columns(["_bucket"])
+        s = g.sort_by([(c, "ascending") for c in [*bc, "sig", "id"]])
+        change = np.ones(n, dtype=bool)
+        change[1:] = False
+        for c in [*bc, "sig"]:
+            col = s[c].combine_chunks()
+            change[1:] |= pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        grp = np.cumsum(change) - 1
+        rank = np.arange(n, dtype=np.int64) - np.flatnonzero(change)[grp]
+        return s.filter(pa.array(rank < cap)).drop_columns(["_bucket"])
 
     return (
         mem.map_batches(add_b, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(cap_group, batch_format="pandas")
+        .map_groups(cap_group, batch_format="pyarrow")
     )
 
 
