@@ -1416,31 +1416,49 @@ def q_dedup_substring(sf_dir: str):
             }
         )
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
+    _mark_empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "cnt_dup": pa.array([], pa.int64()),
+            "dbkt": pa.array([], pa.int64()),
+        }
+    )
+
+    def mark(g: pa.Table) -> pa.Table:
         # whole-bucket group: ONE vectorized transform sub-groups on
-        # the FULL window bytes and marks windows with >= 2 distinct
-        # docs (hash collisions co-locate, never merge). Partial per-doc
-        # rollup HERE shrinks the second exchange to <= one row per
-        # (doc, win-bucket).
-        ndocs = g.groupby("win", sort=False)["doc_id"].transform("nunique")
-        dup = (ndocs >= 2).to_numpy()
-        part = pd.DataFrame(
-            {
-                "doc_id": g["doc_id"].to_numpy(),
-                "cnt": np.zeros(len(g), np.int64),  # totals ride the
-                "cnt_dup": g["cnt"].to_numpy() * dup,  # block-local pass
-            }
-        )
-        a = part.groupby("doc_id", sort=False, as_index=False)[["cnt", "cnt_dup"]].sum()
-        a = a[a["cnt_dup"] > 0]  # totals travel the block-local pass
-        ids = a["doc_id"].to_numpy()
-        # Arrow output: this stream UNIONs with the (arrow-block)
-        # totals pass, and Ray refuses mixed pandas/arrow block unions
+        # the FULL window bytes (Arrow C++ sort; hash collisions
+        # co-locate, never merge) and marks windows with >= 2 distinct
+        # docs. Partial per-doc rollup HERE shrinks the second exchange
+        # to <= one row per (doc, win-bucket).
+        n = g.num_rows
+        if n == 0:
+            return _mark_empty
+        s = g.sort_by([("win", "ascending"), ("doc_id", "ascending")])
+        win = s["win"].combine_chunks()
+        doc = s["doc_id"].combine_chunks()
+        first = np.ones(n, dtype=bool)
+        newdoc = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = pc.not_equal(win.slice(1), win.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            newdoc[1:] = first[1:] | pc.not_equal(
+                doc.slice(1), doc.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        grp = np.cumsum(first) - 1
+        dup = np.bincount(grp[newdoc])[grp] >= 2
+        ids_all = doc.to_numpy(zero_copy_only=False)
+        cnt_dup_rows = s["cnt"].to_numpy(zero_copy_only=False) * dup
+        u, inv = np.unique(ids_all, return_inverse=True)
+        sums = np.bincount(inv, weights=cnt_dup_rows).astype(np.int64)
+        keep = sums > 0
+        ids = u[keep]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "cnt": pa.array(a["cnt"].to_numpy(), pa.int64()),
-                "cnt_dup": pa.array(a["cnt_dup"].to_numpy(), pa.int64()),
+                "cnt": pa.array(np.zeros(len(ids), np.int64)),  # totals
+                "cnt_dup": pa.array(sums[keep]),  # ride the block-local pass
                 "dbkt": pa.array(
                     (ids.view(np.uint64) % np.uint64(_SUBSTR_BUCKETS)).astype(
                         np.int64
@@ -1449,17 +1467,24 @@ def q_dedup_substring(sf_dir: str):
             }
         )
 
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+    def rollup(g: pa.Table) -> pa.Table:
         # one doc-bucket per group: vectorized per-doc sums (Ray's
         # sort-based per-key Aggregate measured ~2s PER TASK on this
-        # shape — bucketed pandas sums are the fast path)
-        a = g.groupby("doc_id", sort=True, as_index=False)[["cnt", "cnt_dup"]].sum()
-        a = a[a["cnt_dup"] > 0]
-        return pd.DataFrame(
+        # shape — factorize + bincount is the fast path)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(ids, return_inverse=True)
+        sc = np.bincount(inv, weights=g["cnt"].to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        sd = np.bincount(
+            inv, weights=g["cnt_dup"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        keep = sd > 0
+        return pa.table(
             {
-                "doc_id": a["doc_id"].to_numpy(),
-                "n_windows": a["cnt"].to_numpy(),
-                "dup_windows": a["cnt_dup"].to_numpy(),
+                "doc_id": pa.array(u[keep], pa.int64()),
+                "n_windows": pa.array(sc[keep]),
+                "dup_windows": pa.array(sd[keep]),
             }
         )
 
@@ -1482,9 +1507,9 @@ def q_dedup_substring(sf_dir: str):
     else:
         tot = s1.map_batches(totals, batch_format="pyarrow")
     s2 = s1.drop_columns(["win_h"]).groupby("bkt").map_groups(
-        mark, batch_format="pandas"
+        mark, batch_format="pyarrow"
     )
-    agg = tot.union(s2).groupby("dbkt").map_groups(rollup, batch_format="pandas")
+    agg = tot.union(s2).groupby("dbkt").map_groups(rollup, batch_format="pyarrow")
     return agg.sort("doc_id")
 
 
