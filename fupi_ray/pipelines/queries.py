@@ -1682,14 +1682,14 @@ def q_dedup_substring_rm(sf_dir: str):
         choose_removals, batch_format="pyarrow"
     )
     spans = removals.groupby("dbkt").map_groups(spans_per_bucket, batch_format="pyarrow")
-    spans_schema = pa.schema([("doc_id", pa.int64()), ("starts", pa.binary())])
-    joined = hash_join(
-        spans,
-        docs,
-        on="doc_id",
-        how="inner",
-        left_schema=spans_schema,
-        right_schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())]),
+    # the span table is one row per AFFECTED doc (tiny, unique key):
+    # size-guarded broadcast against the full docs stream instead of a
+    # two-sided exchange of the text payload (falls back to hash_join
+    # above the broadcast budget or on duplicate keys)
+    from fupi_ray.ops.join import enrich_join
+
+    joined = enrich_join(
+        docs, spans, on="doc_id", value_cols=["starts"], how="inner"
     )
     return joined.map_batches(rewrite, batch_format="pyarrow").sort("doc_id")
 
