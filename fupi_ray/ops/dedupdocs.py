@@ -353,15 +353,21 @@ def _band_keys_matrix(sig_tbl: pa.Table, num_perm: int, bands: int) -> np.ndarra
 
 @ray.remote
 def _split_sig_hot_keys(
-    sig_tbl: pa.Table, num_perm: int, bands: int, num_buckets: int
+    num_perm: int, bands: int, num_buckets: int, *sig_tbls: pa.Table
 ):
-    """Map side of the detect hot-key push shuffle, fused over a
-    SIGNATURE block: derive band keys in-task (no intermediate banded
-    dataset, no id columns), np.unique, radix-partition into
+    """Map side of the detect hot-key push shuffle, fused over one or
+    more SIGNATURE blocks: derive band keys in-task (no intermediate
+    banded dataset, no id columns), np.unique, radix-partition into
     ``num_buckets`` per-bucket ``(sorted_keys, within_hot)`` objects.
-    Must stay key-identical to ``band_rows`` + the generic
-    ``stages.dedup._split_hot_keys`` path."""
-    keys = _band_keys_matrix(sig_tbl, num_perm, bands).view(np.int64)
+    Multiple blocks per task bound the shuffle's object count
+    (tasks × buckets) at high fragment counts. Must stay key-identical
+    to ``band_rows`` + the generic ``stages.dedup._split_hot_keys``
+    path: uniquing the CONCATENATED blocks only folds same-task
+    duplicates into the within-hot array — the (count>=2 |
+    seen-twice) rule is unchanged."""
+    keys = np.concatenate(
+        [_band_keys_matrix(t, num_perm, bands).view(np.int64) for t in sig_tbls]
+    ) if sig_tbls else np.empty(0, np.int64)
     empty = np.empty(0, dtype=np.int64)
     if len(keys) == 0:
         return (
@@ -391,14 +397,19 @@ def _hot_keys_fused(
 ) -> np.ndarray | None:
     """Hot band keys straight off the materialized signature blocks —
     the fused twin of ``hot_band_keys(band_rows(sigs, ...))`` (same
-    result set; one fewer full dataset pass)."""
-    from fupi_ray.stages.dedup import _reduce_hot_bucket
+    result set; one fewer full dataset pass). Block refs are batched
+    so tasks × buckets stays under ``_SHUFFLE_OBJECT_BUDGET`` tiny
+    objects — at 10^12-row fragment counts the per-bucket-object
+    shuffle would otherwise drown the object store in metadata."""
+    from fupi_ray.stages.dedup import _SHUFFLE_OBJECT_BUDGET, _reduce_hot_bucket
 
     refs = sigs.to_arrow_refs()
     if not refs:
         return np.array([], dtype=np.int64)
+    per_task = max(1, -(-len(refs) * num_buckets // _SHUFFLE_OBJECT_BUDGET))
+    groups = [refs[i : i + per_task] for i in range(0, len(refs), per_task)]
     split = _split_sig_hot_keys.options(num_returns=num_buckets)
-    maps = [split.remote(r, num_perm, bands, num_buckets) for r in refs]
+    maps = [split.remote(num_perm, bands, num_buckets, *g) for g in groups]
     if num_buckets == 1:
         maps = [[m] for m in maps]
     reduces = [
@@ -546,8 +557,14 @@ def dedup_documents(
     # (the only ones that can pair) ship ids through the exchange.
     from fupi_ray.stages.dedup import _HOT_KEY_CAP
 
+    # hot-count reducer fan-out sized by KEY volume (8 B per (doc,
+    # band) key), not the id-carrying pair-exchange volume: each
+    # reducer holds its shard's keys in memory for one sort, so the
+    # bucket count must keep that shard ~256 MB no matter the corpus
+    # (10^12 rows × 16 bands → ~500k buckets, never a fixed 256)
+    hot_buckets = int(max(64, -(-n_rows * bands * 8 // (256 * 1024 * 1024))))
     hot = _hot_keys_fused(
-        sigs, num_perm, bands, num_buckets=min(num_buckets, 256), cap=_HOT_KEY_CAP
+        sigs, num_perm, bands, num_buckets=hot_buckets, cap=_HOT_KEY_CAP
     )
     if hot is not None and len(hot) == 0:
         # no band key repeats anywhere: a clean corpus answers from the

@@ -304,8 +304,12 @@ def hot_band_keys(
     refs = banded.select_columns([key_col]).to_arrow_refs()
     if not refs:
         return np.array([], dtype=np.int64)
+    # batch block refs so the shuffle's tiny-object count
+    # (tasks × buckets) stays bounded at high fragment counts
+    per_task = max(1, -(-len(refs) * num_buckets // _SHUFFLE_OBJECT_BUDGET))
+    groups = [refs[i : i + per_task] for i in range(0, len(refs), per_task)]
     split = _split_hot_keys.options(num_returns=num_buckets)
-    maps = [split.remote(r, key_col, num_buckets) for r in refs]
+    maps = [split.remote(key_col, num_buckets, *g) for g in groups]
     if num_buckets == 1:
         maps = [[m] for m in maps]
     reduces = [
@@ -319,18 +323,32 @@ def hot_band_keys(
     return np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
 
 
+_SHUFFLE_OBJECT_BUDGET = 2_000_000  # tasks × buckets ceiling for the
+# per-bucket-object push shuffles: above it, map tasks take multiple
+# blocks each so object-store metadata stays bounded at 10^12-row
+# fragment counts
+
+
 @ray.remote
-def _split_hot_keys(tbl: pa.Table, key_col: str, num_buckets: int):
-    """Map side of the hot-key push shuffle: np.unique the block's
-    keys, radix-partition by ``mix64(key) % num_buckets`` and return
-    ``num_buckets`` SEPARATE objects, each ``(sorted_keys,
-    within_block_hot_keys)``. Per-bucket objects mean a reducer pulls
+def _split_hot_keys(key_col: str, num_buckets: int, *tbls: pa.Table):
+    """Map side of the hot-key push shuffle over one or more blocks:
+    np.unique the keys, radix-partition by ``mix64(key) % num_buckets``
+    and return ``num_buckets`` SEPARATE objects, each ``(sorted_keys,
+    within_task_hot_keys)``. Per-bucket objects mean a reducer pulls
     exactly its shard's bytes — on a multi-node cluster the exchange
-    is B point-to-point streams, never whole-block broadcasts."""
+    is B point-to-point streams, never whole-block broadcasts; multiple
+    blocks per task bound the object count. Uniquing the concatenated
+    blocks only folds same-task duplicates into the within-hot array —
+    the (count>=2 | seen-twice) rule is unchanged."""
     empty = np.empty(0, dtype=np.int64)
-    if tbl.num_rows == 0:
+    parts = [
+        t[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        for t in tbls
+        if t.num_rows
+    ]
+    if not parts:
         return tuple((empty, empty) for _ in range(num_buckets)) if num_buckets > 1 else (empty, empty)
-    k = tbl[key_col].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    k = np.concatenate(parts) if len(parts) > 1 else parts[0]
     u, c = np.unique(k, return_counts=True)
     b = (mix64(u.astype(np.uint64)) % np.uint64(num_buckets)).astype(np.int64)
     order = np.argsort(b, kind="stable")  # within-bucket keys stay sorted
