@@ -239,9 +239,16 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
 
+    pair_buckets = 64
     if prefilter:
         sig = sig.materialize()  # two passes: keys-only count, then filter
-        hot = hot_band_keys(sig)
+        # bucket counts must scale with DATA volume: a map_groups
+        # reducer materializes one whole bucket, so a fixed 64 would
+        # let per-bucket memory grow unbounded with the corpus
+        pair_buckets = int(
+            max(64, -(-(sig.size_bytes() or 0) // (256 * 1024 * 1024)))
+        )
+        hot = hot_band_keys(sig, num_buckets=pair_buckets)
         if hot is not None and len(hot) == 0:
             # no band key repeats: zero candidates, skip both pair
             # exchanges outright (each costs seconds of fixed overhead
@@ -249,11 +256,11 @@ def minhash_lsh_candidates(
             return _empty_pairs(sig.schema().base_schema.field("id").type)
         if hot is not None:
             sig = filter_hot_keys(sig, hot)
-    pairs = _grouped_pairs(sig, ["band_key"], max_group=64)
+    pairs = _grouped_pairs(sig, ["band_key"], max_group=64, num_buckets=pair_buckets)
     if not dedup:
         return pairs
     # distinct pairs (a pair can fire in several bands)
-    return dedup_pairs(pairs)
+    return dedup_pairs(pairs, num_buckets=max(32, pair_buckets // 2))
 
 
 def _empty_pairs(id_type: pa.DataType) -> ray.data.Dataset:
