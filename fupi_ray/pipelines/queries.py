@@ -397,13 +397,46 @@ def q_string_agg_events(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def concat(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "seq": [",".join(g["event_type"])]}
+    # ONE user-hash bucket exchange (not a per-key groupby — that costs
+    # a Python group call per user), then a vectorized per-bucket
+    # assembly: sort, boundary-scan, and one C-level join per user.
+    def bucketize(batch: pa.Table) -> pa.Table:
+        from fupi_ray.functions.hashing import stable_hash
+
+        b = (
+            stable_hash(batch["user_id"].to_numpy(zero_copy_only=False))
+            % np.uint64(32)
+        ).astype(np.int32)
+        return batch.append_column("_bucket", pa.array(b))
+
+    def concat(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "seq": pa.array([], pa.string())}
+            )
+        s = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        et = s["event_type"].to_numpy(zero_copy_only=False)
+        first = np.ones(n, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.r_[starts[1:], n]
+        seq = [",".join(et[a:b]) for a, b in zip(starts, ends)]
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "seq": pa.array(seq, pa.string()),
+            }
         )
 
-    return ev.groupby("user_id").map_groups(concat, batch_format="pandas")
+    return (
+        ev.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(concat, batch_format="pyarrow")
+    )
 
 
 SQL_STRING_AGG_EVENTS = """
@@ -632,35 +665,51 @@ def q_session_events(sf_dir: str):
         b = (stable_hash(batch["user_id"].to_numpy(zero_copy_only=False)) % np.uint64(32)).astype(np.int32)
         return batch.append_column("_bucket", pa.array(b))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        u = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
-        sess = np.cumsum(new)
-        df = pd.DataFrame({"user_id": u, "sess": sess, "ts_us": ts})
-        out = df.groupby(["user_id", "sess"], as_index=False).agg(
-            n_events=("ts_us", "size"),
-            ts_min=("ts_us", "min"),
-            ts_max=("ts_us", "max"),
+    def sessions(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "session_id": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "duration_us": pa.array([], pa.int64()),
+                }
+            )
+        s = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
         )
-        # session_id restarts at 1 per user
-        out["session_id"] = out.groupby("user_id").cumcount() + 1
-        return pd.DataFrame(
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        ts = s["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
+        # sorted by (user, ts): session boundary flags give everything
+        # via boundary math — no per-(user, session) groupby
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n]
+        su = u[starts]
+        new_user = np.ones(len(starts), dtype=bool)
+        new_user[1:] = su[1:] != su[:-1]
+        ustarts = np.flatnonzero(new_user)
+        sess_id = (
+            np.arange(len(starts), dtype=np.int64)
+            - ustarts[np.cumsum(new_user) - 1]
+            + 1
+        )
+        return pa.table(
             {
-                "user_id": out["user_id"].astype(np.int64),
-                "session_id": out["session_id"].astype(np.int64),
-                "n_events": out["n_events"].astype(np.int64),
-                "duration_us": (out["ts_max"] - out["ts_min"]).astype(np.int64),
+                "user_id": pa.array(su, pa.int64()),
+                "session_id": pa.array(sess_id),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "duration_us": pa.array((ts[ends - 1] - ts[starts]).astype(np.int64)),
             }
         )
 
     return (
         ev.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 
@@ -702,33 +751,55 @@ def q_rolling_window(sf_dir: str):
         b = (stable_hash(batch["user_id"].to_numpy(zero_copy_only=False)) % np.uint64(32)).astype(np.int32)
         return batch.append_column("_bucket", pa.array(b))
 
-    def windows(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        df = pd.DataFrame(
-            {"user_id": g["user_id"].to_numpy(), "event_id": g["event_id"].to_numpy(),
-             "c": cents, "ts_us": ts}
+    def windows(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_id": pa.array([], pa.int64()),
+                    "rolling_sum": pa.array([], pa.float64()),
+                    "prev_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        s = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
         )
-        grp = df.groupby("user_id", sort=False)
-        cs = grp["c"].cumsum()
-        cs3 = cs.groupby(df["user_id"], sort=False).shift(3)
-        roll = cs - cs3.fillna(0).astype(np.int64)
-        prev = grp["ts_us"].shift(1)
-        gap = (df["ts_us"] - prev).fillna(-1).astype(np.int64)
-        return pd.DataFrame(
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(s["value"].to_numpy(zero_copy_only=False) * 100 + 0.5).astype(
+            np.int64
+        )
+        ts = s["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        ustart = np.flatnonzero(first)
+        li = np.arange(n, dtype=np.int64) - ustart[np.cumsum(first) - 1]
+        # per-user cumsum via global cumsum minus the prefix before
+        # each user's first row; ROWS 2 PRECEDING = cs - cs[i-3] within
+        # the user (li >= 3 guarantees i-3 is the same user)
+        cs = np.cumsum(cents)
+        seg_cs = cs - np.repeat(cs[ustart] - cents[ustart], np.diff(np.r_[ustart, n]))
+        roll = seg_cs.copy()
+        m3 = li >= 3
+        roll[m3] = seg_cs[m3] - seg_cs[np.flatnonzero(m3) - 3]
+        gap = np.full(n, -1, dtype=np.int64)
+        m1 = li >= 1
+        gap[m1] = ts[m1] - ts[np.flatnonzero(m1) - 1]
+        return pa.table(
             {
-                "user_id": df["user_id"].astype(np.int64),
-                "event_id": df["event_id"].astype(np.int64),
-                "rolling_sum": (roll / 100.0).astype(np.float64),
-                "prev_gap_us": gap,
+                "user_id": pa.array(u, pa.int64()),
+                "event_id": pa.array(
+                    s["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "rolling_sum": pa.array(roll / 100.0, pa.float64()),
+                "prev_gap_us": pa.array(gap),
             }
         )
 
     return (
         ev.map_batches(bucketize, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(windows, batch_format="pandas")
+        .map_groups(windows, batch_format="pyarrow")
     )
 
 
