@@ -2389,25 +2389,33 @@ def q_group_topk(sf_dir: str):
     k = 3
     docs = read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
 
-    def partial_topk(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df.sort_values(
-            ["source", "n_chars", "doc_id"],
-            ascending=[True, False, True],
-            kind="mergesort",
+    def _head_per_source(t: pa.Table) -> pa.Table:
+        s = t.sort_by(
+            [("source", "ascending"), ("n_chars", "descending"), ("doc_id", "ascending")]
         )
-        return pa.Table.from_pandas(df.groupby("source").head(k), preserve_index=False)
+        n = s.num_rows
+        src = s["source"].combine_chunks()
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = pc.not_equal(src.slice(1), src.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        starts = np.flatnonzero(first)
+        rank = np.arange(n, dtype=np.int64) - starts[np.cumsum(first) - 1]
+        return s.filter(pa.array(rank < k))
 
-    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["n_chars", "doc_id"], ascending=[False, True], kind="mergesort"
-        )
-        return df.head(k)
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return _head_per_source(batch)
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        return _head_per_source(g) if g.num_rows else g
 
     return (
         docs.map_batches(partial_topk, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
@@ -2489,21 +2497,21 @@ def q_group_quantiles(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("n_chars")
-        cum = df["cnt"].to_numpy().cumsum()
-        v = df["n_chars"].to_numpy().astype(np.float64)
+    def final(g: pa.Table) -> pa.Table:
+        s = g.sort_by([("n_chars", "ascending")])
+        cum = s["cnt"].to_numpy(zero_copy_only=False).cumsum()
+        v = s["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         ntot = int(cum[-1])
-        row = {"lang": df["lang"].iloc[0], "n": ntot}
+        row: dict = {"lang": [s["lang"][0].as_py()], "n": [ntot]}
         for qq, name in zip(qs, ("p25", "p50", "p75", "p90")):
             h = (ntot - 1) * qq
             lo, hi = int(np.floor(h)), int(np.ceil(h))
             t = h - lo
             a, b = v[np.searchsorted(cum, lo + 1)], v[np.searchsorted(cum, hi + 1)]
-            row[name] = a * (1 - t) + b * t
-        return pd.DataFrame([row])
+            row[name] = [a * (1 - t) + b * t]
+        return pa.table(row)
 
-    return hist.groupby("lang").map_groups(final, batch_format="pandas")
+    return hist.groupby("lang").map_groups(final, batch_format="pyarrow")
 
 
 SQL_GROUP_QUANTILES = """
