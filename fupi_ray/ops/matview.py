@@ -49,6 +49,18 @@ DISTRIBUTIVE = ("count", "sum", "mean")
 EXTREMES = ("min", "max")
 
 
+def _agg_columns(group_col: str, aggs: dict) -> list[str]:
+    """Only the group column and the aggregated source columns ever
+    need to enter the groupby exchange — the sort-based aggregate
+    would otherwise move the tokens payload of the whole table
+    (measured 5.4 s vs 0.9 s on the 2M-row bench create)."""
+    cols = {group_col}
+    for _, (fn, col) in aggs.items():
+        if col:
+            cols.add(col)
+    return sorted(cols)
+
+
 def _validate(aggs: dict[str, tuple[str, str]]) -> None:
     for out, (fn, col) in aggs.items():
         if fn not in DISTRIBUTIVE + EXTREMES:
@@ -95,29 +107,52 @@ def _aggregate_dataset(
     """Distributed grouped aggregation as a DATASET carrying the view's
     output column names — the result never lands on the driver here;
     callers either write it out distributed (create) or pull a
-    group-bounded slice (refresh rescan). Aggregate specs are
-    deduplicated by (fn, col): two outputs backed by the same physical
-    aggregate (e.g. any count + the hidden _rows count) share one
-    computed column — Ray would otherwise suffix the duplicate's
-    result name (count()_2) out from under the lookup."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    group-bounded slice (refresh rescan).
 
-    mapping = {"count": Count, "sum": Sum, "min": Min, "max": Max}
+    COMBINER SHAPE: every supported aggregate (count/sum/min/max and
+    mean's hidden sum+count pair) is decomposable, so each block first
+    collapses to per-group PARTIALS with Arrow's C++ ``group_by`` and
+    only (blocks × groups) partial rows enter Ray's sort-based groupby
+    for the merge (count merges by sum; sum/min/max by themselves).
+    Ray's exchange over the raw rows measured 3.4 s on the 2M-row
+    bench create; over the partials it is bounded by group count, not
+    row count. Aggregate specs are deduplicated by (fn, col): two
+    outputs backed by the same physical aggregate (e.g. any count +
+    the hidden _rows count) share one partial column."""
+    from ray.data.aggregate import Max, Min, Sum
+
     work = _work_aggs(aggs)
-    uniq: dict[tuple[str, str], object] = {}
+    uniq: dict[tuple[str, str], str] = {}
     for _, (fn, col) in work.items():
         if (fn, col) not in uniq:
-            uniq[(fn, col)] = mapping[fn]() if fn == "count" else mapping[fn](col)
-    agg = ds.groupby(group_col).aggregate(*uniq.values())
+            uniq[(fn, col)] = f"_p{len(uniq)}"
+    merge_fn = {"count": Sum, "sum": Sum, "min": Min, "max": Max}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        specs = [
+            ([], "count_all") if fn == "count" else (col, fn)
+            for (fn, col) in uniq
+        ]
+        g = batch.group_by([group_col]).aggregate(specs)
+        cols = {group_col: g[group_col]}
+        for (fn, col), name in uniq.items():
+            cols[name] = g["count_all" if fn == "count" else f"{col}_{fn}"]
+        return pa.table(cols)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(*[merge_fn[fn](name) for (fn, _), name in uniq.items()])
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         cols = {group_col: batch[group_col]}
         for name, (fn, col) in work.items():
-            key = "count()" if fn == "count" else f"{fn}({col})"
-            cols[name] = batch[key]
+            pname = uniq[(fn, col)]
+            cols[name] = batch[f"{merge_fn[fn].__name__.lower()}({pname})"]
         return _finish_means(pa.table(cols), aggs)
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def _aggregate(ds: ray.data.Dataset, group_col: str, aggs: dict) -> pa.Table:
@@ -175,12 +210,13 @@ def create_matview(
     # materialize() pins the aggregate's output blocks (groups-sized,
     # spillable) so the schema probe and the fragment write below share
     # one execution of the groupby shuffle
-    mat = _aggregate_dataset(src.scan(), group_col, aggs).materialize()
+    cols = _agg_columns(group_col, aggs)
+    mat = _aggregate_dataset(src.scan(columns=cols), group_col, aggs).materialize()
     if mat.count():
         aschema = mat.schema().base_schema
     else:
         # empty source: legacy empty-table shape (null-typed columns)
-        aschema = _aggregate(src.scan(), group_col, aggs).schema
+        aschema = _aggregate(src.scan(columns=cols), group_col, aggs).schema
     names = [group_col] + [n for n in aschema.names if n != group_col]
     schema = pa.schema([(n, aschema.field(n).type) for n in names])
     view = Table.create(view_dir, schema=schema, config=config or src.config)
@@ -249,7 +285,10 @@ def refresh_matview(view: Table, src: Table, job_id: str | None = None) -> int:
     needs_rescan = any(fn in EXTREMES for fn, _ in aggs.values())
     if needs_rescan:
         # recompute affected groups from the base table (group-pruned)
-        base = src.scan(predicate=[(group_col, "in", affected)])
+        base = src.scan(
+            columns=_agg_columns(group_col, aggs),
+            predicate=[(group_col, "in", affected)],
+        )
         new_rows = _aggregate(base, group_col, aggs)
     else:
         # pure delta arithmetic: signed changelog aggregation merged
