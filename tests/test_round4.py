@@ -373,3 +373,24 @@ class TestFanout:
         assert 1 <= cap <= 8
         assert _fanout._MEASURED_CAP == cap
         assert _fanout.copy_concurrency_cap("auto") == cap
+
+
+def test_read_blocks_sized_by_file_not_cpus():
+    """pipelines.read must size block count from file bytes (>=1 MB
+    per block, capped at 4x cluster CPUs) — Ray's CPU-proportional
+    default shattered small inputs into dozens of near-empty blocks
+    and made fixed-size queries SLOWER as the cluster grew."""
+    import os
+
+    import ray as _ray
+
+    from fupi_ray.pipelines.queries import read
+
+    sf = "/root/testdata/sf0.001"
+    ds = read(sf, "customer", columns=["c_custkey"])
+    size = os.path.getsize(os.path.join(sf, "customer.parquet"))
+    expect = max(1, min(-(-size // (1024 * 1024)),
+                        4 * int(_ray.cluster_resources().get("CPU", 8))))
+    mat = ds.materialize()
+    assert mat.num_blocks() == expect
+    assert mat.count() > 0
